@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via the noop sink (full execution, no driver
+collect cost). Streaming queries drive a memory sink; their result table is
+counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (joins, aggs, windows, sorts,
+# signs parity, streaming, dedup, similarity, text, multimodal).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "q3_shipping_priority",
+    "join_broadcast_brand_revenue",
+    "join_asof_latest_order",
+    "agg_rollup_priority",
+    "window_topk_orders_per_cust",
+    "sort_topk_orders",
+    "signs_rest_pipeline",
+    "stream_tumbling_events",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "knn_exact_cosine",
+    "text_tfidf_top_term",
+    "multimodal_decode_stub",
+]
+
+
+def main() -> None:
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("etl-cotrip-signs-bench")
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    registry.QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        if df.isStreaming:  # pragma: no cover - streaming queries return batch
+            df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Deduplication operators over the `documents` table [EXT].
+
+Four tiers, each the Spark-idiomatic shape for its scale profile:
+
+- exact:      hash-groupBy — one shuffle on a 128-bit digest; at 100 TB the
+              digest shuffle is ~32 bytes/doc regardless of doc size.
+- MinHash+LSH: signature → band → bucket-join. Candidate generation never
+              compares all pairs; cost is O(docs × k) + bucket-local joins.
+- SimHash:    64-bit fingerprint, candidates from 16-bit band collisions,
+              verified by hamming distance (bit_count of xor).
+- n-gram Jaccard: exact verify step, candidate-restricted (same lang +
+              ±30% length band) so the join never goes quadratic.
+
+All hashing is xxhash64/md5 with fixed seeds — deterministic across runs
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.shingles import distinct_shingles
+from ..io import load_table
+from ..registry import query
+
+# MinHash parameters: 32 permutations = 8 bands × 4 rows. With Jaccard
+# threshold t, collision prob in ≥1 band is 1-(1-t^4)^8 (s-curve at ~0.5).
+_MINHASH_K = 32
+_BANDS = 8
+_ROWS_PER_BAND = 4
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text)          AS text_hash,
+           min(doc_id)        AS keep_doc_id,
+           count(*)           AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest-groupBy, keep lowest doc_id per distinct text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_keep_first_per_group",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars
+    FROM (
+        SELECT lang, source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang, source ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep the lowest-doc_id row per
+    (lang, source). (Plain dropDuplicates keeps an *arbitrary* row — wrong
+    for a reproducible pipeline, so the engine's canonical form is the
+    row_number window.)"""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id", "n_chars")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """doc_id → k MinHash values, as one explode + one k-way min-aggregate.
+
+    Shape matters: computing the k minima as k array-expressions over the
+    shingle array re-derives the (large) shingle expression k times and
+    blows up codegen; explode-then-aggregate hashes each shingle k times in
+    a single pass with map-side partial mins — one shuffle of k longs per
+    doc, linear at any scale.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(distinct_shingles(F.col("text"))).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh_{b * _ROWS_PER_BAND + r}")
+                            for r in range(_ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    texts = docs.select("doc_id", "text")
+    return (
+        pairs.join(texts.select(F.col("doc_id").alias("doc_a"),
+                                F.col("text").alias("text_a")), "doc_a")
+        .join(texts.select(F.col("doc_id").alias("doc_b"),
+                           F.col("text").alias("text_b")), "doc_b")
+        .select("doc_a", "doc_b", "text_a", "text_b")
+    )
+
+
+def exact_jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Jaccard over distinct shingle sets (array_intersect / array_union)."""
+    sa, sb = distinct_shingles(a), distinct_shingles(b)
+    return F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
+
+
+@query("dedup_minhash_docs")  # rows-only: xxhash64 has no DuckDB equivalent
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard ≥ 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(d)
+    return (
+        cands.withColumn(
+            "jaccard", F.round(exact_jaccard(F.col("text_a"), F.col("text_b")), 4)
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("dedup_simhash_docs")  # rows-only: bit-level fingerprint, no SQL oracle
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-63 near-dup pairs (hamming ≤ 12 via bit_count(xor)).
+
+    Vote computation is one explode + one hash-aggregate: each of the 63
+    bits sums +1/-1 per distinct token depending on xxhash64(token) bit i.
+    A single shuffle on doc_id, map-side partial aggregation, no Python.
+    (Bit 63 is excluded so the fingerprint stays a positive long.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    tok_df = d.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+        "h", F.xxhash64(F.lit("sh"), F.col("tok"))
+    )
+    votes = tok_df.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(63)
+        ]
+    )
+    simhash = F.lit(0).cast("long")
+    for i in range(63):
+        simhash = simhash + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    sig = votes.select("doc_id", simhash.cast("long").alias("simhash"))
+
+    # candidates: share any of the four 16-bit bands
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("long")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band_id", "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band_id", "band_val",
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).alias("hamming")
+    return pairs.select("doc_a", "doc_b", hamming).filter(F.col("hamming") <= 12)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+2]
+               )) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND b.n_chars BETWEEN CAST(floor(a.n_chars * 0.7) AS BIGINT)
+                       AND CAST(ceil(a.n_chars * 1.3) AS BIGINT)
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over candidate-restricted pairs (oracle-checked).
+
+    Candidates: same lang + ±30% length band — an equi-join on lang with a
+    range predicate, so the pair count stays near-linear instead of
+    quadratic. (The unrestricted scale path is dedup_minhash_docs.)
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", distinct_shingles(F.col("text")).alias("shingles")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("chars_a"), F.col("shingles").alias("sh_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("chars_b"), F.col("shingles").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("chars_b") >= F.floor(F.col("chars_a") * 0.7))
+            & (F.col("chars_b") <= F.ceil(F.col("chars_a") * 1.3)),
+        )
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,95 @@
+"""Registered queries exercising the reference-parity signs pipeline.
+
+`signs_pipeline_inline` is oracle-checked: both engines start from the same
+inline VALUES feature set, so the A2→A3→A5 dataflow (project, Multi-explode
+with positional id suffixes, allow-list filter — /root/reference/task.ts:76-112)
+is verified row-for-row against DuckDB's JSON/list machinery.
+
+`signs_rest_pipeline` runs the full source→transform chain (A1→A2→A3→A5)
+over the packaged page fixtures; rows-only checked (the REST transport has
+no SQL equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.rest import file_fetcher, read_signs
+from .signs import explode_multi, filter_geometry, signs_pipeline
+
+_PAGES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "signs_pages")
+
+# Inline feature set: all six geometry types + a multi-member MultiPolygon
+# (positional suffix check) + an empty-coordinates Multi (explodes to zero).
+_INLINE_FEATURES = [
+    ("p1", "Point", "[-105.1,39.7]"),
+    ("l1", "LineString", "[[-105.1,39.7],[-105.2,39.8]]"),
+    ("pg1", "Polygon", "[[[-105.5,39.5],[-105.25,39.5],[-105.5,39.25],[-105.5,39.5]]]"),
+    ("mp1", "MultiPoint", "[[-104.9,38.8],[-104.8,38.9],[-104.7,39.1]]"),
+    ("ml1", "MultiLineString", "[[[-105.1,39.7],[-105.2,39.8]],[[-106.5,40.5],[-106.25,40.25]]]"),
+    (
+        "mpg1",
+        "MultiPolygon",
+        "[[[[-105.5,39.5],[-105.25,39.5],[-105.5,39.25],[-105.5,39.5]]],"
+        "[[[-104.5,38.5],[-104.25,38.5],[-104.5,38.25],[-104.5,38.5]]]]",
+    ),
+    ("me1", "MultiPoint", "[]"),
+]
+
+_INLINE_VALUES_SQL = ",\n               ".join(
+    f"('{i}', '{t}', '{c}')" for i, t, c in _INLINE_FEATURES
+)
+
+
+@query(
+    "signs_pipeline_inline",
+    oracle=f"""
+    WITH features(id, geom_type, coordinates) AS (
+        VALUES {_INLINE_VALUES_SQL}
+    ),
+    multi AS (
+        SELECT f.id || '-' || CAST(r.i AS VARCHAR)                  AS id,
+               substr(f.geom_type, 6)                               AS geom_type,
+               CAST(json_extract(f.coordinates, '$[' || r.i || ']') AS VARCHAR) AS coordinates
+        FROM features f,
+             LATERAL (
+                 SELECT unnest(range(CAST(json_array_length(f.coordinates) AS BIGINT))) AS i
+             ) r
+        WHERE starts_with(f.geom_type, 'Multi')
+    ),
+    single AS (
+        SELECT id, geom_type, coordinates FROM features
+        WHERE NOT starts_with(geom_type, 'Multi')
+    ),
+    exploded AS (SELECT * FROM single UNION ALL SELECT * FROM multi)
+    SELECT id, geom_type, coordinates FROM exploded
+    WHERE geom_type IN ('Point', 'LineString', 'Polygon')
+    """,
+)
+def signs_pipeline_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2→A3→A5 over an inline feature set, DuckDB-verified."""
+    df = spark.createDataFrame(
+        _INLINE_FEATURES, "id string, geom_type string, coordinates string"
+    ).withColumn("properties", F.create_map(F.lit("id"), F.col("id")))
+    out = signs_pipeline(df, ["Point", "LineString", "Polygon"])
+    return out.select("id", "geom_type", "coordinates")
+
+
+@query("signs_rest_pipeline")  # rows-only: REST transport has no SQL oracle
+def signs_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference dataflow A1→A2→A3→A5 over the packaged page fixtures."""
+    df = read_signs(spark, file_fetcher(_PAGES_DIR))
+    out = signs_pipeline(df, ["Point", "LineString", "Polygon"])
+    return out.select("id", "geom_type", "coordinates")
+
+
+@query("signs_explode_only")  # rows-only companion: explode without filter
+def signs_explode_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 explode in isolation (incl. pass-through of non-Multi rows)."""
+    df = spark.createDataFrame(
+        _INLINE_FEATURES, "id string, geom_type string, coordinates string"
+    )
+    return explode_multi(df)

@@ -1,0 +1,199 @@
+"""Similarity search over the `embeddings` table [EXT].
+
+Three tiers:
+- brute-force exact kNN: broadcast the (small) query set against the full
+  corpus — the correctness baseline, and at 100 TB still the right shape
+  when the query set is broadcast-small (scan-bound, no pair shuffle).
+- LSH-bucketed ANN: random-hyperplane signatures (fixed seed), candidates
+  only within matching buckets — pair count collapses from |Q|×|C| to
+  bucket-local.
+- threshold self-join: all pairs above a similarity cut, candidate-bounded.
+
+Ranking for oracle queries is done on *rounded* cosine (5 dp) with id
+tie-breaks, so Spark's and DuckDB's last-bit float differences can never
+flip an ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+from ..functions.vectors import cosine, sq_norm, to_double
+from ..io import load_table
+from ..registry import query
+
+_N_QUERIES = 20  # vec_id < 20 are the kNN probe set
+_TOP_K = 5
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("cv")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+    )
+
+
+@query(
+    "knn_exact_cosine",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos, rn
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 5) AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                         CAST(c.embedding AS DOUBLE[])), 5) DESC,
+                            c.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ) WHERE rn <= {_TOP_K}
+    """,
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the probe queries (exact baseline)."""
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        _pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+@query(
+    "similarity_threshold_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 5) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 5) >= 0.2
+    """,
+)
+def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-label pairs above a cosine threshold (candidate-bounded self-join).
+
+    The label equi-key keeps the pair space at sum-of-label-group² rather
+    than corpus² — the partition-your-candidates pattern.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        to_double(F.col("embedding")).alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        to_double(F.col("embedding")).alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 5))
+        .filter(F.col("cos") >= 0.2)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, r.i AS pos,
+           round(avg(CAST(embedding[r.i + 1] AS DOUBLE)), 5) AS centroid_val,
+           count(*) AS n_vectors
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(64)) AS i) r
+    GROUP BY label, r.i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (vector aggregate): posexplode + groupBy(label, pos).
+
+    At scale this is the map-side-combinable form of vector averaging —
+    64 partial sums per label per partition, one shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("v"), 5).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("label", F.col("pos").cast("long").alias("pos"), "centroid_val", "n_vectors")
+    )
+
+
+# Fixed random hyperplanes for LSH (seed 42). Multi-table scheme:
+# L tables × b bits — b controls bucket selectivity (candidates per table
+# shrink ~2^-b), L controls recall (union over tables). b=4/L=8 is tuned for
+# near-uniform embeddings (the fixture's worst case for angular LSH);
+# clustered real-world embeddings would take b up and L down.
+_LSH_BITS_PER_TABLE = 4
+_LSH_TABLES = 8
+_PLANES = np.random.RandomState(42).randn(_LSH_TABLES * _LSH_BITS_PER_TABLE, 64)
+
+
+@query("knn_lsh_ann")  # rows-only: LSH bucketing has no SQL oracle
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH + exact cosine re-rank.
+
+    Signatures come from one vectorized Pandas-UDF matmul per Arrow batch;
+    candidate generation is an equi-join on (table_id, bucket) — never a
+    cross join. Approximate by construction: recall is tested against the
+    exact baseline, not equality.
+    """
+    planes = _PLANES  # captured; shipped once per task via closure
+    b, L = _LSH_BITS_PER_TABLE, _LSH_TABLES
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def lsh_buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (batch, 64)
+        bits = (mat @ planes.T) > 0  # (batch, L*b)
+        weights = 1 << np.arange(b)
+        buckets = np.stack(
+            [bits[:, t * b : (t + 1) * b] @ weights for t in range(L)], axis=1
+        ).astype("int32")
+        return pd.Series(list(buckets))
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "buckets", lsh_buckets(F.col("embedding"))
+    )
+    hashed = e.select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("v"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    q = hashed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        "table_id", "bucket",
+    )
+    c = hashed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        "table_id", "bucket",
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

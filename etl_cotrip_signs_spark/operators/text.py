@@ -1,0 +1,295 @@
+"""Text-analysis operators over the `documents` table [EXT].
+
+Token stats, word counts, quality scoring, language-ID heuristics, TF-IDF,
+and document fingerprinting — all builtin string/array expressions (no
+Python in any hot path). Oracle patterns stay within the Java-regex ∩ RE2
+common subset; counting uses the length-difference idiom
+(len(text) - len(replace(text, w, ''))) which is dialect-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.shingles import tokens
+from ..io import load_table
+from ..registry import query
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))                 AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+')))  AS n_uniq_tokens,
+           round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                              t -> len(t))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 4)     AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total, distinct, mean token length per document."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq_tokens"),
+        F.round(total_len.cast("double") / F.size(w), 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_wordcount_topk",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def text_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word count (explode → agg → TakeOrdered)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           length(text)                                                  AS len_chars,
+           len(string_split_regex(trim(text), '\\s+'))                   AS n_tokens,
+           round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text), 5)                                      AS space_ratio,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS stopword_hits,
+           CASE WHEN length(text) >= 100
+                 AND len(string_split_regex(trim(text), '\\s+')) >= 20
+                THEN 1 ELSE 0 END                                        AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/space-ratio/stopword heuristics + pass flag."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(tokens(text)).cast("long")
+    space_ratio = (
+        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))).cast("double")
+        / F.length(text)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(text).cast("long").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(space_ratio, 5).alias("space_ratio"),
+        _occurrences(text, "the").alias("stopword_hits"),
+        F.when((F.length(text) >= 100) & (n_tokens >= 20), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+               CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT) AS s_data,
+               CAST((length(text) - length(replace(text, ' row ', ''))) / 5 AS BIGINT)  AS s_row
+        FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_data, s_row,
+           CASE WHEN s_en >= s_data AND s_en >= s_row THEN 'en'
+                WHEN s_data >= s_row THEN 'datish'
+                ELSE 'rowish' END AS predicted
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token scores + deterministic argmax.
+
+    (The fixture corpus is synthetic word-soup, so the 'languages' are
+    marker-frequency classes — the operator shape, scores → argmax with a
+    fixed tie order, is the real deliverable.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    s_en = _occurrences(text, " the ")
+    s_data = _occurrences(text, " data ")
+    s_row = _occurrences(text, " row ")
+    scored = d.select(
+        "doc_id", "lang",
+        s_en.alias("s_en"), s_data.alias("s_data"), s_row.alias("s_row"),
+    )
+    return scored.withColumn(
+        "predicted",
+        F.when(
+            (F.col("s_en") >= F.col("s_data")) & (F.col("s_en") >= F.col("s_row")),
+            "en",
+        )
+        .when(F.col("s_data") >= F.col("s_row"), "datish")
+        .otherwise("rowish"),
+    )
+
+
+@query(
+    "text_fingerprint_md5",
+    oracle="""
+    SELECT md5(lower(trim(text)))  AS fingerprint,
+           min(doc_id)             AS first_doc,
+           count(*)                AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized content fingerprint (normalize → digest → group)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint")
+    ).agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("text_fingerprint_rolling")  # rows-only: xxhash64 has no DuckDB equivalent
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-window fingerprint: min/max xxhash64 over 5-gram windows.
+
+    The winnowing-style document signature — robust to small edits, all
+    builtin (shingle transform + array_min/max of hashes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    n = F.size(w)
+    k = 5
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(F.lit("fp"), g))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_hash"),
+        F.array_max(hashes).alias("max_hash"),
+        F.size(hashes).cast("long").alias("n_windows"),
+    )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_term, tfidf
+    FROM (
+        SELECT doc_id, word, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, word
+               ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring built from first principles (tf agg ⋈ df agg), top term
+    per document. df is broadcast back onto tf — the vocabulary is always
+    dwarfed by the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; cheap metadata-level count
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "word").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "text_bigrams_topk",
+    oracle="""
+    SELECT bigram, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')), 1)),
+                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+1]
+               )) AS bigram
+        FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams (n-gram construction + count)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    n = F.size(w)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, (i + 1).cast("int")),
+            F.element_at(w, (i + 2).cast("int")),
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

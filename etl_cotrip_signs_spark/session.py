@@ -1,0 +1,70 @@
+"""SparkSession construction and session-level tuning.
+
+The engine is designed for a multi-executor cluster (partition-count and
+broadcast decisions assume distributed execution) but is exercised locally
+on ``local[N]``. All confs here are runtime-settable so the same tuning can
+be applied to an externally-provided session (the verify driver builds its
+own) via :func:`ensure_confs`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every query in this engine relies on. Applied defensively to
+# any session we are handed, because each is semantically load-bearing:
+#  - UTC session timezone: DuckDB oracle timestamps are UTC-naive.
+#  - nanosAsLong: the `events` table stores TIMESTAMP(NANOS), which Spark's
+#    parquet reader otherwise rejects (io.load_table converts to NTZ micros).
+#  - AQE + coalesce/skew: runtime re-planning is our skew/partition-count
+#    safety net at scale.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; queries then rely on the
+            # session's existing value.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-cotrip-signs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    Shuffle partitions default to the local core count — on a real cluster
+    this should be ~2-3x total executor cores (set via
+    ``SPARK_GRAFT_CPUS`` / argument).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_confs(spark)

@@ -1,0 +1,217 @@
+"""Structured Streaming operators over the `events` table [EXT].
+
+Each query drives a real streaming pipeline (readStream → transform →
+memory sink) to completion with `processAllAvailable`, then returns the
+sink table — so the registered callables satisfy the same
+``(spark, sf_dir) -> DataFrame`` contract as batch queries. Tumbling and
+sliding window aggregations are SQL-expressible and oracle-checked against
+DuckDB `time_bucket` equivalents; session windows, watermark dedup, and
+arbitrary state are rows-only.
+
+Output timestamps are emitted as epoch *seconds* (windows are
+second-aligned) so DuckDB's ns precision vs Spark's µs can never skew the
+comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+from ..session import ensure_confs
+
+# Explicit schema: ts is read as raw nanos (see io.load_table) because the
+# parquet column is TIMESTAMP(NANOS); streaming sources require an explicit
+# schema anyway.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.parquet` as a file-source stream with event-time `ts`."""
+    ensure_confs(spark)
+    # The file stream source requires a directory; point it at sf_dir and
+    # glob-filter down to the events file.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (with local tz), not NTZ; the session tz
+    # is pinned to UTC so the instant matches the batch/DuckDB view.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(out: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame into a memory sink until exhausted."""
+    spark = out.sparkSession
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_events",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*)                 AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed aggregate, event-time with watermark."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_completion(agg, "mem_stream_tumbling_events", "complete")
+
+
+@query(
+    "stream_sliding_events",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)
+                      - s.k * INTERVAL '5 minutes') AS BIGINT) AS window_start,
+           count(*)             AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events, (SELECT unnest(range(2)) AS k) s
+    GROUP BY 1
+    """,
+)
+def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands in two
+    overlapping windows; the oracle reproduces that with a phase-shift
+    lateral."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+    return run_to_completion(agg, "mem_stream_sliding_events", "complete")
+
+
+@query("stream_session_windows")  # rows-only: session carving isn't plain SQL
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap)."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, "mem_stream_session_windows", "complete")
+
+
+@query("stream_dedup_watermark")  # rows-only: keeps arrival-order first row
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within the watermark horizon: first event per
+    (user_id, event_type) bounded-state dedup."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_completion(deduped, "mem_stream_dedup_watermark", "append")
+
+
+_STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _count_state(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary-state update fn: running (count, sum) per user."""
+    if state.hasTimedOut:
+        (n, total) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals. With a single source batch the emitted update equals the batch
+    groupBy — which is exactly what the oracle checks."""
+    e = read_events_stream(spark, sf_dir)
+    updated = e.groupBy("user_id").applyInPandasWithState(
+        _count_state,
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType="n_events long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_completion(updated, "mem_stream_stateful_user_totals", "update")
+    # Late normalization for the oracle compare (rounding happens post-state).
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )

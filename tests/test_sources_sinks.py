@@ -1,0 +1,114 @@
+"""Unit tests for the REST source (A1) and HTTP sink (A6)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from etl_cotrip_signs_spark.operators.signs import signs_pipeline
+from etl_cotrip_signs_spark.sinks.http import (
+    http_batch_sink,
+    rows_to_feature_collection,
+    submit_single_collection,
+)
+from etl_cotrip_signs_spark.sources.rest import (
+    HAS_DATASOURCE_API,
+    fetch_all_features,
+    file_fetcher,
+    iter_pages,
+    read_signs,
+    register_rest_source,
+)
+
+PAGES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "etl_cotrip_signs_spark", "data", "signs_pages",
+)
+
+
+def test_pagination_follows_chain_until_none_sentinel():
+    pages = list(iter_pages(file_fetcher(PAGES_DIR)))
+    assert len(pages) == 3  # chain 0 -> 4 -> 7 -> 'None' sentinel stops
+    feats = fetch_all_features(file_fetcher(PAGES_DIR))
+    assert len(feats) == 9
+    assert [f["id"] for f in feats[:2]] == ["s1", "s2"]
+
+
+def test_read_signs_schema_and_geometry_encoding(spark):
+    df = read_signs(spark, file_fetcher(PAGES_DIR))
+    assert df.columns == ["id", "geom_type", "coordinates", "properties"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["s1"]["geom_type"] == "Point"
+    assert json.loads(rows["s1"]["coordinates"]) == [-105.1, 39.7]
+    assert rows["s1"]["properties"]["routeName"] == "I-70"
+
+
+def test_rest_pipeline_end_to_end(spark):
+    df = read_signs(spark, file_fetcher(PAGES_DIR))
+    out = signs_pipeline(df, ["Point", "LineString", "Polygon"])
+    ids = sorted(r["id"] for r in out.collect())
+    # s4 MultiPoint(3) → s4-0..2; s5 MultiLineString(2) → s5-0..1;
+    # s6 MultiPolygon(2) → s6-0..1; s7 empty Multi → dropped.
+    assert ids == [
+        "s1", "s2", "s3",
+        "s4-0", "s4-1", "s4-2",
+        "s5-0", "s5-1",
+        "s6-0", "s6-1",
+        "s8", "s9",
+    ]
+
+
+def test_parallel_datasource_matches_serial(spark):
+    if not HAS_DATASOURCE_API:
+        return
+    assert register_rest_source(spark)
+    df = (
+        spark.read.format("rest_signs")
+        .option("transport", "file")
+        .option("path", PAGES_DIR)
+        .option("offsets", ",4,7")  # empty string = first page (no offset)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    serial_ids = sorted(f["id"] for f in fetch_all_features(file_fetcher(PAGES_DIR)))
+    assert sorted(r["id"] for r in df.collect()) == serial_ids
+
+
+def test_http_batch_sink_posts_bounded_batches(spark, tmp_path):
+    df = read_signs(spark, file_fetcher(PAGES_DIR)).coalesce(1)
+    out_dir = str(tmp_path)
+
+    def poster(url, payload):
+        n = len(glob.glob(os.path.join(out_dir, "*.json")))
+        with open(os.path.join(out_dir, f"post_{os.getpid()}_{n}.json"), "w") as fh:
+            json.dump(payload, fh)
+
+    http_batch_sink(df, "http://sink", batch_size=4, poster=poster)
+    posts = [json.load(open(p)) for p in glob.glob(os.path.join(out_dir, "*.json"))]
+    assert sum(len(p["features"]) for p in posts) == 9
+    assert all(p["type"] == "FeatureCollection" for p in posts)
+    assert all(len(p["features"]) <= 4 for p in posts)
+
+
+def test_submit_single_collection_compat(spark):
+    df = read_signs(spark, file_fetcher(PAGES_DIR))
+    captured = []
+    n = submit_single_collection(df, "http://sink", poster=lambda u, p: captured.append(p))
+    assert n == 9
+    assert len(captured) == 1
+    fc = captured[0]
+    assert fc["type"] == "FeatureCollection"
+    feat = {f["id"]: f for f in fc["features"]}["s1"]
+    assert feat["geometry"] == {"type": "Point", "coordinates": [-105.1, 39.7]}
+
+
+def test_rows_to_feature_collection_shape():
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    rows = [R(id="a", geom_type="Point", coordinates="[1.5,2.5]", properties={"x": "1"})]
+    fc = rows_to_feature_collection(rows)
+    assert fc["features"][0]["properties"] == {"x": "1"}
+    assert fc["features"][0]["geometry"]["coordinates"] == [1.5, 2.5]
