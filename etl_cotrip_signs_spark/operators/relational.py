@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.money import avg_fixed, sum_fixed
 from ..io import load_table
 from ..registry import query
 
@@ -35,13 +36,15 @@ from ..registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2)                 AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2)                 AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)      AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,17 +59,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            sum_fixed(F.col("l_quantity")).alias("sum_qty"),
+            sum_fixed(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum_fixed(disc, scale=4).alias("sum_disc_price"),
+            sum_fixed(charge, scale=6).alias("sum_charge"),
+            avg_fixed(F.col("l_quantity")).alias("avg_qty"),
+            avg_fixed(F.col("l_extendedprice")).alias("avg_price"),
+            avg_fixed(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -80,8 +84,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey)       AS n_customers,
            round(min(o_totalprice), 2)     AS min_price,
            round(max(o_totalprice), 2)     AS max_price,
-           round(avg(o_totalprice), 4)     AS avg_price,
-           round(sum(o_totalprice), 2)     AS sum_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)             AS sum_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -94,8 +98,8 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        avg_fixed(F.col("o_totalprice")).alias("avg_price"),
+        sum_fixed(F.col("o_totalprice")).alias("sum_price"),
     )
 
 
@@ -105,7 +109,7 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')    AS orderstatus,
            coalesce(o_orderpriority, 'ALL')  AS orderpriority,
            count(*)                          AS n_orders,
-           round(sum(o_totalprice), 2)       AS sum_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -117,7 +121,7 @@ def agg_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            sum_fixed(F.col("o_totalprice")).alias("sum_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -134,7 +138,7 @@ def agg_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*)                      AS n_items,
-           round(sum(l_quantity), 2)     AS sum_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -146,7 +150,7 @@ def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            sum_fixed(F.col("l_quantity")).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -183,7 +187,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -218,8 +223,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            sum_fixed(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -230,7 +235,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate,
            o_orderpriority
     FROM customer
@@ -261,8 +267,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            sum_fixed(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue")
         )
         .select(
@@ -280,8 +286,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_brand_revenue",
     oracle="""
     SELECT p_brand,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2)             AS revenue,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)  AS sum_qty,
            count(*)                                          AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -295,10 +302,10 @@ def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            sum_fixed(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            sum_fixed(F.col("l_quantity")).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -348,7 +355,8 @@ def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('large', 300000.0, 450000.0),
                ('jumbo', 450000.0, 1e18)
     )
-    SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    SELECT band, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
@@ -378,7 +386,7 @@ def join_theta_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            sum_fixed(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -447,7 +455,7 @@ def window_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             "o_custkey",
@@ -527,9 +535,9 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -607,8 +615,10 @@ def distinct_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag",
     oracle="""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+           round(CAST(sum(CASE WHEN l_linestatus = 'O'
+                               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "O",
+           round(CAST(sum(CASE WHEN l_linestatus = 'F'
+                               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "F"
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -619,5 +629,5 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2))
     )

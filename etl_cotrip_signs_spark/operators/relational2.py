@@ -1,0 +1,156 @@
+"""Relational surface, part 2: grouping sets, ALL-variant set ops, unpivot,
+batch sessionization — rounding out SURVEY.md §2's aggregation/set-op rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.money import sum_fixed
+from ..io import load_table, register_views
+from ..registry import query
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*)                         AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) via Spark SQL —
+    the SQL entry point is first-class: same Catalyst plan as DataFrame."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               count(*)                         AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "setops_all_variants",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics: intersectAll / exceptAll preserve duplicates."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.intersectAll(open_).exceptAll(urgent)
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack(): one generator pass, no union re-scan.
+
+    The oracle spells out the UNION ALL expansion; Spark's stack reads the
+    source once — the difference that matters when the fact table is 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, raw_val)"
+        ),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("raw_val", 2).alias("val"),
+    )
+
+
+@query(
+    "sessionize_events_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                         > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*)                                  AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value,
+           CAST(epoch(CAST(date_trunc('second', min(ts)) AS TIMESTAMP)) AS BIGINT) AS session_start_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session ids.
+
+    The classic two-window formulation — one shuffle on user_id, both
+    windows reuse the same partitioning (no second exchange). The streaming
+    twin is stream_session_windows.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w_order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w_order)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    w_run = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(w_run))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_fixed(F.col("value")).alias("session_value"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.money import sum_fixed
 from ..io import load_table
 from ..registry import query
 
@@ -42,9 +43,9 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
-        F.size(F.split("p_type", " ")).alias("type_words"),
+        F.size(F.split("p_type", " ")).cast("long").alias("type_words"),
         F.when(F.col("p_type").startswith("STANDARD"), 1).otherwise(0).alias(
             "is_standard"
         ),
@@ -61,7 +62,7 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(year FROM o_orderdate)                  AS order_year,
            EXTRACT(quarter FROM o_orderdate)               AS order_quarter,
            count(*)                                        AS n_orders,
-           round(sum(o_totalprice), 2)                     AS sum_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -77,7 +78,7 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            sum_fixed(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 

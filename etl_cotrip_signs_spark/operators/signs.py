@@ -98,3 +98,20 @@ def filter_geometry(df: DataFrame, allowed: list[str]) -> DataFrame:
 def signs_pipeline(df: DataFrame, allowed: list[str]) -> DataFrame:
     """The complete reference dataflow (task.ts:76-112): A2 → A3 → A5."""
     return filter_geometry(explode_multi(project_features(df)), allowed)
+
+
+def signs_pipeline_observed(df: DataFrame, allowed: list[str]) -> DataFrame:
+    """A9 (task.ts:61,73,77): the pipeline with observability counters.
+
+    `observe()` metrics ride along with the job (no extra pass, unlike the
+    reference's driver-side count). Note: the reference's per-record
+    `console.error(sign)` dump runs unconditionally, ignoring its own DEBUG
+    flag (task.ts:77 vs :10) — a reference bug; this engine exposes counts
+    through metrics and leaves row dumps to an explicit debug sample
+    (`df.show()` by the caller), never an unconditional per-row print.
+    """
+    observed_in = project_features(df).observe(
+        "signs_in", F.count(F.lit(1)).alias("n_features_in")
+    )
+    out = filter_geometry(explode_multi(observed_in), allowed)
+    return out.observe("signs_out", F.count(F.lit(1)).alias("n_features_out"))

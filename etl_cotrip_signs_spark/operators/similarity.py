@@ -66,7 +66,7 @@ def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         _pairs(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos", "rn")
     )
@@ -136,6 +136,45 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("pos").cast("long").alias("pos"), "centroid_val", "n_vectors")
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings a
+        WHERE a.label = e.label AND a.vec_id < e.vec_id
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])), 5) >= 0.2
+    )
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal: drop any vector that has an earlier
+    (lower-id) same-label neighbor above the cosine threshold.
+
+    Candidate pairs come from the label equi-key (same bound as
+    similarity_threshold_pairs); survivors are computed with a left-anti
+    join against the dominated set — no iteration, one shuffle per join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        to_double(F.col("embedding")).alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        to_double(F.col("embedding")).alias("vb"),
+    )
+    dominated = (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 5) >= 0.2)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
 
 
 # Fixed random hyperplanes for LSH (seed 42). Multi-table scheme:

@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every operator module for side-effect registration."""
     from .operators import (  # noqa: F401
         relational,
+        relational2,
         scalars,
         signs_queries,
         dedup,

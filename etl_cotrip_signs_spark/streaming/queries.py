@@ -77,7 +77,7 @@ def run_to_completion(out: DataFrame, name: str, output_mode: str) -> DataFrame:
     SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
            event_type,
            count(*)                 AS n_events,
-           round(sum(value), 2)     AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -90,7 +90,9 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start"),
@@ -108,7 +110,8 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)
                       - s.k * INTERVAL '5 minutes') AS BIGINT) AS window_start,
            count(*)             AS n_events,
-           round(avg(value), 4) AS avg_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 4)
+                                AS avg_value
     FROM events, (SELECT unnest(range(2)) AS k) s
     GROUP BY 1
     """,
@@ -123,7 +126,15 @@ def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # integer-cents average: the long sum is exact, so the final
+            # double division is bit-identical to the oracle regardless of
+            # partial-aggregation order (a raw double avg can land on a
+            # rounding boundary differently per accumulation order).
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / (100.0 * F.count(F.lit(1))),
+                4,
+            ).alias("avg_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start"),
@@ -165,6 +176,47 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(deduped, "mem_stream_dedup_watermark", "append")
 
 
+@query("stream_stream_join")  # rows-only: stream-stream interval join
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    signups within the preceding hour. Both sides carry watermarks so the
+    join state is bounded (the 100 TB requirement for stream joins)."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_s"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return run_to_completion(joined, "mem_stream_stream_join", "append")
+
+
 _STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
@@ -184,7 +236,9 @@ def _count_state(
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # accumulate exact integer cents: parallel/batched float summation
+        # would be order-dependent in the low bits
+        total += float((pdf["value"] * 100).round().astype("int64").sum()) / 100.0
     state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
@@ -192,7 +246,8 @@ def _count_state(
 @query(
     "stream_stateful_user_totals",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
     FROM events
     GROUP BY user_id
     """,
