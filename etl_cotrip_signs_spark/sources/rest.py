@@ -158,6 +158,37 @@ except ImportError:  # pragma: no cover
     HAS_DATASOURCE_API = False
 
 
+def read_signs_udtf(spark: SparkSession, pages_dir: str, offsets: list[str | None]) -> DataFrame:
+    """UDTF variant of the paginated scan: one table-function call per page
+    offset via a lateral join — executors fetch pages in parallel, like the
+    DataSource variant, but composable inside any SQL query."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="id string, geom_type string, coordinates string")
+    class FetchPage:
+        def eval(self, pages_dir: str, offset: str):
+            payload, _ = file_fetcher(pages_dir)(offset or None)
+            for feat in payload.get("features", []):
+                geom = feat.get("geometry") or {}
+                yield (
+                    feat.get("id"),
+                    geom.get("type"),
+                    json.dumps(geom.get("coordinates"), separators=(",", ":")),
+                )
+
+    spark.udtf.register("fetch_signs_page", FetchPage)
+    offsets_df = spark.createDataFrame(
+        [(o or "",) for o in offsets], "offset string"
+    )
+    offsets_df.createOrReplaceTempView("signs_offsets")
+    return spark.sql(
+        f"""
+        SELECT f.* FROM signs_offsets,
+        LATERAL fetch_signs_page('{pages_dir}', signs_offsets.offset) f
+        """
+    )
+
+
 def register_rest_source(spark: SparkSession) -> bool:
     """Register the parallel REST data source with a session (if supported)."""
     if not HAS_DATASOURCE_API:
