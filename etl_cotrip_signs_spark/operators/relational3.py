@@ -1,0 +1,177 @@
+"""Relational surface, part 3: outer joins, collect/first/last aggregates,
+range window frames, and the full predicate family — the remaining
+SURVEY.md §2 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.money import sum_fixed
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "join_outer_customers_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           coalesce(n_orders, 0)            AS n_orders,
+           coalesce(sum_price, 0.0)         AS sum_price
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o.o_custkey
+    """,
+)
+def join_outer_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join (aggregate-then-join: the pre-aggregation shrinks the
+    probe side before the join — never join raw facts then aggregate when
+    only per-key totals are needed)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_fixed(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
+    )
+
+
+@query(
+    "join_full_outer_nations",
+    oracle="""
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+          FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+          FROM supplier GROUP BY 1) sn
+    USING (nationkey)
+    """,
+)
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates (nations present on either side)."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "agg_collect_first_last",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderstatus))          AS statuses,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           min_by(o_orderkey, epoch_ms(o_orderdate) * 1000000 + o_orderkey) AS first_orderkey,
+           max_by(o_orderkey, epoch_ms(o_orderdate) * 1000000 + o_orderkey) AS last_orderkey
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set (sorted for determinism — raw collect
+    order is partition-dependent) + first/last by event order via
+    min_by/max_by on a scalar composite key (date-millis * 1e6 + orderkey —
+    DuckDB's min_by can't order by a struct/list, so both engines use the
+    same packed-long ordering)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    order_key = (
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 1_000_000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.min_by("o_orderkey", order_key).alias("first_orderkey"),
+        F.max_by("o_orderkey", order_key).alias("last_orderkey"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+               RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW
+           ) AS orders_90d,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS first_key,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_key
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (trailing 90 days counted by value distance, not row
+    count) + first_value/last_value analytics."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "odate_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    ninety_days_us = 90 * 24 * 3600 * 1_000_000
+    w_range = (
+        W.partitionBy("o_custkey")
+        .orderBy("odate_us")
+        .rangeBetween(-ninety_days_us, W.currentRow)
+    )
+    w_order = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w_range).alias("orders_90d"),
+        F.first("o_orderkey").over(w_order).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@query(
+    "filter_predicate_family",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_name LIKE '%gold%'
+       OR regexp_matches(p_type, '^STANDARD.*BRASS$')
+       OR p_size BETWEEN 47 AND 50
+       OR p_brand IS NOT DISTINCT FROM 'Brand#55'
+    """,
+)
+def filter_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate family: LIKE, RLIKE, BETWEEN, null-safe equality — the
+    disjunction still prunes/pushes where the format allows."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gold%")
+        | F.col("p_type").rlike("^STANDARD.*BRASS$")
+        | F.col("p_size").between(47, 50)
+        | F.col("p_brand").eqNullSafe("Brand#55")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")

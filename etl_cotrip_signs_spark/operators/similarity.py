@@ -187,6 +187,64 @@ _LSH_TABLES = 8
 _PLANES = np.random.RandomState(42).randn(_LSH_TABLES * _LSH_BITS_PER_TABLE, 64)
 
 
+@query("knn_ivf_ann")  # rows-only: IVF cell probing has no SQL oracle
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: vectors are assigned
+    to their nearest label-centroid cell; queries probe the 2 nearest cells
+    and re-rank exactly within them.
+
+    The centroid table is tiny → broadcast everywhere; the corpus is
+    scanned once to build cells and once per query batch to probe. (On real
+    clustered data the cells come from k-means; here the label centroids
+    play that role.)
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p.getField("cv")).alias("centroid"),
+        )
+    )
+    # assign every vector to its nearest cell (exactly computed, broadcast cells)
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", cosine(to_double(F.col("embedding")), F.col("centroid")))
+        .withColumn(
+            "rc",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+            ),
+        )
+    )
+    corpus = assigned.filter(F.col("rc") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("cv"),
+        "cell",
+    )
+    # queries probe their 2 nearest cells
+    probes = assigned.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rc") <= 2)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        to_double(F.col("embedding")).alias("qv"),
+        "cell",
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 @query("knn_lsh_ann")  # rows-only: LSH bucketing has no SQL oracle
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH + exact cosine re-rank.

@@ -197,6 +197,36 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+'))                           AS n_number_runs,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))                  AS n_symbols
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count: letter runs | digit runs | single
+    symbols (the GPT-2 pre-tokenizer shape, restricted to the Java∩RE2
+    regex subset). Whitespace tokenization is text_token_stats."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).cast("long").alias(
+            "n_number_runs"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).cast("long").alias("n_symbols"),
+    )
+
+
+@query(
     "text_tfidf_top_term",
     oracle="""
     WITH tf AS (

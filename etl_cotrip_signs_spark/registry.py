@@ -40,6 +40,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         relational,
         relational2,
+        relational3,
         scalars,
         signs_queries,
         dedup,

@@ -1,0 +1,79 @@
+"""foreachBatch sink + misc DataFrame-ops unit tests (unionByName,
+sortWithinPartitions, LSH/IVF sanity)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cotrip_signs_spark.io import load_table
+from etl_cotrip_signs_spark.streaming.queries import read_events_stream
+
+from .conftest import SF_SMALL
+
+
+def test_foreach_batch_sink_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "batches")
+    os.makedirs(out)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(os.path.join(out, f"epoch={epoch_id}"))
+
+    agg = (
+        read_events_stream(spark, SF_SMALL)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    written = spark.read.parquet(*glob.glob(os.path.join(out, "epoch=*")))
+    batch_truth = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["event_type"]: r["n"] for r in written.collect()}
+    assert got == batch_truth
+
+
+def test_union_by_name_reorders_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([("y", 2)], "name string, id long")
+    out = a.unionByName(b).collect()
+    assert {(r["id"], r["name"]) for r in out} == {(1, "x"), (2, "y")}
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(2,)], "id long")
+    out = a.unionByName(b, allowMissingColumns=True).collect()
+    assert {(r["id"], r["name"]) for r in out} == {(1, "x"), (2, None)}
+
+
+def test_sort_within_partitions_is_local(spark):
+    df = (
+        load_table(spark, SF_SMALL, "orders")
+        .repartition(4, "o_custkey")
+        .sortWithinPartitions("o_totalprice")
+    )
+    # each partition individually sorted; global order not implied
+    def check(it):
+        prev = None
+        for row in it:
+            if prev is not None:
+                assert row["o_totalprice"] >= prev
+            prev = row["o_totalprice"]
+        return iter([])
+
+    df.rdd.mapPartitions(lambda it: check(it)).count()
