@@ -159,6 +159,26 @@ def json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("date_tz_convert")  # rows-only: tz database edge semantics differ per engine
+def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface: from_utc_timestamp / to_utc_timestamp /
+    date_format — the moment-timezone-class work the reference ships a
+    library for (package.json:27) but never calls; here it is first-class.
+    Rows-only: tz-rule edge cases are engine-version-dependent."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    ts = F.col("ts").cast("timestamp")
+    return e.select(
+        "event_id",
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("utc_str"),
+        F.date_format(
+            F.from_utc_timestamp(ts, "America/Denver"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("denver_str"),
+        F.unix_timestamp(F.to_utc_timestamp(F.from_utc_timestamp(ts, "America/Denver"),
+                                            "America/Denver")).alias("roundtrip_epoch"),
+        F.date_format(ts, "EEEE").alias("weekday"),
+    )
+
+
 @query(
     "case_bucket_orders",
     oracle="""

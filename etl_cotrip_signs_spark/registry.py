@@ -47,5 +47,6 @@ def load_all() -> None:
         similarity,
         text,
         multimodal,
+        mllib_variants,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
