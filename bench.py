@@ -49,10 +49,19 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("etl-cotrip-signs-bench")
 
-    # Warm the JVM + parquet footers once so timings measure the queries.
+    # Warm the JVM + parquet footers + Python UDF workers once so timings
+    # measure the queries, not process spin-up.
     registry.QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    # no type hints on purpose: `pd` isn't resolvable in this scope for
+    # string-annotation inference; hint-less pandas_udf defaults to SCALAR
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
