@@ -8,9 +8,17 @@ and, when SQL-expressible, a DuckDB oracle with matching column names.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may import this file by path with an arbitrary cwd; make the
+# sibling package importable regardless.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from etl_cotrip_signs_spark import registry
 from etl_cotrip_signs_spark.session import ensure_confs

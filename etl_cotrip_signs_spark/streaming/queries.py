@@ -243,6 +243,82 @@ def _count_state(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
 
+try:  # Spark 4.x transformWithState API. Besides the Spark classes, the
+    # runtime needs the google.protobuf python package (the state-server
+    # protocol) — absent in minimal environments, so gate on both.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _MaxValueProcessor(StatefulProcessor):
+        """transformWithStateInPandas processor: running max(value) and
+        event count per user via a ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n_events long, max_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (0, float("-inf"))
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+
+def _register_tws() -> None:
+    """Register the transformWithState query only when the runtime supports
+    it — an unconditionally-registered query that always raises would show
+    up as a correctness failure rather than an absent capability."""
+    if not HAS_TWS:
+        return
+    query(
+        "stream_transform_with_state",
+        oracle="""
+        SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )(stream_transform_with_state)
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via the transformWithStateInPandas API
+    (typed ValueState, timer support): per-user running count + max. With a
+    single source batch the final update equals the batch groupBy, which the
+    oracle checks. (max is order-insensitive, so no fixed-point care needed.)
+    """
+    e = read_events_stream(spark, sf_dir)
+    updated = e.groupBy("user_id").transformWithStateInPandas(
+        _MaxValueProcessor(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    result = run_to_completion(
+        updated, "mem_stream_transform_with_state", "update"
+    )
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("max_value"), 2).alias("max_value"),
+    )
+
+
 @query(
     "stream_stateful_user_totals",
     oracle="""
@@ -270,3 +346,6 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("total_value"), 2).alias("total_value"),
     )
+
+
+_register_tws()
