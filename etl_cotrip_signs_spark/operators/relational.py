@@ -411,23 +411,50 @@ def join_theta_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order of that user at event time.
 
-    Spark lacks a native ASOF JOIN; expressed as equi-join on the user key
-    (hash-partitioned both sides, no blow-up) + time predicate + per-event
-    row_number. Ties broken by orderkey for determinism.
+    Spark lacks a native ASOF JOIN. The naive form (equi-join on user +
+    time predicate + per-event row_number) materializes events ×
+    orders-per-user pairs — quadratic in per-key density. This is the
+    merge-asof formulation instead: union both sides into one stream keyed
+    by (user, time), sort once per key, and carry the most recent order
+    forward with last(ignorenulls) — O((E+O) log) per key, no pair blow-up.
+
+    Ordering guarantees: at equal timestamps orders sort before events
+    (kind 0 < 1, '<=' semantics), and same-date orders sort by orderkey so
+    the carried order is the max-(date, orderkey) one — identical to the
+    oracle's row_number over (o_orderdate DESC, o_orderkey DESC).
     """
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    o_part = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        F.struct("o_orderkey", "o_orderdate").alias("order_info"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_part = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>").alias(
+            "order_info"
+        ),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "kind", F.col("order_info.o_orderkey").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = o_part.unionByName(e_part).withColumn(
+        "asof", F.last("order_info", ignorenulls=True).over(w)
     )
     return (
-        e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        merged.filter((F.col("kind") == 1) & F.col("asof").isNotNull())
         .select(
             "event_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.to_date("o_orderdate").alias("asof_orderdate"),
+            F.col("asof.o_orderkey").alias("asof_orderkey"),
+            F.to_date("asof.o_orderdate").alias("asof_orderdate"),
         )
     )
 
