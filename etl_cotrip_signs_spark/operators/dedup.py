@@ -273,7 +273,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible) and intersects several times faster. The unrestricted scale
     path is dedup_minhash_docs.
     """
-    _W = 50  # length-bucket width (chars)
     d = with_shingles(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
     ).select(
@@ -282,34 +281,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
     )
-    lo = F.floor(F.col("n_chars") * 0.7)
-    hi = F.ceil(F.col("n_chars") * 1.3)
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("chars_a"), F.col("hs").alias("sh_a"),
-        F.explode(
-            F.sequence(F.floor(lo / _W).cast("int"), F.floor(hi / _W).cast("int"))
-        ).alias("bucket"),
+    # Inverted-index set-similarity join: explode to (shingle, doc) postings
+    # and equi-join on (shingle, lang); |A∩B| falls out of a hash-aggregate
+    # over pair hits — no per-pair array intersects, and pairs with an empty
+    # intersection (jaccard 0 < threshold) are never generated at all.
+    post = d.select(
+        "doc_id", "lang", "n_chars", F.size("hs").alias("sz"),
+        F.explode("hs").alias("s"),
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("chars_b"), F.col("hs").alias("sh_b"),
-        F.floor(F.col("n_chars") / _W).cast("int").alias("bucket"),
+    a = post.select(
+        F.col("s"), F.col("lang"),
+        F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a"),
+        F.col("sz").alias("sz_a"),
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    b = post.select(
+        F.col("s"), F.col("lang"),
+        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("chars_b"),
+        F.col("sz").alias("sz_b"),
     )
+    hits = a.join(b, ["s", "lang"]).filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("chars_b") >= F.floor(F.col("chars_a") * 0.7))
+        & (F.col("chars_b") <= F.ceil(F.col("chars_a") * 1.3))
+    )
+    inter = hits.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
+    )
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
-        a.join(
-            b.withColumnRenamed("lang_b", "lang_a"),
-            ["lang_a", "bucket"],
-        )
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("chars_b") >= F.floor(F.col("chars_a") * 0.7))
-            & (F.col("chars_b") <= F.ceil(F.col("chars_a") * 1.3))
-        )
-        .withColumn("jaccard", F.round(jac, 4))
+        inter.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", "jaccard")
     )
