@@ -155,6 +155,58 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_exact_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the standard
+    continuous-quantile definition). The sketch-based scale path is
+    agg_approx_distinct's percentile_approx."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+@query(
+    "agg_stat_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2)              AS price_stddev,
+           round(var_samp(l_quantity), 4)                      AS qty_var,
+           round(corr(l_extendedprice, l_quantity), 6)         AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount), 4)   AS price_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments: stddev/variance/correlation/covariance.
+
+    Both engines use numerically-stable single-pass moment updates; values
+    are ~1e3-1e5 with relative error ~1e-12, so 2-6dp rounding is stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+            "price_disc_covar"
+        ),
+    )
+
+
+@query(
     "filter_predicate_family",
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_size
