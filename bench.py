@@ -30,13 +30,17 @@ HEADLINE = [
     "join_broadcast_brand_revenue",
     "join_asof_latest_order",
     "agg_rollup_priority",
+    "agg_stat_moments",
     "window_topk_orders_per_cust",
     "sort_topk_orders",
+    "sessionize_events_batch",
     "signs_rest_pipeline",
     "stream_tumbling_events",
     "dedup_exact_docs",
     "dedup_minhash_docs",
+    "dedup_ngram_jaccard",
     "knn_exact_cosine",
+    "knn_lsh_ann",
     "text_tfidf_top_term",
     "multimodal_decode_stub",
 ]

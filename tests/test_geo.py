@@ -1,0 +1,50 @@
+"""WKT conversion + bounding box over the canonical geometry encoding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cotrip_signs_spark.functions.geo import bounding_box, with_wkt
+
+
+def features(spark):
+    rows = [
+        ("p", "Point", "[-105.5,39.25]"),
+        ("l", "LineString", "[[0.0,0.0],[1.5,2.5]]"),
+        ("pg", "Polygon", "[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]]"),
+        ("mp", "MultiPoint", "[[1.0,2.0],[3.0,4.0]]"),
+        ("ml", "MultiLineString", "[[[0.0,0.0],[1.0,1.0]],[[2.0,2.0],[3.0,3.0]]]"),
+        (
+            "mpg",
+            "MultiPolygon",
+            "[[[[0.0,0.0],[1.0,0.0],[0.0,1.0],[0.0,0.0]]],[[[5.0,5.0],[6.0,5.0],[5.0,6.0],[5.0,5.0]]]]",
+        ),
+    ]
+    return spark.createDataFrame(rows, "id string, geom_type string, coordinates string")
+
+
+def test_wkt_all_geometry_types(spark):
+    out = {r["id"]: r["wkt"] for r in with_wkt(features(spark)).collect()}
+    assert out["p"] == "POINT (-105.5 39.25)"
+    assert out["l"] == "LINESTRING (0.0 0.0, 1.5 2.5)"
+    assert out["pg"] == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0))"
+    assert out["mp"] == "MULTIPOINT (1.0 2.0, 3.0 4.0)"
+    assert out["ml"] == "MULTILINESTRING ((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 3.0))"
+    assert (
+        out["mpg"]
+        == "MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)), ((5.0 5.0, 6.0 5.0, 5.0 6.0, 5.0 5.0)))"
+    )
+
+
+def test_bounding_box_builtin(spark):
+    df = features(spark).withColumn("bbox", bounding_box(F.col("coordinates")))
+    boxes = {r["id"]: r["bbox"] for r in df.collect()}
+    assert boxes["p"].asDict() == {
+        "min_x": -105.5, "min_y": 39.25, "max_x": -105.5, "max_y": 39.25
+    }
+    assert boxes["mpg"].asDict() == {
+        "min_x": 0.0, "min_y": 0.0, "max_x": 6.0, "max_y": 6.0
+    }
+    assert boxes["l"].asDict() == {
+        "min_x": 0.0, "min_y": 0.0, "max_x": 1.5, "max_y": 2.5
+    }
