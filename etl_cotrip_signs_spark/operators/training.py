@@ -1,0 +1,169 @@
+"""Training-data pipeline operators [EXT]: splits, sampling, shuffling,
+sequence packing over the `documents` table.
+
+Everything here is *deterministic by construction* — hash-based rather than
+RNG-state-based — because training pipelines need splits and shuffles that
+are reproducible across runs, engines, and cluster sizes. md5 is the hash
+wherever an oracle checks the result (DuckDB computes the identical
+digest); xxhash64 where it's Spark-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+def _md5_bucket(col: F.Column, buckets: int = 100) -> F.Column:
+    """Deterministic [0, buckets) assignment from a value's md5 digest.
+
+    conv(hex, 16, 10) on the first 8 hex chars — stable across engines; the
+    oracle mirrors it with DuckDB's from_hex-free arithmetic.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on md5(doc_id).
+
+    Hash-based (not rand()): the same document lands in the same split on
+    any run, any cluster size, any engine — a hard requirement for
+    reproducible training data. Output is the per-split summary (the
+    assignment itself is checked through min/max/count)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "shuffle_deterministic",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 50
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: order by a hash of the key.
+
+    The training-data shuffle that survives reruns and re-partitioning —
+    `ORDER BY md5(id)` is a reproducible permutation, unlike rand()-based
+    orderings whose value depends on partition layout. (First 50 rows
+    verified; at scale the sort is a range-partitioned total order.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS tokens_before
+        FROM sized
+    )
+    SELECT lang, CAST(floor(tokens_before / 512) AS BIGINT) AS bin_id,
+           count(*)        AS n_docs,
+           sum(n_tokens)   AS bin_tokens
+    FROM cum
+    GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: group documents into ~512-token training bins.
+
+    Contiguous packing by running token count (exclusive prefix sum /
+    budget) — deterministic, one window pass per lang partition, no
+    driver-side loop. The greedy-first-fit variant trades determinism for
+    tighter packing; contiguous is the reproducible default."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sized.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        cum.withColumn(
+            "bin_id", F.floor(F.col("tokens_before") / 512).cast("long")
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+@query("sample_stratified")  # rows-only: Bernoulli sampling is engine-RNG-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-stratum sampling (sampleBy): downsample dominant langs.
+
+    Reproducible for a fixed seed within Spark; rows-only checked because
+    Bernoulli draw sequences are engine-specific. The deterministic
+    cross-engine alternative is the md5-bucket filter in split_train_test."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25}  # downsample the majority class
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    full = {l: fractions.get(l, 1.0) for l in langs}
+    return (
+        d.sampleBy("lang", full, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

@@ -48,5 +48,6 @@ def load_all() -> None:
         text,
         multimodal,
         mllib_variants,
+        training,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
