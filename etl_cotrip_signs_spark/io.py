@@ -50,6 +50,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def describe_table(spark: SparkSession, sf_dir: str, name: str):
+    """Capabilities introspection (A7 analogue for the engine catalog):
+    the StructType a source will produce, from metadata only — no data read
+    beyond the parquet footer."""
+    return load_table(spark, sf_dir, name).schema
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL entry points)."""
     for name in TABLES:
