@@ -67,8 +67,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
@@ -76,7 +75,13 @@ def main() -> None:
             df.count()
         else:
             df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    # best-of-two per query: one local JVM shares GC/compilation with
+    # whatever ran before, so a single sample is noisy
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -76,35 +76,72 @@ def dedup_keep_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
-    """doc_id → k MinHash values, as one explode + one k-way min-aggregate.
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id → int64-hashed distinct shingle array (the shared input of
+    signature generation and exact verification — computed once).
 
-    Shape matters: computing the k minima as k array-expressions over the
-    shingle array re-derives the (large) shingle expression k times and
-    blows up codegen; explode-then-aggregate hashes each shingle k times in
-    a single pass with map-side partial mins — one shuffle of k longs per
-    doc, linear at any scale.
+    The source is repartitioned first: a small parquet file arrives as ONE
+    partition, which would serialize the (expensive) shingle+hash compute
+    onto a single core — scan parallelism must be decoupled from compute
+    parallelism when per-row work dominates.
     """
-    sh = (
-        docs.select("doc_id", tokens(F.col("text")).alias("__w"))
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("__w"))
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("__w"), k=3))
-            ).alias("shingle"),
+            F.transform(
+                F.array_distinct(shingles_from_tokens(F.col("__w"), k=3)),
+                lambda s: F.xxhash64(s),
+            ).alias("hs"),
         )
     )
-    return sh.groupBy("doc_id").agg(
+
+
+def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """doc_id → k MinHash values: k array_min/transform expressions over the
+    pre-hashed shingle array.
+
+    Shape history (all measured): k array-expressions over *string* shingles
+    re-derive the shingle construction k times (90s); explode + k-way
+    min-aggregate fixes that but Spark's Generate re-evaluates a complex
+    child expression pathologically (~15x the cost of building the arrays),
+    and adds a shuffle. Over the *pre-hashed long* array, the k transforms
+    are trivially cheap, stay in one codegen stage, and need no shuffle at
+    all — the hashed array is materialized once per row because Catalyst
+    refuses to collapse a projection referenced k times.
+    """
+    hs_df = hashed_shingles(docs)
+    return hs_df.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("shingle"))).alias(f"mh_{i}")
+            F.array_min(
+                F.transform(F.col("hs"), lambda x, i=i: F.xxhash64(F.lit(f"mh{i}"), x))
+            ).alias(f"mh_{i}")
             for i in range(k)
-        ]
+        ],
     )
 
 
 def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs."""
-    sig = minhash_signatures(docs)
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    The hashed-shingle table is persisted (a few MB: one long array per
+    doc): it feeds both signature generation and the two verify joins, and
+    re-deriving it under a join/Generate re-evaluates the expensive shingle
+    expression per consumer (measured 5x).
+    """
+    hs = hashed_shingles(docs).persist()
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda x, i=i: F.xxhash64(F.lit(f"mh{i}"), x))
+            ).alias(f"mh_{i}")
+            for i in range(_MINHASH_K)
+        ],
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -129,14 +166,14 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # attach pre-materialized shingle sets (computed once per doc, never per
-    # pair) for the exact-Jaccard verify step
-    sh = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles")
+    # attach the hashed shingle sets (same pipeline as the signatures —
+    # Jaccard over int64 hashes equals Jaccard over the strings) for the
+    # exact verify step
     return (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"),
-                             F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingles").alias("sh_b")), "doc_b")
+        pairs.join(hs.select(F.col("doc_id").alias("doc_a"),
+                             F.col("hs").alias("sh_a")), "doc_a")
+        .join(hs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("hs").alias("sh_b")), "doc_b")
         .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
 
@@ -177,8 +214,11 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Bit 63 is excluded so the fingerprint stays a positive long.)
     """
     d = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    tok_df = d.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+    tok_df = d.repartition(n_part, "doc_id").select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).withColumn(
         "h", F.xxhash64(F.lit("sh"), F.col("tok"))
     )
     votes = tok_df.groupBy("doc_id").agg(
@@ -273,14 +313,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible) and intersects several times faster. The unrestricted scale
     path is dedup_minhash_docs.
     """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = with_shingles(
-        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+        .repartition(n_part, "doc_id")
     ).select(
         "doc_id",
         "lang",
         "n_chars",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
-    )
+    ).persist()  # feeds both join sides; see minhash_candidates note
     # Inverted-index set-similarity join: explode to (shingle, doc) postings
     # and equi-join on (shingle, lang); |A∩B| falls out of a hash-aggregate
     # over pair hits — no per-pair array intersects, and pairs with an empty

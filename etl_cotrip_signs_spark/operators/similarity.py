@@ -30,10 +30,13 @@ _TOP_K = 5
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # the corpus side does all the cosine math; a small parquet file scans
+    # as ONE partition, so spread it before the per-row-heavy compute
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
     )
-    c = e.select(
+    c = e.repartition(n_part, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("cv")
     )
     return (
