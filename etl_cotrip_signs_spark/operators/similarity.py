@@ -93,7 +93,8 @@ def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label equi-key keeps the pair space at sum-of-label-group² rather
     than corpus² — the partition-your-candidates pattern.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = load_table(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
         to_double(F.col("embedding")).alias("va"),
@@ -162,7 +163,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_threshold_pairs); survivors are computed with a left-anti
     join against the dominated set — no iteration, one shuffle per join.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = load_table(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
         to_double(F.col("embedding")).alias("va"),
