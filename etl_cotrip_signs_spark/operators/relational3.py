@@ -155,6 +155,75 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "subquery_max_acctbal",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c1
+    WHERE c_acctbal = (
+        SELECT max(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c1.c_nationkey
+    )
+    """,
+)
+def subquery_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: the richest customer per nation.
+
+    Catalyst de-correlates this into an aggregate + join — same plan the
+    window formulation produces, but exercised through the SQL subquery
+    surface."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c1
+        WHERE c_acctbal = (
+            SELECT max(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c1.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+    SELECT n_name, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+    FROM nation,
+         LATERAL (
+             SELECT o_orderkey, o_totalprice
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_nationkey = n_nationkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 3
+         ) o
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-3 orders per nation.
+
+    The SQL-standard formulation of top-k-per-group; Catalyst rewrites the
+    lateral limit into a ranked window under the hood."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+        FROM nation,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 3
+             ) o
+        """
+    )
+
+
+@query(
     "agg_exact_percentile",
     oracle="""
     SELECT o_orderpriority,
