@@ -151,6 +151,107 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal + 1000.0, 2) AS c_acctbal, 'UPGRADED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    merged AS (
+        SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT c_mktsegment, count(*) AS n,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without Delta: anti-join out matched rows, union the
+    delta — the CDC pattern on plain parquet tables. At scale the anti-join
+    shuffles on the merge key once; with bucketed base tables it is
+    co-located. (Real deployments with Delta/Iceberg jars use MERGE INTO;
+    the jars are absent here, so the engine ships the composition.)"""
+    c = load_table(spark, sf_dir, "customer")
+    delta = c.filter(F.col("c_custkey") % 100 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    base = c.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment",
+    )
+    merged = base.join(delta, "c_custkey", "left_anti").unionByName(delta)
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_bal"),
+    )
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH quality AS (
+        SELECT doc_id, text, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+        WHERE n_chars >= 100 AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_tokens
+        FROM (
+            SELECT doc_id, lang, n_tokens,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ),
+    split AS (
+        SELECT lang, n_tokens,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM deduped
+    )
+    SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation: quality filter → exact dedup (keep
+    first) → deterministic train/eval split → per-split token accounting.
+
+    The composition every stage of this module exists for, as one lazy
+    plan: Catalyst pipelines the filter into the scan, the dedup is one
+    digest-shuffle, the split is stateless hashing — three logical stages,
+    two shuffles total."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.filter(F.col("n_chars") >= 100).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    ).filter(F.col("n_tokens") >= 20)
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    split = F.when(_md5_bucket(F.col("doc_id")) < 90, "train").otherwise("eval")
+    return (
+        deduped.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 @query("sample_stratified")  # rows-only: Bernoulli sampling is engine-RNG-specific
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum sampling (sampleBy): downsample dominant langs.
