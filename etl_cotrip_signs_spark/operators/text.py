@@ -176,6 +176,34 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
 
 
+@query(
+    "text_edit_distance_pairs",
+    oracle="""
+    WITH names(n) AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS edit_dist
+    FROM names a JOIN names b ON a.n < b.n
+    WHERE levenshtein(a.n, b.n) <= 2
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs over a distinct (small) name domain.
+
+    Levenshtein is O(len²) per pair — only ever run it on a deduplicated,
+    bounded domain (here: distinct brand strings), never the raw fact
+    table. Both engines implement the classic DP, so exact values match.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("n")
+    ).distinct()
+    a = p.select(F.col("n").alias("name_a"))
+    b = p.select(F.col("n").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
 @query("text_fingerprint_rolling")  # rows-only: xxhash64 has no DuckDB equivalent
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-window fingerprint: min/max xxhash64 over 5-gram windows.
