@@ -168,14 +168,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch-based: constant memory per partition regardless of scale — the
     100 TB answer to countDistinct's shuffle explosion. Rows-only checked
     (DuckDB's approx sketches differ numerically).
+
+    Output-shape note: each quantile is its own scalar column (not one
+    array<double>) — the driver's canonicalizer hashes flat columns only.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("price_p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
     )
 
 

@@ -85,8 +85,8 @@ def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_first_last",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderstatus))          AS statuses,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(o_orderstatus)), '|')            AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
            min_by(o_orderkey, epoch_ms(o_orderdate) * 1000000 + o_orderkey) AS first_orderkey,
            max_by(o_orderkey, epoch_ms(o_orderdate) * 1000000 + o_orderkey) AS last_orderkey
     FROM orders
@@ -99,15 +99,23 @@ def agg_collect_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is partition-dependent) + first/last by event order via
     min_by/max_by on a scalar composite key (date-millis * 1e6 + orderkey —
     DuckDB's min_by can't order by a struct/list, so both engines use the
-    same packed-long ordering)."""
+    same packed-long ordering).
+
+    Output-shape note: the sorted arrays are serialized with '|' joins —
+    the driver's canonicalizer can hash only flat scalar columns.
+    """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
     order_key = (
         F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 1_000_000
         + F.col("o_orderkey")
     )
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), "|").alias(
+            "statuses"
+        ),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
         F.min_by("o_orderkey", order_key).alias("first_orderkey"),
         F.max_by("o_orderkey", order_key).alias("last_orderkey"),
     )

@@ -12,9 +12,11 @@ column names — every computed column is aliased on both sides.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -22,12 +24,47 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+class DriverUnsafeSchemaError(TypeError):
+    """A registered query produced a column the driver cannot canonicalize."""
+
+
+def assert_driver_safe_schema(schema: T.StructType, name: str) -> None:
+    """The driver canonicalizes EVERY query's output with pandas
+    ``sort_values`` — array/map/struct cells raise ``unhashable type`` there
+    (observed in round 1: ``agg_approx_distinct``/``agg_collect_first_last``).
+    Enforce flat scalar columns for all registered queries, oracle or not.
+    """
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise DriverUnsafeSchemaError(
+            f"query {name!r} returns non-scalar column(s) {bad}; serialize "
+            "with array_join/to_json — the driver canonicalizer hashes flat "
+            "columns only"
+        )
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query (and optionally its DuckDB oracle SQL)."""
+    """Decorator: register a query (and optionally its DuckDB oracle SQL).
+
+    The registered callable validates its output schema on every call, so a
+    non-driver-safe shape fails loudly in pytest/bench long before the
+    driver's canonicalizer sees it.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         assert name not in QUERIES, f"duplicate query name {name!r}"
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+            df = fn(spark, sf_dir)
+            assert_driver_safe_schema(df.schema, name)
+            return df
+
+        QUERIES[name] = checked
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -35,8 +72,103 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Breadth-first driver ordering. Round 1's driver recorded CORRECTNESS rows
+# for exactly the first 50 registered queries (cut mid-module), so the
+# iteration order of ``queries()`` decides which operators get hard driver
+# evidence. The first ~50 names cover every SURVEY §2 inventory area at
+# least once (relational core, scalars, signs pipeline, dedup, similarity,
+# text, multimodal, training, streaming); per-area variants follow after.
+DRIVER_ORDER: list[str] = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "signs_pipeline_inline",
+    "signs_rest_pipeline",
+    "agg_stats_orders",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_collect_first_last",
+    "agg_exact_percentile",
+    "join_outer_customers_orders",
+    "join_full_outer_nations",
+    "join_broadcast_brand_revenue",
+    "join_semi_customers",
+    "join_anti_customers",
+    "join_theta_price_band",
+    "join_asof_latest_order",
+    "window_rank_customers",
+    "window_lag_delta",
+    "window_range_frame",
+    "sort_topk_orders",
+    "setops_all_variants",
+    "distinct_order_status",
+    "dedup_keep_first_per_group",
+    "pivot_returnflag",
+    "sessionize_events_batch",
+    "subquery_max_acctbal",
+    "filter_predicate_family",
+    "case_bucket_orders",
+    "string_funcs_part",
+    "date_funcs_orders",
+    "math_funcs_lineitem",
+    "array_funcs_embeddings",
+    "map_funcs_events",
+    "json_schema_roundtrip",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "dedup_simhash_docs",
+    "dedup_ngram_jaccard",
+    "knn_exact_cosine",
+    "knn_lsh_ann",
+    "knn_ivf_ann",
+    "similarity_threshold_pairs",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "text_token_stats",
+    "text_quality_score",
+    "multimodal_metadata",
+    "split_train_test",
+    "pipeline_training_corpus",
+    "stream_tumbling_events",
+    # -- per-area variants (driver coverage best-effort past the cap) --
+    "text_lang_id",
+    "text_tfidf_top_term",
+    "q3_shipping_priority",
+    "window_topk_orders_per_cust",
+    "window_running_revenue",
+    "agg_rollup_priority",
+    "agg_cube_flags",
+    "agg_stat_moments",
+    "setops_customer_keys",
+    "unpivot_lineitem_measures",
+    "lateral_top_orders",
+    "date_arithmetic_lineitem",
+    "json_events_extract",
+    "text_wordcount_topk",
+    "text_fingerprint_md5",
+    "text_edit_distance_pairs",
+    "text_bpe_token_count",
+    "text_bigrams_topk",
+    "text_fingerprint_rolling",
+    "shuffle_deterministic",
+    "pack_sequences",
+    "cdc_merge_upsert",
+    "sample_stratified",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "signs_explode_only",
+    "date_tz_convert",
+    "dedup_minhash_mllib",
+    "knn_brp_lsh_mllib",
+    "stream_sliding_events",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "stream_stateful_user_totals",
+    "stream_stream_join",
+]
+
+
 def load_all() -> None:
-    """Import every operator module for side-effect registration."""
+    """Import every operator module, then apply the driver ordering."""
     from .operators import (  # noqa: F401
         relational,
         relational2,
@@ -51,3 +183,12 @@ def load_all() -> None:
         training,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
+
+    missing = [n for n in DRIVER_ORDER if n not in QUERIES]
+    assert not missing, f"DRIVER_ORDER names not registered: {missing}"
+    ordered = {n: QUERIES[n] for n in DRIVER_ORDER}
+    # Anything registered but not explicitly ordered trails in registration
+    # order — new queries are never silently dropped.
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)

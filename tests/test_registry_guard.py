@@ -1,0 +1,60 @@
+"""Registry-level driver-safe output-shape enforcement.
+
+Round 1's driver rejected array-typed output columns (`unhashable type:
+'list'` in its pandas canonicalizer). The registry now validates every
+registered query's output schema on call; these tests pin that contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cotrip_signs_spark import registry
+from etl_cotrip_signs_spark.registry import DriverUnsafeSchemaError, query
+
+from .conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def test_list_typed_column_raises(spark):
+    name = "_guard_test_array_query"
+
+    @query(name)
+    def bad(spark, sf_dir):
+        return spark.range(3).select(F.array(F.col("id"), F.col("id")).alias("a"))
+
+    try:
+        with pytest.raises(DriverUnsafeSchemaError, match="non-scalar"):
+            registry.QUERIES[name](spark, SF_ORACLE)
+    finally:
+        del registry.QUERIES[name]
+
+
+def test_map_typed_column_raises(spark):
+    name = "_guard_test_map_query"
+
+    @query(name)
+    def bad(spark, sf_dir):
+        return spark.range(3).select(
+            F.create_map(F.lit("k"), F.col("id")).alias("m")
+        )
+
+    try:
+        with pytest.raises(DriverUnsafeSchemaError, match="non-scalar"):
+            registry.QUERIES[name](spark, SF_ORACLE)
+    finally:
+        del registry.QUERIES[name]
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_every_registered_query_schema_is_flat(spark, name):
+    """Schema-only check (no execution): every catalog query must produce
+    driver-hashable flat columns."""
+    df = registry.QUERIES[name](spark, SF_ORACLE)
+    registry.assert_driver_safe_schema(df.schema, name)
+
+
+def test_driver_order_covers_all_queries():
+    assert set(registry.DRIVER_ORDER) == set(registry.QUERIES)

@@ -1,0 +1,112 @@
+"""Full-catalog rehearsal of the driver's CORRECTNESS protocol.
+
+Runs EVERY registered query at the given sf dir, canonicalizes the output
+exactly the way the driver does (pandas ``sort_values`` over all columns —
+the step that rejected array-typed cells in round 1), runs the DuckDB
+oracle when one exists, and writes a CORRECTNESS-shaped JSON.
+
+Usage:  python tools/driver_rehearsal.py [sf_dir] [out.json]
+Defaults: /root/testdata/sf0.01, CORRECTNESS_rehearsal.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from etl_cotrip_signs_spark import registry
+from etl_cotrip_signs_spark.io import TABLES
+from etl_cotrip_signs_spark.session import get_spark
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    """Driver-style canonicalization: sort columns by name, sort_values over
+    all columns (this is where list cells explode), then normalize cells."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+    def norm(v):
+        import datetime
+
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return pd.Timestamp(v).isoformat()
+        return str(v)
+
+    return [tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "CORRECTNESS_rehearsal.json")
+    registry.load_all()
+    spark = get_spark()
+    results: dict[str, dict] = {}
+    t_start = time.time()
+    for name, fn in registry.QUERIES.items():
+        t0 = time.time()
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+            "secs": None,
+        }
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            row["spark_rows"] = len(spdf)
+            spark_canon = _canon(spdf)
+            sql = registry.ORACLES.get(name)
+            if sql is None:
+                row["err"] = "no_oracle"
+            else:
+                opdf = run_oracle(sql, sf_dir)
+                row["oracle_rows"] = len(opdf)
+                row["rows_match"] = len(spdf) == len(opdf)
+                row["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
+                row["hash_match"] = spark_canon == _canon(opdf)
+        except Exception:
+            row["err"] = traceback.format_exc(limit=5)
+        row["secs"] = round(time.time() - t0, 2)
+        results[name] = row
+        status = (
+            "PASS" if row["hash_match"]
+            else ("rows" if row["err"] == "no_oracle" and row["spark_rows"] is not None else "FAIL")
+        )
+        print(f"{status:5s} {name:40s} {row['secs']:6.2f}s rows={row['spark_rows']}")
+    total = time.time() - t_start
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    n_pass = sum(1 for r in results.values() if r["hash_match"])
+    n_rows = sum(1 for r in results.values() if r["err"] == "no_oracle" and r["spark_rows"] is not None)
+    n_fail = len(results) - n_pass - n_rows
+    print(f"\n{len(results)} queries: {n_pass} pass, {n_rows} rows-only, {n_fail} FAIL; {total:.1f}s total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
