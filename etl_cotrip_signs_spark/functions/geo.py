@@ -66,8 +66,15 @@ def bounding_box(coords_json: Column) -> Column:
     even positions are x, odd are y (GeoJSON is always [x, y] pairs at the
     leaves). Stays in codegen; no Python.
     """
+    # Exponent part is required: json.dumps(1e-05) emits scientific notation,
+    # which a mantissa-only pattern would split into two bogus tokens and
+    # silently corrupt the even/odd x/y pairing.
     nums = F.transform(
-        F.regexp_extract_all(coords_json, F.lit(r"-?[0-9]+(\.[0-9]+)?"), F.lit(0)),
+        F.regexp_extract_all(
+            coords_json,
+            F.lit(r"-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?"),
+            F.lit(0),
+        ),
         lambda t: t.cast("double"),
     )
     xs = F.filter(nums, lambda v, i: i % 2 == 0)

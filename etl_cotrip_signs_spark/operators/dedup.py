@@ -127,12 +127,16 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
-    The hashed-shingle table is persisted (a few MB: one long array per
-    doc): it feeds both signature generation and the two verify joins, and
-    re-deriving it under a join/Generate re-evaluates the expensive shingle
-    expression per consumer (measured 5x).
+    The hashed-shingle table is materialized once (a few MB: one long array
+    per doc): it feeds both signature generation and the two verify joins,
+    and re-deriving it under a join/Generate re-evaluates the expensive
+    shingle expression per consumer (measured 5x). ``localCheckpoint``
+    (lazy) rather than ``persist``: checkpoint blocks are released by the
+    ContextCleaner when the returned plan is garbage-collected, so repeated
+    invocations in one session (bench best-of-two, driver verify loops)
+    don't accumulate cached blocks the way CacheManager entries do.
     """
-    hs = hashed_shingles(docs).persist()
+    hs = hashed_shingles(docs).localCheckpoint(eager=False)
     sig = hs.select(
         "doc_id",
         *[
@@ -323,7 +327,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
-    ).persist()  # feeds both join sides; see minhash_candidates note
+    ).localCheckpoint(eager=False)  # feeds both join sides; released on GC
+    # (see minhash_candidates note on why not persist())
     # Inverted-index set-similarity join: explode to (shingle, doc) postings
     # and equi-join on (shingle, lang); |A∩B| falls out of a hash-aggregate
     # over pair hits — no per-pair array intersects, and pairs with an empty

@@ -41,14 +41,13 @@ def json_top_level_split(coords: pd.Series) -> pd.Series:
 def project_features(df: DataFrame) -> DataFrame:
     """A2 (task.ts:76-85): keep id + geometry, drop all properties.
 
-    The id is pulled up from ``properties.id`` when a top-level id is absent,
-    matching the reference's ``sign.properties.id`` (task.ts:79).
+    The id is ``properties.id`` — the reference uses ``sign.properties.id``
+    unconditionally (task.ts:79). As an explicit extension (not reference
+    behavior), a feature with no ``properties.id`` falls back to its
+    top-level GeoJSON id rather than yielding null.
     """
-    id_col = (
-        F.coalesce(F.col("id"), F.element_at(F.col("properties"), F.lit("id")))
-        if "id" in df.columns
-        else F.element_at(F.col("properties"), F.lit("id"))
-    )
+    props_id = F.element_at(F.col("properties"), F.lit("id"))
+    id_col = F.coalesce(props_id, F.col("id")) if "id" in df.columns else props_id
     return df.select(
         id_col.alias("id"),
         F.col("geom_type"),

@@ -130,8 +130,14 @@ try:  # pragma: no cover - import guard for older Spark
             for feat in payload.get("features", []):
                 geom = feat.get("geometry") or {}
                 props = feat.get("properties") or {}
+                # Explicit None checks: a falsy-but-present id ('' / 0) is
+                # still an id, and a properties id is stringified before it
+                # enters the string-typed column.
+                feat_id = feat.get("id")
+                if feat_id is None and props.get("id") is not None:
+                    feat_id = props["id"]
                 yield (
-                    feat.get("id") or (props.get("id") and str(props["id"])),
+                    None if feat_id is None else str(feat_id),
                     geom.get("type"),
                     json.dumps(geom.get("coordinates"), separators=(",", ":")),
                     {str(k): (None if v is None else str(v)) for k, v in props.items()},

@@ -341,10 +341,13 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     result = run_to_completion(updated, "mem_stream_stateful_user_totals", "update")
-    # Late normalization for the oracle compare (rounding happens post-state).
+    # Pick the LAST emission per user: n_events is monotone across update-mode
+    # emissions, so max_by(total_value, n_events) is the final running total
+    # even with multiple micro-batches and negative event values (a bare
+    # max(total_value) would return an intermediate total in that case).
     return result.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.round(F.max("total_value"), 2).alias("total_value"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
     )
 
 

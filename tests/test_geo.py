@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_cotrip_signs_spark.functions.geo import bounding_box, with_wkt
@@ -34,6 +35,20 @@ def test_wkt_all_geometry_types(spark):
         out["mpg"]
         == "MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)), ((5.0 5.0, 6.0 5.0, 5.0 6.0, 5.0 5.0)))"
     )
+
+
+def test_bounding_box_scientific_notation(spark):
+    # json.dumps(1e-05) emits '1e-05'; the extractor must keep it one token
+    # or the even/odd x/y pairing silently corrupts.
+    df = spark.createDataFrame(
+        [("s", "Point", "[1e-05,-2.5E+2]"), ("t", "LineString", "[[1e2,3],[2,4]]")],
+        "id string, geom_type string, coordinates string",
+    ).withColumn("bbox", bounding_box(F.col("coordinates")))
+    out = {r["id"]: r["bbox"] for r in df.collect()}
+    assert out["s"]["min_x"] == pytest.approx(1e-05)
+    assert out["s"]["min_y"] == pytest.approx(-250.0)
+    assert out["t"]["max_x"] == pytest.approx(100.0)
+    assert out["t"]["max_y"] == pytest.approx(4.0)
 
 
 def test_bounding_box_builtin(spark):

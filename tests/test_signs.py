@@ -63,6 +63,20 @@ def test_project_drops_properties_pulls_id(spark):
     assert row["properties"] is None
 
 
+def test_project_prefers_properties_id_over_top_level(spark):
+    # Reference parity (task.ts:79): sign.properties.id wins when both exist;
+    # top-level id is only the documented fallback when properties.id is absent.
+    df = features_df(
+        spark,
+        [
+            ("top-1", "Point", "[1.0,2.0]", {"id": "props-1"}),
+            ("top-2", "Point", "[3.0,4.0]", {"name": "no-id-prop"}),
+        ],
+    )
+    ids = sorted(r["id"] for r in project_features(df).collect())
+    assert ids == ["props-1", "top-2"]
+
+
 @pytest.mark.parametrize(
     "point,linestring,polygon",
     [(True, True, True), (True, False, False), (False, True, False), (False, False, False)],
