@@ -208,19 +208,18 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_docs")  # rows-only: bit-level fingerprint, no SQL oracle
-def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-63 near-dup pairs (hamming ≤ 12 via bit_count(xor)).
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 63-bit SimHash fingerprint.
 
     Vote computation is one explode + one hash-aggregate: each of the 63
     bits sums +1/-1 per distinct token depending on xxhash64(token) bit i.
     A single shuffle on doc_id, map-side partial aggregation, no Python.
     (Bit 63 is excluded so the fingerprint stays a positive long.)
     """
-    d = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    tok_df = d.repartition(n_part, "doc_id").select(
+    tok_df = docs.repartition(n_part, "doc_id").select(
         "doc_id", F.explode(toks).alias("tok")
     ).withColumn(
         "h", F.xxhash64(F.lit("sh"), F.col("tok"))
@@ -238,9 +237,12 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash = simhash + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         ).cast("long")
-    sig = votes.select("doc_id", simhash.cast("long").alias("simhash"))
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
-    # candidates: share any of the four 16-bit bands
+
+def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate pairs from 16-bit band collisions (any of 4 bands), with
+    both fingerprints and the hamming distance attached."""
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -263,19 +265,63 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
         "band_id", "band_val",
     )
-    pairs = (
+    return (
         left.join(right, ["band_id", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
         .distinct()
     )
-    # Threshold tuned to the fixture corpus: its shared vocabulary makes
-    # simhashes cluster tightly (median pair hamming ≈ 6), so ≤2 is the
-    # discriminative near-dup band; a natural-text corpus would use ~3-8.
-    hamming = F.bit_count(
-        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    ).alias("hamming")
-    return pairs.select("doc_a", "doc_b", hamming).filter(F.col("hamming") <= 2)
+
+
+def derive_hamming_threshold(
+    sig: DataFrame, quantile: float = 0.1, lo: int = 1, hi: int = 16
+) -> int:
+    """Corpus-derived near-dup threshold: a low quantile of the candidate
+    pairs' hamming distances, clamped to [lo, hi].
+
+    Candidate pairs (band collisions) are already biased toward similarity,
+    so their distance distribution separates near-dups from the background;
+    the low quantile lands in the near-dup mode. One scalar aggregate job at
+    plan time — the same class of eager statistic AQE collects.
+    """
+    row = (
+        simhash_candidate_pairs(sig)
+        .select(F.percentile_approx("hamming", quantile).alias("q"))
+        .first()
+    )
+    q = row["q"] if row and row["q"] is not None else lo
+    return max(lo, min(hi, int(q)))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs with a parameterized hamming threshold.
+
+    ``max_hamming=None`` derives the threshold from the corpus itself
+    (:func:`derive_hamming_threshold`). Typical values: tight shared-
+    vocabulary corpora discriminate at ~2; natural text at ~3-8.
+    """
+    sig = simhash_signatures(docs).localCheckpoint(eager=False)
+    if max_hamming is None:
+        max_hamming = derive_hamming_threshold(sig)
+    return simhash_candidate_pairs(sig).filter(F.col("hamming") <= max_hamming)
+
+
+# Fixture-corpus threshold, injected at registration: the synthetic
+# documents table's tight shared vocabulary makes simhashes cluster
+# (median candidate-pair hamming ≈ 6), so ≤2 is its discriminative
+# near-dup band. The operator itself takes the threshold as a parameter.
+_FIXTURE_SIMHASH_HAMMING = 2
+
+
+@query("dedup_simhash_docs")  # rows-only: bit-level fingerprint, no SQL oracle
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-63 near-dup pairs via bit_count(xor) ≤ threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=_FIXTURE_SIMHASH_HAMMING)
 
 
 @query(

@@ -96,6 +96,58 @@ def test_simhash_close_texts_low_hamming(spark, tmp_path, monkeypatch):
     assert got[(1, 2)] <= 12
 
 
+def test_simhash_parameterized_threshold_natural_text(spark):
+    """Natural-text-like corpus (diverse vocabulary): near-dups that differ
+    in several tokens need a threshold in the 3-8 band — the parameterized
+    operator finds them there, while unrelated docs stay out."""
+    import random
+
+    from etl_cotrip_signs_spark.operators.dedup import simhash_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for d in range(8):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(120)]
+        rows.append((d * 2, " ".join(words)))
+        # near-dup: perturb 3 of 120 tokens — measured hamming lands in the
+        # 1-7 range on this corpus, past a tight <=2 threshold for most pairs
+        mutated = list(words)
+        for _ in range(3):
+            mutated[rng.randrange(len(mutated))] = vocab[rng.randrange(len(mutated))]
+        rows.append((d * 2 + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    planted = {(d * 2, d * 2 + 1) for d in range(8)}
+    found = planted & set(got)
+    # 16-bit banding guarantees candidates only for hamming <= 3; higher-
+    # distance pairs are probabilistic, so require most-but-not-all found
+    assert len(found) >= 6
+    # several pairs genuinely need the loosened natural-text band
+    assert any(h > 2 for h in got.values())
+    # unrelated random docs don't collide at this threshold
+    assert set(got) <= planted
+
+
+def test_simhash_derived_threshold_in_range(spark):
+    from etl_cotrip_signs_spark.operators.dedup import (
+        derive_hamming_threshold,
+        simhash_signatures,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("tok59", "x")), (3, base.replace("tok1", "y"))],
+        "doc_id long, text string",
+    )
+    t = derive_hamming_threshold(simhash_signatures(docs))
+    assert 1 <= t <= 16
+
+
 def test_multimodal_decode_batch_shape(spark):
     from etl_cotrip_signs_spark.operators.multimodal import blobs, decode_features
 
