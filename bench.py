@@ -83,6 +83,8 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
+    probes, probe_rows = run_density_probes(spark)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -92,11 +94,66 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "probes": probes,
+                "probe_rows": probe_rows,
                 "sf": float(sf) if sf else None,
             }
         )
     )
     spark.stop()
+
+
+# Queries whose pair/candidate spaces are density-sensitive: replicating
+# every entity 10x multiplies within-key density 10x, so a quadratic
+# candidate shape shows up as ~100x work. The probes run the SAME registered
+# queries against the replicated tables and record wall time + output rows —
+# a pair-blowup regression moves these numbers far more than the headline set.
+PROBE_QUERIES = [
+    "join_asof_latest_order",
+    "dedup_minhash_docs",
+    "dedup_ngram_jaccard",
+    "similarity_threshold_pairs_lsh",
+]
+_PROBE_REPLICAS = 10
+_PROBE_BASE = "/root/testdata/sf0.001"
+
+
+def build_probe_dir(spark) -> str:
+    """Replicate sf0.001 tables 10x (ids offset per replica) into /tmp."""
+    from pyspark.sql import functions as F
+
+    probe_dir = "/tmp/spark_graft_probe_10x"
+    reps = spark.range(_PROBE_REPLICAS).select(F.col("id").alias("__rep"))
+    offset = 10_000_000
+    id_cols = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "orders": ["o_orderkey"],
+        "events": ["event_id"],
+    }
+    for table, ids in id_cols.items():
+        df = spark.read.parquet(f"{_PROBE_BASE}/{table}.parquet").crossJoin(
+            F.broadcast(reps)
+        )
+        for c in ids:
+            df = df.withColumn(c, F.col(c) + F.col("__rep") * offset)
+        df.drop("__rep").write.mode("overwrite").parquet(
+            f"{probe_dir}/{table}.parquet"
+        )
+    return probe_dir
+
+
+def run_density_probes(spark):
+    from etl_cotrip_signs_spark import registry
+
+    probe_dir = build_probe_dir(spark)
+    probes: dict[str, float] = {}
+    probe_rows: dict[str, int] = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        probe_rows[name] = registry.QUERIES[name](spark, probe_dir).count()
+        probes[name] = round(time.perf_counter() - t0, 3)
+    return probes, probe_rows
 
 
 if __name__ == "__main__":

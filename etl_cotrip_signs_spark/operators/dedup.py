@@ -362,7 +362,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays is identical to Jaccard over the strings (64-bit collisions are
     negligible) and intersects several times faster. The unrestricted scale
     path is dedup_minhash_docs.
+
+    Hot-posting-list guard: candidate generation drops shingles present in
+    more than DF_FRAC of a language's documents (ubiquitous shingles fan
+    out toward all-pairs — the classic inverted-index blowup). Jaccard is
+    then computed EXACTLY from the full shingle arrays of the surviving
+    candidate pairs, so the cap affects only candidacy: a pair is missed
+    only if its entire intersection is ubiquitous shingles, which at any
+    meaningful threshold means boilerplate, not near-duplication.
     """
+    df_frac = 0.5  # a shingle in >50% of a lang's docs generates no candidates
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = with_shingles(
         load_table(spark, sf_dir, "documents")
@@ -373,39 +382,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
-    ).localCheckpoint(eager=False)  # feeds both join sides; released on GC
+    ).localCheckpoint(eager=False)  # feeds candidate gen + verify; released on GC
     # (see minhash_candidates note on why not persist())
     # Inverted-index set-similarity join: explode to (shingle, doc) postings
-    # and equi-join on (shingle, lang); |A∩B| falls out of a hash-aggregate
-    # over pair hits — no per-pair array intersects, and pairs with an empty
-    # intersection (jaccard 0 < threshold) are never generated at all.
+    # and equi-join on (shingle, lang) — pairs sharing no shingle are never
+    # generated at all.
     post = d.select(
-        "doc_id", "lang", "n_chars", F.size("hs").alias("sz"),
-        F.explode("hs").alias("s"),
+        "doc_id", "lang", "n_chars", F.explode("hs").alias("s")
     )
-    a = post.select(
+    # document-frequency cap: hot postings out before the self-join
+    lang_sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        post.groupBy("s", "lang")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(lang_sizes), "lang")
+        .filter(F.col("df") > F.col("n_docs") * df_frac)
+        .select("s", "lang")
+    )
+    cold = post.join(F.broadcast(hot), ["s", "lang"], "left_anti")
+    a = cold.select(
         F.col("s"), F.col("lang"),
         F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a"),
-        F.col("sz").alias("sz_a"),
     )
-    b = post.select(
+    b = cold.select(
         F.col("s"), F.col("lang"),
         F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("chars_b"),
-        F.col("sz").alias("sz_b"),
     )
-    hits = a.join(b, ["s", "lang"]).filter(
-        (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("chars_b") >= F.floor(F.col("chars_a") * 0.7))
-        & (F.col("chars_b") <= F.ceil(F.col("chars_a") * 1.3))
+    cands = (
+        a.join(b, ["s", "lang"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("chars_b") >= F.floor(F.col("chars_a") * 0.7))
+            & (F.col("chars_b") <= F.ceil(F.col("chars_a") * 1.3))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    inter = hits.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_inter"),
-        F.first("sz_a").alias("sz_a"),
-        F.first("sz_b").alias("sz_b"),
+    # exact verify over full arrays — the DF cap cannot skew the score
+    pairs = cands.join(
+        d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a"
+    ).join(
+        d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b"
     )
-    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    jac = jaccard_arrays(F.col("hs_a"), F.col("hs_b"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -75,6 +75,80 @@ def test_lsh_ann_recall_against_exact(spark):
     assert recall > 0.05, f"LSH recall collapsed: {recall}"
 
 
+def _near_dup_embeddings(spark, n_base=60, n_labels=3, seed=3):
+    """Corpus with planted near-dups: each base vector gets one noisy copy
+    (cos ~0.99) under the next id block."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_base):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        dup = v + 0.05 * rng.randn(64)
+        dup /= np.linalg.norm(dup)
+        label = f"l{i % n_labels}"
+        rows.append((i, label, [float(x) for x in v]))
+        rows.append((i + 1000, label, [float(x) for x in dup]))
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+
+
+def test_threshold_pairs_lsh_recall_and_subquadratic(spark):
+    """The LSH-bucketed near-dup variant must (a) recover most planted
+    near-dup pairs with no false positives and (b) examine far fewer
+    candidates than the label self-join."""
+    from etl_cotrip_signs_spark.operators.similarity import (
+        _label_lsh_candidates,
+        threshold_pairs_lsh,
+    )
+
+    e = _near_dup_embeddings(spark)
+    got = {(r["vec_a"], r["vec_b"]) for r in threshold_pairs_lsh(e).collect()}
+    planted = {(i, i + 1000) for i in range(60)}
+    recall = len(got & planted) / len(planted)
+    assert recall > 0.8, f"LSH near-dup recall collapsed: {recall}"
+    assert got <= planted  # exact verify → no random pair sneaks past 0.9
+
+    n_label_pairs = (
+        e.groupBy("label")
+        .count()
+        .select((F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    n_lsh_cands = _label_lsh_candidates(e).count()
+    assert n_lsh_cands < 0.3 * n_label_pairs, (
+        f"LSH candidates ({n_lsh_cands}) not well below label-pair space "
+        f"({n_label_pairs})"
+    )
+
+
+def test_dedup_embedding_cosine_lsh_drops_planted_dups(spark):
+    from etl_cotrip_signs_spark.operators.similarity import (
+        dedup_embedding_cosine_lsh,
+        threshold_pairs_lsh,
+    )
+
+    e = _near_dup_embeddings(spark)
+    dominated = {r["vec_b"] for r in threshold_pairs_lsh(e).collect()}
+    survivors = {
+        r["vec_id"]
+        for r in e.join(
+            threshold_pairs_lsh(e).select(F.col("vec_b").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        ).collect()
+    }
+    # every base vector survives; found duplicates are dropped
+    assert set(range(60)) <= survivors
+    assert survivors == {r["vec_id"] for r in e.collect()} - dominated
+    # the registered query runs against the parquet fixture (no dups there →
+    # passthrough) without error
+    assert dedup_embedding_cosine_lsh(spark, "/root/testdata/sf0.001").count() == 500
+
+
 def test_simhash_close_texts_low_hamming(spark, tmp_path, monkeypatch):
     """Near-identical docs land within hamming threshold; disjoint docs don't pair."""
     import etl_cotrip_signs_spark.operators.dedup as dd
