@@ -1,0 +1,89 @@
+"""Driver-checkable IO roundtrip queries: CSV scan + partitioned parquet
+sink [EXT beyond task.ts — engine surface].
+
+These make the format readers/writers (sources/readers.py, sinks/files.py)
+visible to the driver's correctness protocol: each query writes a derived
+copy of a fixture table to /tmp in the target format, reads it back through
+the engine reader, and aggregates — the oracle runs the same aggregate over
+the original parquet, so any read/write fidelity loss (types, nulls,
+partition values) breaks the hash match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import query
+from ..sinks.files import write_parquet
+from ..sources.readers import read_csv
+from ..session import ensure_confs
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    """Deterministic per-sf scratch path (parallel sf runs can't collide)."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_io/{h}/{tag}"
+
+
+@query(
+    "csv_scan_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_nation, max(n_nationkey) AS max_key
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan fidelity: nation → CSV (header'd) → explicit-schema read →
+    aggregate. The oracle aggregates the original parquet, so a delimiter,
+    quoting, or type mismatch in the CSV path flips the hash."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "nation_csv")
+    src = load_table(spark, sf_dir, "nation")
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(
+        spark,
+        path,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string",
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
+@query(
+    "partitioned_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back: orders written
+    partitionBy(o_orderpriority), then read with a partition filter — the
+    scan touches only the two matching directories (pruning pinned in
+    tests/test_io_formats.py). Exact DECIMAL sum guards value fidelity
+    through the write/read cycle."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "orders_part")
+    src = load_table(spark, sf_dir, "orders")
+    write_parquet(src, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
+    )

@@ -390,28 +390,41 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lsh_buckets = make_lsh_buckets_udf(_LSH_BITS_PER_TABLE, _LSH_TABLES)
 
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "buckets", lsh_buckets(F.col("embedding"))
-    )
-    hashed = e.select(
-        "vec_id",
-        to_double(F.col("embedding")).alias("v"),
-        F.posexplode("buckets").alias("table_id", "bucket"),
+    src = load_table(spark, sf_dir, "embeddings")
+    # Bucket table carries ids only (one Python-UDF pass, checkpointed so
+    # the query side doesn't recompute it); vectors join back per DISTINCT
+    # candidate pair, keeping the 64-double arrays out of the bucket-join +
+    # dedup shuffles.
+    hashed = (
+        src.withColumn("buckets", lsh_buckets(F.col("embedding")))
+        .select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
+        .localCheckpoint(eager=False)
     )
     q = hashed.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        "table_id", "bucket",
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
     c = hashed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-        "table_id", "bucket",
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
+    cands = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = src.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cands.join(
+            F.broadcast(
+                vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .join(vecs.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("v").alias("cv")), "neighbor_id")
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 5))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)

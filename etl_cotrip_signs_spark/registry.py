@@ -101,8 +101,8 @@ DRIVER_ORDER: list[str] = [
     "sort_topk_orders",
     "setops_all_variants",
     "distinct_order_status",
-    "dedup_keep_first_per_group",
-    "pivot_returnflag",
+    "csv_scan_roundtrip",
+    "partitioned_sink_roundtrip",
     "sessionize_events_batch",
     "subquery_max_acctbal",
     "filter_predicate_family",
@@ -141,6 +141,8 @@ DRIVER_ORDER: list[str] = [
     "agg_cube_flags",
     "agg_stat_moments",
     "setops_customer_keys",
+    "dedup_keep_first_per_group",
+    "pivot_returnflag",
     "unpivot_lineitem_measures",
     "lateral_top_orders",
     "date_arithmetic_lineitem",
@@ -184,6 +186,7 @@ def load_all() -> None:
         multimodal,
         mllib_variants,
         training,
+        io_queries,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
