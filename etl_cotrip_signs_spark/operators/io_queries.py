@@ -58,6 +58,54 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: lineitem and orders written
+    bucketBy(8, orderkey) + sortBy, then joined WITHOUT an exchange on
+    either side (the no-shuffle property is pinned in tests/test_bucketing.py;
+    this query proves result fidelity through the bucketed write/read).
+
+    At 100 TB this is the answer to the dominant shuffle: bucket both fact
+    tables on the join key at ingest and every subsequent orderkey join is
+    local. The oracle runs the same join over the plain parquet.
+    """
+    ensure_confs(spark)
+    base = _scratch(sf_dir, "bucketed")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for name, df, key in (
+        ("sg_li_bucketed", li, "l_orderkey"),
+        ("sg_o_bucketed", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table("sg_li_bucketed").join(
+        spark.table("sg_o_bucketed"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_qty"),
+    )
+
+
+@query(
     "partitioned_sink_roundtrip",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,

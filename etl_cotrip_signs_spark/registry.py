@@ -132,6 +132,7 @@ DRIVER_ORDER: list[str] = [
     # -- per-area variants (driver coverage best-effort past the cap) --
     "text_lang_id",
     "text_tfidf_top_term",
+    "bucketed_join_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
     "q3_shipping_priority",

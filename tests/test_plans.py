@@ -74,3 +74,22 @@ def test_partial_aggregation_present(spark):
     )
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_lsh_candidates_shuffle_ids_only(spark):
+    """The LSH candidate plan's load-bearing properties: (a) both self-join
+    branches read the SAME checkpointed bucket RDD (the pandas-UDF stage
+    runs once), and (b) no Exchange moves embedding arrays — candidate
+    shuffles carry bare ids."""
+    import re
+
+    from etl_cotrip_signs_spark.operators.similarity import _label_lsh_candidates
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    plan = formatted_plan(_label_lsh_candidates(e).select("vec_a", "vec_b"))
+
+    rdd_ids = re.findall(r"MapPartitionsRDD\[(\d+)\]", plan)
+    assert len(rdd_ids) >= 2 and len(set(rdd_ids)) == 1, plan
+
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n){1,3})", plan):
+        assert "embedding" not in m.group(1), m.group(1)
