@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..io import load_table
 from ..registry import query
 from ..sinks.files import write_parquet
-from ..sources.readers import read_csv
+from ..sources.readers import read_csv, read_jsonl
 from ..session import ensure_confs
 
 
@@ -134,4 +134,66 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_price"),
+    )
+
+
+@query(
+    "orc_scan_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_acctbal,
+           min(s_name) AS first_supplier
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write/read fidelity: supplier → ORC → read-back → aggregate.
+    ORC is Spark's other built-in columnar format (predicate pushdown and
+    column pruning work the same as parquet); the oracle aggregates the
+    original parquet, so any type or value drift through the ORC cycle
+    breaks the hash. Exact DECIMAL sum guards the money column."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "supplier_orc")
+    src = load_table(spark, sf_dir, "supplier")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_acctbal"),
+        F.min("s_name").alias("first_supplier"),
+    )
+
+
+@query(
+    "jsonl_scan_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           length(n_name) AS name_len
+    FROM nation
+    """,
+)
+def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write/read fidelity: nation → JSONL → explicit-schema
+    permissive read (sources/readers.py::read_jsonl) → projection. The
+    oracle projects the original parquet; a serialization or schema-drift
+    bug in the JSONL path flips the hash."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "nation_jsonl")
+    src = load_table(spark, sf_dir, "nation")
+    src.coalesce(1).write.mode("overwrite").json(path)
+    back = read_jsonl(
+        spark,
+        path,
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").cast("long").alias("name_len"),
     )

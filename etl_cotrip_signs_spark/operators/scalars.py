@@ -159,12 +159,28 @@ def json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("date_tz_convert")  # rows-only: tz database edge semantics differ per engine
+@query(
+    "date_tz_convert",
+    # DuckDB's bundled ICU extension speaks the same IANA tz database as the
+    # JVM: naive-UTC → AT TIME ZONE 'UTC' → AT TIME ZONE 'America/Denver'
+    # is exactly from_utc_timestamp. floor(epoch(ts)) matches Spark's
+    # truncating unix_timestamp on fractional-second timestamps (a bare
+    # CAST would round-to-nearest and drift by 1s).
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S')                        AS utc_str,
+           strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Denver',
+                    '%Y-%m-%d %H:%M:%S')                            AS denver_str,
+           CAST(floor(epoch(ts)) AS BIGINT)                         AS roundtrip_epoch,
+           dayname(ts)                                              AS weekday
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
 def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone conversion surface: from_utc_timestamp / to_utc_timestamp /
     date_format — the moment-timezone-class work the reference ships a
     library for (package.json:27) but never calls; here it is first-class.
-    Rows-only: tz-rule edge cases are engine-version-dependent."""
+    Oracle-checked via DuckDB's ICU AT TIME ZONE (same IANA tz rules)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
     ts = F.col("ts").cast("timestamp")
     return e.select(

@@ -78,7 +78,48 @@ def signs_pipeline_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "geom_type", "coordinates")
 
 
-@query("signs_rest_pipeline")  # rows-only: REST transport has no SQL oracle
+@query(
+    "signs_rest_pipeline",
+    # DuckDB's JSON reader replays the same page fixtures the REST source
+    # paginates through (the 0→4→7→'None' chain covers every page file, so
+    # a glob over the directory sees the identical feature set), then
+    # replicates A2→A3→A5 in SQL. Coordinate strings match because both
+    # sides emit compact JSON (json.dumps(separators=(",",":")) vs DuckDB's
+    # minified json_extract).
+    oracle=f"""
+    WITH pages AS (
+        SELECT unnest(features) AS feat
+        FROM read_json('{_PAGES_DIR}/*.json',
+                       columns={{'features': 'JSON[]', 'next_offset': 'VARCHAR'}})
+    ),
+    features AS (
+        SELECT coalesce(json_extract_string(feat, '$.properties.id'),
+                        json_extract_string(feat, '$.id'))            AS id,
+               json_extract_string(feat, '$.geometry.type')           AS geom_type,
+               CAST(json_extract(feat, '$.geometry.coordinates') AS VARCHAR)
+                                                                      AS coordinates
+        FROM pages
+    ),
+    multi AS (
+        SELECT f.id || '-' || CAST(r.i AS VARCHAR)                    AS id,
+               substr(f.geom_type, 6)                                 AS geom_type,
+               CAST(json_extract(f.coordinates, '$[' || r.i || ']') AS VARCHAR)
+                                                                      AS coordinates
+        FROM features f,
+             LATERAL (
+                 SELECT unnest(range(CAST(json_array_length(f.coordinates) AS BIGINT))) AS i
+             ) r
+        WHERE starts_with(f.geom_type, 'Multi')
+    ),
+    single AS (
+        SELECT id, geom_type, coordinates FROM features
+        WHERE NOT starts_with(geom_type, 'Multi')
+    ),
+    exploded AS (SELECT * FROM single UNION ALL SELECT * FROM multi)
+    SELECT id, geom_type, coordinates FROM exploded
+    WHERE geom_type IN ('Point', 'LineString', 'Polygon')
+    """,
+)
 def signs_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference dataflow A1→A2→A3→A5 over the packaged page fixtures."""
     df = read_signs(spark, file_fetcher(_PAGES_DIR))

@@ -133,6 +133,8 @@ DRIVER_ORDER: list[str] = [
     "text_lang_id",
     "text_tfidf_top_term",
     "bucketed_join_roundtrip",
+    "orc_scan_roundtrip",
+    "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
     "q3_shipping_priority",
