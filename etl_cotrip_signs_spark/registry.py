@@ -138,6 +138,12 @@ DRIVER_ORDER: list[str] = [
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
     "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
     "window_topk_orders_per_cust",
     "window_running_revenue",
     "agg_rollup_priority",
@@ -179,6 +185,7 @@ def load_all() -> None:
     """Import every operator module, then apply the driver ordering."""
     from .operators import (  # noqa: F401
         relational,
+        tpch_extra,
         relational2,
         relational3,
         scalars,
