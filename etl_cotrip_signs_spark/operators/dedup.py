@@ -324,9 +324,9 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=_FIXTURE_SIMHASH_HAMMING)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+# Shared by dedup_ngram_jaccard and dedup_components_ngram (operators/graph.py):
+# both oracles must see the IDENTICAL pair set.
+NGRAM_PAIRS_ORACLE = """
     WITH sh AS (
         SELECT doc_id, lang, n_chars,
                list_distinct(list_transform(
@@ -346,8 +346,10 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND CAST(ceil(a.n_chars * 1.3) AS BIGINT)
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
-    """,
-)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_PAIRS_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over candidate-restricted pairs (oracle-checked).
 

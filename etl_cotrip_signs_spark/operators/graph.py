@@ -1,0 +1,120 @@
+"""Connected components over near-duplicate pairs [EXT beyond task.ts —
+LLM-data-pipeline surface].
+
+Pairwise near-dup detection (MinHash/SimHash/Jaccard) emits EDGES; the
+thing a dedup pipeline actually keeps is one canonical document per
+CLUSTER, which is exactly connected components on the pair graph
+(transitive closure: A~B, B~C ⇒ {A,B,C} dedup to one survivor).
+
+Implementation: iterative min-label propagation on DataFrames. Each round
+is one shuffle (edges ⋈ labels on the node key + a min-agg); the loop
+early-exits when no label changes. Rounds needed = graph diameter — for
+dedup graphs that is small (clusters are near-cliques: every member pairs
+with most others), so the simple propagation beats the large-star/
+small-star dance in both clarity and constant factors. Lineage is cut with
+``localCheckpoint`` per round so the plan does not grow with iterations
+(the driver-loop pattern; no persist() — see operators/dedup.py).
+
+At 100 TB: the label table is (node, label) — two longs per document —
+and the edge table is only the near-dup pairs (orders of magnitude smaller
+than the corpus). Both shuffle on node id, an unskewed high-cardinality
+key. The convergence count() per round is a cheap job over the label
+table; with a known diameter bound the check can be run every k rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import query
+from .dedup import NGRAM_PAIRS_ORACLE, dedup_ngram_jaccard
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation: returns (node, component) where component is
+    the smallest node id reachable from the node (undirected).
+
+    ``nodes`` may include isolated vertices (they keep their own id).
+    Raises if the graph has not converged after ``max_iter`` rounds —
+    a diameter that large means the input is not a dedup pair graph.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        proposed = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("new_component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = proposed.filter(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = proposed.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+@query(
+    "dedup_components_ngram",
+    # The recursive closure enumerates every (node, reachable-label) pair of
+    # the SAME pair set the dedup_ngram_jaccard oracle emits, then keeps the
+    # minimum — fine at oracle scale (components are small), while the Spark
+    # side propagates labels in O(diameter) shuffles.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NGRAM_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: 3-gram Jaccard pairs (the
+    oracle-checked candidate+verify join in operators/dedup.py) → connected
+    components → (doc_id, component). Documents with no near-dup form
+    singleton components; a downstream keep-one-per-component anti-join
+    (dedup_keep_first_per_group pattern) completes the dedup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(
+        docs, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("node").alias("doc_id"), "component")

@@ -137,6 +137,7 @@ DRIVER_ORDER: list[str] = [
     "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
+    "dedup_components_ngram",
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -195,6 +196,7 @@ def load_all() -> None:
         text,
         multimodal,
         mllib_variants,
+        graph,
         training,
         io_queries,
     )
