@@ -150,6 +150,8 @@ DRIVER_ORDER: list[str] = [
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
+    "agg_salted_skew",
+    "agg_hll_mergeable",
     "setops_customer_keys",
     "dedup_keep_first_per_group",
     "pivot_returnflag",
@@ -197,6 +199,7 @@ def load_all() -> None:
         multimodal,
         mllib_variants,
         graph,
+        sketch_skew,
         training,
         io_queries,
     )
