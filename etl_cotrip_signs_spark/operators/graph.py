@@ -115,6 +115,17 @@ def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_keep_first_per_group pattern) completes the dedup."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(
-        docs, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
-    ).select(F.col("node").alias("doc_id"), "component")
+    # Iterate ONLY over nodes that have an edge: per-round shuffle size is
+    # O(near-dup docs), not O(corpus). Singletons (the overwhelming
+    # majority at 100 TB) join in once at the end with their own id.
+    edge_nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(
+        edge_nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
