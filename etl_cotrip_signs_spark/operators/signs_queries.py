@@ -127,7 +127,32 @@ def signs_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "geom_type", "coordinates")
 
 
-@query("signs_explode_only")  # rows-only companion: explode without filter
+@query(
+    "signs_explode_only",
+    # Same inline CTE as signs_pipeline_inline without the final allow-list
+    # filter: A3 in isolation, so Multi→member rows (MultiPoint s4 → 3
+    # Points) and the empty-coordinates zero-row case are hash-checked too.
+    oracle=f"""
+    WITH features(id, geom_type, coordinates) AS (
+        VALUES {_INLINE_VALUES_SQL}
+    ),
+    multi AS (
+        SELECT f.id || '-' || CAST(r.i AS VARCHAR)                  AS id,
+               substr(f.geom_type, 6)                               AS geom_type,
+               CAST(json_extract(f.coordinates, '$[' || r.i || ']') AS VARCHAR) AS coordinates
+        FROM features f,
+             LATERAL (
+                 SELECT unnest(range(CAST(json_array_length(f.coordinates) AS BIGINT))) AS i
+             ) r
+        WHERE starts_with(f.geom_type, 'Multi')
+    ),
+    single AS (
+        SELECT id, geom_type, coordinates FROM features
+        WHERE NOT starts_with(geom_type, 'Multi')
+    )
+    SELECT * FROM single UNION ALL SELECT * FROM multi
+    """,
+)
 def signs_explode_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 explode in isolation (incl. pass-through of non-Multi rows)."""
     df = spark.createDataFrame(

@@ -252,19 +252,33 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")  # rows-only: Bernoulli sampling is engine-RNG-specific
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (
+               lang != 'en'
+               OR CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 25
+           ) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded per-stratum sampling (sampleBy): downsample dominant langs.
+    """Deterministic per-stratum downsampling: keep 25% of the dominant
+    'en' class, 100% of the rest, selected by md5('smp:' || doc_id) bucket.
 
-    Reproducible for a fixed seed within Spark; rows-only checked because
-    Bernoulli draw sequences are engine-specific. The deterministic
-    cross-engine alternative is the md5-bucket filter in split_train_test."""
+    Hash-based rather than sampleBy(seed): the same document survives on
+    any run, any partitioning, any cluster size, and any engine — which is
+    what makes 100 TB re-runs and incremental rebuilds reproducible (an
+    RNG-sequence sample changes with partition layout). The 'smp:' salt
+    decorrelates this selection from the split_train_test buckets."""
     d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.25}  # downsample the majority class
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    full = {l: fractions.get(l, 1.0) for l in langs}
-    return (
-        d.sampleBy("lang", full, seed=42)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    bucket = _md5_bucket(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    keep = (F.col("lang") != "en") | (bucket < 25)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
     )

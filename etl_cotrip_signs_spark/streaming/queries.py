@@ -145,9 +145,42 @@ def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "mem_stream_sliding_events", "complete")
 
 
-@query("stream_session_windows")  # rows-only: session carving isn't plain SQL
+@query(
+    "stream_session_windows",
+    # Gaps-and-islands twin of the session_window operator. Note the >=
+    # boundary: Spark merges sessions only while the next event is
+    # STRICTLY inside [ts, ts+gap), so an exactly-30-minute gap starts a
+    # new session. session_end = last event + gap, second-truncated.
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT CAST(epoch(CAST(date_trunc('second', min(ts)) AS TIMESTAMP)) AS BIGINT)
+               AS session_start,
+           CAST(epoch(CAST(date_trunc('second', max(ts)) AS TIMESTAMP)) AS BIGINT) + 1800
+               AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows (30-minute inactivity gap)."""
+    """Per-user session windows (30-minute inactivity gap), oracle-checked
+    against the batch gaps-and-islands formulation."""
     e = read_events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -163,20 +196,43 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "mem_stream_session_windows", "complete")
 
 
-@query("stream_dedup_watermark")  # rows-only: keeps arrival-order first row
+@query(
+    "stream_dedup_watermark",
+    # The whole fixture replays in one availableNow micro-batch, so the
+    # bounded-state dedup keeps exactly one row per key — the batch
+    # DISTINCT. (Which physical row survives is arrival-order-dependent,
+    # so the output carries the KEY columns only.)
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup within the watermark horizon: first event per
-    (user_id, event_type) bounded-state dedup."""
+    (user_id, event_type) bounded-state dedup. Emits the surviving keys
+    (the survivor's payload is arrival-order-defined, not data-defined)."""
     e = read_events_stream(spark, sf_dir)
     deduped = (
         e.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("event_id", "user_id", "event_type")
+        .select("user_id", "event_type")
     )
     return run_to_completion(deduped, "mem_stream_dedup_watermark", "append")
 
 
-@query("stream_stream_join")  # rows-only: stream-stream interval join
+@query(
+    "stream_stream_join",
+    # With both inputs in one availableNow batch nothing is late, so the
+    # interval join equals its batch twin, which DuckDB runs directly.
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           s.event_id AS signup_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+           round(p.value, 2) AS purchase_value
+    FROM events p JOIN events s
+      ON p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND p.user_id = s.user_id
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same user's
     signups within the preceding hour. Both sides carry watermarks so the
