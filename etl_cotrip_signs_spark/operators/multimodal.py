@@ -109,7 +109,27 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub")  # rows-only: fake decoder, no SQL equivalent
+@query(
+    "multimodal_decode_stub",
+    # The fixture payloads are ASCII (byte == codepoint, asserted by this
+    # very comparison), so DuckDB can replay the fake decoder's byte
+    # histogram with per-character codepoints — hash-checking that the
+    # mapInPandas Arrow plumbing preserves every value end-to-end.
+    oracle="""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(split(text, ''), c -> ascii(c)) AS cs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_bytes,
+           round(list_avg(cs), 4) AS mean_byte,
+           round(CAST(len(list_filter(cs, c -> c % 8 = 0)) AS DOUBLE)
+                 / greatest(len(cs), 1), 6) AS feat0,
+           CAST(8 AS BIGINT) AS feat_dim
+    FROM codes
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode pipeline: blobs → mapInPandas decode → feature columns."""
     out = decode_features(blobs(spark, sf_dir))
