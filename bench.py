@@ -27,7 +27,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q5_regional_revenue",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume_customer",
     "join_broadcast_brand_revenue",
+    "agg_salted_skew",
     "join_asof_latest_order",
     "agg_rollup_priority",
     "agg_stat_moments",
@@ -39,6 +43,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "dedup_ngram_jaccard",
+    "dedup_components_ngram",
     "knn_exact_cosine",
     "knn_lsh_ann",
     "text_tfidf_top_term",

@@ -93,3 +93,40 @@ def test_lsh_candidates_shuffle_ids_only(spark):
 
     for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n){1,3})", plan):
         assert "embedding" not in m.group(1), m.group(1)
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # all four predicates reach the parquet reader
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"PushedFilters: [" in plan and frag in plan.split("PushedFilters")[1], plan
+    assert_wholestage_codegen(df)
+
+
+def test_q7_dimension_chain_is_broadcast(spark):
+    df = registry.QUERIES["q7_volume_shipping"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # nation (x2) and supplier joins broadcast; nation-pair filter reaches
+    # the nation scans as an In pushdown
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "In(n_name" in plan, plan
+
+
+def test_q10_q18_topk_take_ordered(spark):
+    for name in ("q10_returned_items", "q18_large_volume_customer"):
+        df = registry.QUERIES[name](spark, SF_SMALL)
+        assert plan_has(df, "TakeOrderedAndProject"), formatted_plan(df)
+
+
+def test_q4_exists_is_left_semi(spark):
+    df = registry.QUERIES["q4_order_priority"](spark, SF_SMALL)
+    assert plan_has(df, "LeftSemi"), formatted_plan(df)
+
+
+def test_salted_agg_two_phase(spark):
+    df = registry.QUERIES["agg_salted_skew"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # two aggregation phases on different keys → two Exchanges at most,
+    # with the salt key present in the first grouping
+    assert "__salt" in plan, plan
