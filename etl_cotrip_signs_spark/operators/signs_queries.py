@@ -6,8 +6,9 @@ with positional id suffixes, allow-list filter — /root/reference/task.ts:76-11
 is verified row-for-row against DuckDB's JSON/list machinery.
 
 `signs_rest_pipeline` runs the full source→transform chain (A1→A2→A3→A5)
-over the packaged page fixtures; rows-only checked (the REST transport has
-no SQL equivalent).
+over the packaged page fixtures, and `signs_rest_stream_pipeline` runs the
+same chain as a structured stream (one page per micro-batch). Both are
+oracle-checked: DuckDB's JSON reader replays the page files directly.
 """
 
 from __future__ import annotations
@@ -78,15 +79,14 @@ def signs_pipeline_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "geom_type", "coordinates")
 
 
-@query(
-    "signs_rest_pipeline",
-    # DuckDB's JSON reader replays the same page fixtures the REST source
-    # paginates through (the 0→4→7→'None' chain covers every page file, so
-    # a glob over the directory sees the identical feature set), then
-    # replicates A2→A3→A5 in SQL. Coordinate strings match because both
-    # sides emit compact JSON (json.dumps(separators=(",",":")) vs DuckDB's
-    # minified json_extract).
-    oracle=f"""
+# DuckDB's JSON reader replays the same page fixtures the REST source
+# paginates through (the 0→4→7→'None' chain covers every page file, so
+# a glob over the directory sees the identical feature set), then
+# replicates A2→A3→A5 in SQL. Coordinate strings match because both
+# sides emit compact JSON (json.dumps(separators=(",",":")) vs DuckDB's
+# minified json_extract). Shared by the batch and streaming REST queries —
+# the stream drains the same chain, one page per micro-batch.
+_REST_PIPELINE_ORACLE = f"""
     WITH pages AS (
         SELECT unnest(features) AS feat
         FROM read_json('{_PAGES_DIR}/*.json',
@@ -118,13 +118,41 @@ def signs_pipeline_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded AS (SELECT * FROM single UNION ALL SELECT * FROM multi)
     SELECT id, geom_type, coordinates FROM exploded
     WHERE geom_type IN ('Point', 'LineString', 'Polygon')
-    """,
-)
+"""
+
+
+@query("signs_rest_pipeline", oracle=_REST_PIPELINE_ORACLE)
 def signs_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference dataflow A1→A2→A3→A5 over the packaged page fixtures."""
     df = read_signs(spark, file_fetcher(_PAGES_DIR))
     out = signs_pipeline(df, ["Point", "LineString", "Polygon"])
     return out.select("id", "geom_type", "coordinates")
+
+
+@query("signs_rest_stream_pipeline", oracle=_REST_PIPELINE_ORACLE)
+def signs_rest_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a STREAM: `readStream.format("rest_signs")` pages through the
+    chain with the page offset as checkpointed stream progress
+    (sources/rest.py::RestSignsStreamReader), then the same A2→A3→A5
+    transform runs per micro-batch. Falls back to the batch path if the
+    Python DataSource API is unavailable."""
+    from ..sources.rest import register_rest_source
+    from ..streaming.queries import run_to_completion
+
+    if not register_rest_source(spark):  # pragma: no cover - old Spark
+        return signs_rest_pipeline(spark, sf_dir)
+    stream = (
+        spark.readStream.format("rest_signs")
+        .option("transport", "file")
+        .option("path", _PAGES_DIR)
+        .load()
+    )
+    out = signs_pipeline(stream, ["Point", "LineString", "Polygon"]).select(
+        "id", "geom_type", "coordinates"
+    )
+    return run_to_completion(
+        out, "mem_signs_rest_stream", "append", available_now=False
+    )
 
 
 @query(

@@ -181,6 +181,7 @@ DRIVER_ORDER: list[str] = [
     "stream_stateful_user_totals",
     "stream_stream_join",
     "stream_transform_with_state",
+    "signs_rest_stream_pipeline",
 ]
 
 

@@ -143,8 +143,74 @@ try:  # pragma: no cover - import guard for older Spark
                     {str(k): (None if v is None else str(v)) for k, v in props.items()},
                 )
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    _STREAM_DONE = "__done__"
+
+    class RestSignsStreamReader(SimpleDataSourceStreamReader):
+        """Streaming pagination: the reference's serial next-offset loop
+        (task.ts:64-72) re-expressed as stream PROGRESS — each micro-batch
+        ingests exactly one page, and the page offset IS the stream offset,
+        checkpointed by Spark. A restart resumes from the last committed
+        page instead of re-fetching the whole chain; `availableNow` drains
+        the chain then stops (the scheduled-Lambda shape, A1+E2, as a
+        streaming query)."""
+
+        def __init__(self, options: dict[str, str]):
+            self.options = options
+
+        def _fetch(self) -> FetchFn:
+            transport = self.options.get("transport", "http")
+            if transport == "file":
+                return file_fetcher(self.options["path"])
+            return http_fetcher(
+                self.options.get("base_url", "https://data.cotrip.org/api/v1/signs"),
+                self.options.get("token", ""),
+            )
+
+        def initialOffset(self) -> dict:
+            return {"page": ""}  # '' = first page (fetched with offset=None)
+
+        def _page_rows(self, page_offset: str):
+            payload, next_off = self._fetch()(page_offset or None)
+            rows = []
+            for feat in payload.get("features", []):
+                geom = feat.get("geometry") or {}
+                props = feat.get("properties") or {}
+                feat_id = feat.get("id")
+                if feat_id is None and props.get("id") is not None:
+                    feat_id = props["id"]
+                rows.append(
+                    (
+                        None if feat_id is None else str(feat_id),
+                        geom.get("type"),
+                        json.dumps(geom.get("coordinates"), separators=(",", ":")),
+                        {str(k): (None if v is None else str(v)) for k, v in props.items()},
+                    )
+                )
+            done = next_off is None or next_off == "None"
+            return rows, (_STREAM_DONE if done else next_off)
+
+        def read(self, start: dict):
+            page = start["page"]
+            if page == _STREAM_DONE:
+                return iter([]), start  # chain drained; offset stops advancing
+            rows, nxt = self._page_rows(page)
+            return iter(rows), {"page": nxt}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # Recovery replay: re-fetch the page the start offset names.
+            if start["page"] == _STREAM_DONE:
+                return iter([])
+            rows, _ = self._page_rows(start["page"])
+            return iter(rows)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets are checkpointed by the engine; nothing to ack
+
     class RestSignsDataSource(DataSource):
-        """`spark.read.format("rest_signs")` — parallel paginated REST scan."""
+        """`spark.read.format("rest_signs")` — parallel paginated REST scan;
+        `spark.readStream.format("rest_signs")` — one page per micro-batch."""
 
         @classmethod
         def name(cls) -> str:
@@ -158,6 +224,9 @@ try:  # pragma: no cover - import guard for older Spark
 
         def reader(self, schema) -> DataSourceReader:  # type: ignore[override]
             return RestSignsReader(self.options)
+
+        def simpleStreamReader(self, schema):  # type: ignore[override]
+            return RestSignsStreamReader(self.options)
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover

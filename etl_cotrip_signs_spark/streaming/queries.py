@@ -55,16 +55,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_completion(out: DataFrame, name: str, output_mode: str) -> DataFrame:
-    """Drive a streaming DataFrame into a memory sink until exhausted."""
+def run_to_completion(
+    out: DataFrame, name: str, output_mode: str, available_now: bool = True
+) -> DataFrame:
+    """Drive a streaming DataFrame into a memory sink until exhausted.
+
+    ``available_now=False`` uses the default ASAP trigger and relies on
+    ``processAllAvailable`` alone — required for Python DataSource streams,
+    where Trigger.AvailableNow silently degrades to a single micro-batch
+    (MicroBatchExecution falls back and would stop after page one).
+    """
     spark = out.sparkSession
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = out.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()

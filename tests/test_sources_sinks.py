@@ -190,3 +190,36 @@ def test_http_transport_stops_on_missing_header(monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
     pages = list(iter_pages(http_fetcher("https://example.test/s", "t")))
     assert len(pages) == 1 and len(calls) == 1
+
+
+def test_streaming_source_pages_per_microbatch(spark, tmp_path):
+    """The stream reader maps one page per micro-batch (offset = page
+    chain) and its union equals the serial batch scan."""
+    import pytest
+
+    if not HAS_DATASOURCE_API:
+        pytest.skip("Python DataSource API unavailable")
+    register_rest_source(spark)
+    stream = (
+        spark.readStream.format("rest_signs")
+        .option("transport", "file")
+        .option("path", PAGES_DIR)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mem_rest_stream_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = {r["id"] for r in spark.table("mem_rest_stream_probe").collect()}
+    want = {f["id"] for f in fetch_all_features(file_fetcher(PAGES_DIR))}
+    assert got == want and len(got) == 9
+    # one page per micro-batch: at least 3 non-empty batches in the progress log
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    rows_per_batch = [p["numInputRows"] for p in nonempty]
+    assert sorted(rows_per_batch) == [2, 3, 4], rows_per_batch
