@@ -282,3 +282,57 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(keep, 1)).alias("n_sampled"),
     )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH versions AS (
+        SELECT c_custkey, 0 AS version, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 1, round(c_acctbal + 100.0, 2)
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 2, round(c_acctbal + 300.0, 2)
+        FROM customer WHERE c_custkey % 20 = 0
+    )
+    SELECT c_custkey, version, acctbal,
+           lead(version) OVER (PARTITION BY c_custkey ORDER BY version) - 1
+               AS valid_to_version,
+           CASE WHEN lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension history: two change batches applied over the
+    customer base, every version kept as a validity-interval row. The
+    closing of intervals is ONE window (lead(version) per key) over the
+    union of snapshots — no self-join, no per-key driver logic; at 100 TB
+    the union shuffles once on the dimension key and both the lead() and
+    is-current derivation reuse that partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    v0 = c.select(
+        "c_custkey", F.lit(0).alias("version"), F.round("c_acctbal", 2).alias("acctbal")
+    )
+    v1 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.round(F.col("c_acctbal") + 300.0, 2).alias("acctbal"),
+    )
+    versions = v0.unionByName(v1).unionByName(v2)
+    w = W.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return versions.select(
+        "c_custkey",
+        "version",
+        "acctbal",
+        (nxt - 1).alias("valid_to_version"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -168,6 +168,7 @@ DRIVER_ORDER: list[str] = [
     "shuffle_deterministic",
     "pack_sequences",
     "cdc_merge_upsert",
+    "cdc_scd2_history",
     "sample_stratified",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
