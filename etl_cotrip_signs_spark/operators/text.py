@@ -334,3 +334,70 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               ) AS shingles
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, s, count(*) AS c
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        GROUP BY doc_id, s
+    ),
+    agg AS (
+        SELECT doc_id, sum(c) AS n_shingles, count(*) AS n_distinct,
+               max(c) AS top_repeat
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(coalesce(a.top_repeat, 0) AS BIGINT) AS top_repeat,
+           round(CAST(coalesce(a.top_repeat, 0) AS DOUBLE)
+                 / greatest(coalesce(a.n_shingles, 0), 1), 4) AS rep_ratio
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the most-repeated 3-gram's share of all
+    3-grams — the boilerplate/loop-generation filter every pretraining
+    corpus runs. One explode + two hash-aggs, all on (doc_id[, shingle])
+    keys, so the shuffles scale with token volume, never pairs. Documents
+    too short to shingle score 0."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id", tokens(F.col("text")).alias("__w")
+    ).select("doc_id", shingles_from_tokens(F.col("__w"), k=3).alias("shingles"))
+    cnt = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_repeat"),
+    )
+    return d.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.coalesce("top_repeat", F.lit(0)).alias("top_repeat"),
+        F.round(
+            F.coalesce("top_repeat", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+            4,
+        ).alias("rep_ratio"),
+    )

@@ -336,3 +336,92 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nxt - 1).alias("valid_to_version"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, split,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4])
+               )) AS hs
+        FROM assigned
+    ),
+    train_sh AS (
+        SELECT DISTINCT unnest(hs) AS h FROM sh WHERE split = 'train'
+    ),
+    test_sh AS (
+        SELECT doc_id, lang, unnest(hs) AS h FROM sh WHERE split = 'test'
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id, t.lang
+        FROM test_sh t JOIN train_sh s ON t.h = s.h
+    )
+    SELECT a.lang,
+           count(*) AS n_test_docs,
+           count(c.doc_id) AS n_contaminated,
+           round(CAST(count(c.doc_id) AS DOUBLE) / count(*), 4) AS contamination_rate
+    FROM (SELECT doc_id, lang FROM assigned WHERE split = 'test') a
+    LEFT JOIN contaminated c ON a.doc_id = c.doc_id
+    GROUP BY a.lang
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: a test document sharing any 5-gram
+    with any training document is flagged. The join key is md5(5-gram) —
+    fixed-width, so the train side dedupes to a compact fingerprint set
+    and the probe is a plain equi-join (semi) on the hash; nothing
+    pairwise, nothing quadratic. Splits reuse the md5-bucket assignment of
+    split_train_test, so the check composes with the real split."""
+    from ..functions.shingles import shingles_from_tokens, tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bucket = _md5_bucket(F.col("doc_id"))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    sh = (
+        d.select("doc_id", "lang", split.alias("split"), tokens(F.col("text")).alias("__w"))
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("__w"), k=5), lambda s: F.md5(s.cast("binary"))
+                )
+            ).alias("hs"),
+        )
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    test_sh = sh.filter(F.col("split") == "test").select(
+        "doc_id", "lang", F.explode("hs").alias("h")
+    )
+    contaminated = (
+        test_sh.join(train_sh, "h", "left_semi").select("doc_id").distinct()
+    )
+    test_docs = sh.filter(F.col("split") == "test").select("doc_id", "lang")
+    flagged = test_docs.join(
+        contaminated.withColumn("__hit", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.count("__hit").alias("n_contaminated"),
+        F.round(
+            F.count("__hit").cast("double") / F.count(F.lit(1)), 4
+        ).alias("contamination_rate"),
+    )

@@ -165,10 +165,12 @@ DRIVER_ORDER: list[str] = [
     "text_bpe_token_count",
     "text_bigrams_topk",
     "text_fingerprint_rolling",
+    "text_repetition_score",
     "shuffle_deterministic",
     "pack_sequences",
     "cdc_merge_upsert",
     "cdc_scd2_history",
+    "contamination_check",
     "sample_stratified",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
