@@ -138,6 +138,7 @@ DRIVER_ORDER: list[str] = [
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
     "dedup_components_ngram",
+    "embedding_quantize_int8",
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_forecast_revenue",
