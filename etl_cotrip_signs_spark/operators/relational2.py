@@ -154,3 +154,92 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_fixed(F.col("value")).alias("session_value"),
         F.unix_timestamp(F.min("ts")).alias("session_start_s"),
     )
+
+
+@query(
+    "range_join_banded",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT e.event_id, e.user_id, s.session_id,
+           count(*) OVER (PARTITION BY e.user_id, s.session_id) AS session_size
+    FROM events e
+    JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.s_start AND s.s_end
+    """,
+)
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join at scale: events → their covering session
+    interval, WITHOUT a broadcast-nested-loop.
+
+    The naive point-in-interval join is a BNLJ (per-user cross product).
+    The banded form turns it into an EQUI join: each interval explodes to
+    the hour buckets it covers (`sequence(floor(start), floor(end))`), a
+    point joins its own bucket, and the residual BETWEEN filter runs on
+    the tiny equi-matched set. Join key (user_id, hour) has cardinality
+    proportional to the data — parallelism scales, no quadratic blow-up;
+    the same banding trick as dedup_ngram_jaccard's length buckets.
+
+    Intervals are the gaps-and-islands sessions of the same events table,
+    so every event matches exactly one interval — the oracle (a direct
+    BETWEEN join) certifies the banded plan loses and duplicates nothing.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w_order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w_order)
+    numbered = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end")
+    )
+    hour_us = 3600 * 1_000_000
+    bands = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / hour_us), F.floor(F.col("s_end") / hour_us)
+            )
+        ),
+    )
+    pts = e.select(
+        "event_id", "user_id", "ts_us", F.floor(F.col("ts_us") / hour_us).alias("bucket")
+    )
+    joined = pts.join(bands, ["user_id", "bucket"]).filter(
+        (F.col("ts_us") >= F.col("s_start")) & (F.col("ts_us") <= F.col("s_end"))
+    )
+    w_size = W.partitionBy("user_id", "session_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.count(F.lit(1)).over(w_size).alias("session_size"),
+    )

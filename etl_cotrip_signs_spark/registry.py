@@ -158,6 +158,7 @@ DRIVER_ORDER: list[str] = [
     "pivot_returnflag",
     "unpivot_lineitem_measures",
     "lateral_top_orders",
+    "range_join_banded",
     "date_arithmetic_lineitem",
     "json_events_extract",
     "text_wordcount_topk",

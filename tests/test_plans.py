@@ -130,3 +130,9 @@ def test_salted_agg_two_phase(spark):
     # two aggregation phases on different keys → two Exchanges at most,
     # with the salt key present in the first grouping
     assert "__salt" in plan, plan
+
+
+def test_range_join_banded_is_equi_not_bnlj(spark):
+    df = registry.QUERIES["range_join_banded"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
