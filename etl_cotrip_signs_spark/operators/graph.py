@@ -129,3 +129,61 @@ def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(labels, docs.doc_id == labels.node, "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
+
+
+@query(
+    "dedup_survivors_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NGRAM_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS survivor_doc_id, n_members,
+           CAST(n_chars AS BIGINT) AS survivor_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last step: ONE canonical document per near-dup
+    cluster, chosen by quality (longest text, doc_id tie-break) rather
+    than arbitrary-first. Composition: jaccard pairs → connected
+    components → per-component argmax via a window — the keep-policy is
+    a one-window change (swap the ORDER BY for any quality score)."""
+    comp = dedup_components_ngram(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window as W
+
+    joined = comp.join(docs, "doc_id")
+    w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("survivor_doc_id"),
+        "n_members",
+        F.col("n_chars").cast("long").alias("survivor_chars"),
+    )

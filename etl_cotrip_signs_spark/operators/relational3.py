@@ -304,3 +304,69 @@ def filter_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("p_size").between(47, 50)
         | F.col("p_brand").eqNullSafe("Brand#55")
     ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           min(o_orderstatus) AS min_val, max(o_orderstatus) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ/data-quality shape): null count,
+    distinct count, min/max per column — computed in ONE scan (a single
+    agg produces every metric; stack() pivots to long form), where the
+    oracle's UNION ALL formulation re-reads the table per column. At
+    100 TB one-pass-many-metrics vs N passes is the difference that
+    matters. min/max are emitted as strings for a uniform profile schema;
+    the money column goes through DECIMAL(18,2) so both engines print
+    identical text."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    aggs += [
+        F.min("o_orderstatus").alias("o_orderstatus__min"),
+        F.max("o_orderstatus").alias("o_orderstatus__max"),
+        F.min("o_orderpriority").alias("o_orderpriority__min"),
+        F.max("o_orderpriority").alias("o_orderpriority__max"),
+        F.min("o_custkey").cast("string").alias("o_custkey__min"),
+        F.max("o_custkey").cast("string").alias("o_custkey__max"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice__min"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice__max"),
+    ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

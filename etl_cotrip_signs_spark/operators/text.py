@@ -401,3 +401,68 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rep_ratio"),
     )
+
+
+@query(
+    "text_pii_scrub",
+    # PII is injected deterministically (email + phone built from doc_id)
+    # so the scrubber provably fires on every row; the oracle replays the
+    # same injection + redaction. Patterns kept engine-portable (no \\d,
+    # no lookaround — DuckDB RE2 vs Java regex).
+    oracle="""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-303-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_dirty,
+           length(regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+               AS n_chars_clean,
+           CAST(length(text)
+                - length(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+                AS BIGINT) AS email_chars,
+           contains(regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '@')
+               AS still_has_at
+    FROM dirty
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email + phone regexp_replace over the corpus — the
+    compliance pass every training pipeline runs before tokenization.
+    Pure JVM regex (codegen'd), no UDF; the injected-PII fixture makes
+    the redaction observable (clean shorter than dirty, no '@' left)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-303-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_dirty"),
+        F.length(clean).alias("n_chars_clean"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), email_re, ""))
+        ).cast("long").alias("email_chars"),
+        clean.contains("@").alias("still_has_at"),
+    )

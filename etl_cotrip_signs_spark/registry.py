@@ -139,6 +139,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_embedding_cosine_lsh",
     "dedup_components_ngram",
     "embedding_quantize_int8",
+    "dedup_survivors_quality",
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -153,6 +154,7 @@ DRIVER_ORDER: list[str] = [
     "agg_stat_moments",
     "agg_salted_skew",
     "agg_hll_mergeable",
+    "profile_columns",
     "setops_customer_keys",
     "dedup_keep_first_per_group",
     "pivot_returnflag",
@@ -168,6 +170,7 @@ DRIVER_ORDER: list[str] = [
     "text_bigrams_topk",
     "text_fingerprint_rolling",
     "text_repetition_score",
+    "text_pii_scrub",
     "shuffle_deterministic",
     "pack_sequences",
     "cdc_merge_upsert",
