@@ -115,11 +115,10 @@ DRIVER_ORDER: list[str] = [
     "json_schema_roundtrip",
     "dedup_exact_docs",
     "dedup_minhash_docs",
-    "dedup_simhash_docs",
     "dedup_ngram_jaccard",
+    "dedup_components_ngram",
     "knn_exact_cosine",
     "knn_lsh_ann",
-    "knn_ivf_ann",
     "similarity_threshold_pairs",
     "dedup_embedding_cosine",
     "embedding_centroids",
@@ -127,9 +126,15 @@ DRIVER_ORDER: list[str] = [
     "text_quality_score",
     "multimodal_metadata",
     "split_train_test",
+    "contamination_check",
     "pipeline_training_corpus",
     "stream_tumbling_events",
     # -- per-area variants (driver coverage best-effort past the cap) --
+    "dedup_simhash_docs",
+    "knn_ivf_ann",
+    "signs_rest_stream_pipeline",
+    "agg_salted_skew",
+    "range_join_banded",
     "text_lang_id",
     "text_tfidf_top_term",
     "bucketed_join_roundtrip",
@@ -137,7 +142,6 @@ DRIVER_ORDER: list[str] = [
     "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
-    "dedup_components_ngram",
     "embedding_quantize_int8",
     "dedup_survivors_quality",
     "q3_shipping_priority",
@@ -152,7 +156,6 @@ DRIVER_ORDER: list[str] = [
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
-    "agg_salted_skew",
     "agg_hll_mergeable",
     "profile_columns",
     "setops_customer_keys",
@@ -160,7 +163,6 @@ DRIVER_ORDER: list[str] = [
     "pivot_returnflag",
     "unpivot_lineitem_measures",
     "lateral_top_orders",
-    "range_join_banded",
     "date_arithmetic_lineitem",
     "json_events_extract",
     "text_wordcount_topk",
@@ -175,7 +177,6 @@ DRIVER_ORDER: list[str] = [
     "pack_sequences",
     "cdc_merge_upsert",
     "cdc_scd2_history",
-    "contamination_check",
     "sample_stratified",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
@@ -189,7 +190,6 @@ DRIVER_ORDER: list[str] = [
     "stream_stateful_user_totals",
     "stream_stream_join",
     "stream_transform_with_state",
-    "signs_rest_stream_pipeline",
 ]
 
 

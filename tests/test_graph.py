@@ -46,3 +46,49 @@ def test_empty_edges_all_singletons(spark):
     out = connected_components(ndf, edf)
     assert dict(out.collect()) == {1: 1, 2: 2, 3: 3}
     assert out.columns == ["node", "component"]
+
+
+def _union_find_reference(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min node id reachable
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Randomized graphs (no hypothesis engine: one Spark job per example
+    is slow, so a fixed seed drives a handful of diverse shapes)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(1, 25)
+        nodes = list(range(1, n + 1))
+        n_edges = rng.randint(0, 2 * n)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find_reference(nodes, edges)
+        got = _cc(spark, nodes, edges or [], max_iter=30) if edges else dict(
+            (r["node"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame([(x,) for x in nodes], "node bigint"),
+                spark.createDataFrame([], "src bigint, dst bigint"),
+            ).collect()
+        )
+        assert got == want, f"trial {trial}: n={n} edges={edges}"
