@@ -400,8 +400,22 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
         .localCheckpoint(eager=False)
     )
-    q = hashed.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    # Multi-probe: the QUERY side also probes every 1-bit-flip neighbor of
+    # its bucket — (1+b) probes/table lift recall like extra tables would,
+    # but only the tiny broadcast side fans out; the corpus-side bucket
+    # table and its shuffle are untouched. (Lv et al.'s multi-probe LSH,
+    # the standard tables-vs-probes trade at scale.)
+    probe_set = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(_LSH_BITS_PER_TABLE)
+        ],
+    )
+    q = (
+        hashed.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "table_id", probe_set.alias("probes"))
+        .select("query_id", "table_id", F.explode("probes").alias("bucket"))
     )
     c = hashed.select(
         F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
@@ -492,4 +506,26 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("q_l1"),
         F.round("max_err_raw", 6).alias("max_abs_err"),
+    )
+
+
+@query("knn_lsh_recall")  # rows-only: measures the approximate path itself
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-ANN against the exact baseline, as a QUERY —
+    the per-round quality evidence for the approximate path (the repo's
+    pytest pins a floor; this row puts the number in the driver record).
+    One row: (k, n_queries, n_exact, n_hit, recall)."""
+    exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = knn_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    agg = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    return agg.select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
     )

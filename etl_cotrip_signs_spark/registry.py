@@ -132,6 +132,7 @@ DRIVER_ORDER: list[str] = [
     # -- per-area variants (driver coverage best-effort past the cap) --
     "dedup_simhash_docs",
     "knn_ivf_ann",
+    "knn_lsh_recall",
     "signs_rest_stream_pipeline",
     "agg_salted_skew",
     "range_join_banded",

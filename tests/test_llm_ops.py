@@ -72,7 +72,7 @@ def test_lsh_ann_recall_against_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     # random 64-dim embeddings are a worst case for LSH; just require signal
-    assert recall > 0.05, f"LSH recall collapsed: {recall}"
+    assert recall > 0.7, f"LSH recall collapsed: {recall}"  # multi-probe: ~0.99 measured
 
 
 def _near_dup_embeddings(spark, n_base=60, n_labels=3, seed=3):
