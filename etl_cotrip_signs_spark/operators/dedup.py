@@ -432,3 +432,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query("dedup_minhash_recall")  # rows-only: instruments the approximate path
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH banding against the exact ≥0.5-Jaccard pair
+    set (the oracle-checked inverted-index join, filtered to the minhash
+    operating threshold). One row: (n_true, n_found, n_hit, recall) —
+    the banding s-curve (1-(1-t^4)^8, ~0.94 at t=0.5) made measurable in
+    the driver record each round."""
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    found = dedup_minhash_docs(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(found, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_found",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.greatest("n_true", F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )

@@ -133,6 +133,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_simhash_docs",
     "knn_ivf_ann",
     "knn_lsh_recall",
+    "dedup_minhash_recall",
     "signs_rest_stream_pipeline",
     "agg_salted_skew",
     "range_join_banded",
