@@ -360,9 +360,13 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double(F.col("embedding")).alias("cv"),
         "cell",
     )
-    # queries probe their 2 nearest cells
+    # queries probe their nprobe nearest cells. nprobe=4 of 8 label-cells
+    # is generous because the fixture embeddings are near-uniform (cells
+    # barely concentrate neighbors — knn_ivf_recall records the effect);
+    # with k-means cells on clustered data, nprobe stays O(1) of O(sqrt n)
+    # cells and the probed fraction vanishes.
     probes = assigned.filter(
-        (F.col("vec_id") < _N_QUERIES) & (F.col("rc") <= 2)
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rc") <= 4)
     ).select(
         F.col("vec_id").alias("query_id"),
         to_double(F.col("embedding")).alias("qv"),
@@ -517,6 +521,26 @@ def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row: (k, n_queries, n_exact, n_hit, recall)."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    agg = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    return agg.select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
+@query("knn_ivf_recall")  # rows-only: instruments the IVF approximate path
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF 2-probe ANN vs the exact baseline — the
+    cells-probed/recall trade (nprobe) made measurable per round."""
+    exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = knn_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
     hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
     agg = exact.agg(
         F.count(F.lit(1)).alias("n_exact"),

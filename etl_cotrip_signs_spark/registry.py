@@ -134,6 +134,7 @@ DRIVER_ORDER: list[str] = [
     "knn_ivf_ann",
     "knn_lsh_recall",
     "dedup_minhash_recall",
+    "knn_ivf_recall",
     "signs_rest_stream_pipeline",
     "agg_salted_skew",
     "range_join_banded",
