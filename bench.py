@@ -117,6 +117,7 @@ PROBE_QUERIES = [
     "join_asof_latest_order",
     "dedup_minhash_docs",
     "dedup_ngram_jaccard",
+    "dedup_components_ngram",  # 10x replicas → size-10+ clusters: CC rounds under density
     "similarity_threshold_pairs_lsh",
 ]
 _PROBE_REPLICAS = 10
