@@ -38,6 +38,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Min-label propagation: returns (node, component) where component is
     the smallest node id reachable from the node (undirected).
@@ -45,16 +46,24 @@ def connected_components(
     ``nodes`` may include isolated vertices (they keep their own id).
     Raises if the graph has not converged after ``max_iter`` rounds —
     a diameter that large means the input is not a dedup pair graph.
+
+    ``num_partitions`` sizes the per-round shuffles. The label/edge tables
+    are usually orders of magnitude smaller than the corpus, so inheriting
+    the session's shuffle.partitions burns a fixed per-partition cost per
+    round on near-empty tasks; callers that know the edge count should
+    pass ~edges/500k (min 1) and let it grow with the data.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    labels = nodes.select(
+    sym = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    labels_init = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=False)
+    )
+    if num_partitions is not None:
+        sym = sym.repartition(num_partitions, "s")
+        labels_init = labels_init.repartition(num_partitions, "node")
+    sym = sym.distinct().localCheckpoint(eager=False)
+    labels = labels_init.localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.s == labels.node)
@@ -114,7 +123,14 @@ def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton components; a downstream keep-one-per-component anti-join
     (dedup_keep_first_per_group pattern) completes the dedup."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Checkpoint the pair list ITSELF: sym(edges) and the label init both
+    # descend from it, and without this the expensive jaccard join runs
+    # once per lineage (measured ~2x the whole query's cost).
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     # Iterate ONLY over nodes that have an edge: per-round shuffle size is
     # O(near-dup docs), not O(corpus). Singletons (the overwhelming
     # majority at 100 TB) join in once at the end with their own id.
@@ -123,8 +139,18 @@ def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Size the CC rounds to the edge table (tiny vs the corpus): one
+    # partition per ~500k pairs, so each round is a handful of real tasks
+    # instead of 32 near-empty ones. The count is free — pairs is already
+    # checkpoint-materialized by this action or the first round.
+    n_pairs = pairs.count()
     labels = connected_components(
-        edge_nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        edge_nodes,
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        num_partitions=max(1, n_pairs // 500_000),
     )
     return docs.join(labels, docs.doc_id == labels.node, "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
