@@ -187,3 +187,107 @@ def signs_explode_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INLINE_FEATURES, "id string, geom_type string, coordinates string"
     )
     return explode_multi(df)
+
+
+@query(
+    "signs_allowlist_matrix",
+    # A4 as data: every 2^3 flag state and the allow-list it produces
+    # (task.ts:103-106). The oracle is the truth table spelled out.
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 0, 0, ''),
+        (0, 0, 1, 'Polygon'),
+        (0, 1, 0, 'LineString'),
+        (0, 1, 1, 'LineString,Polygon'),
+        (1, 0, 0, 'Point'),
+        (1, 0, 1, 'Point,Polygon'),
+        (1, 1, 0, 'Point,LineString'),
+        (1, 1, 1, 'Point,LineString,Polygon')
+    ) AS t(point_flag, linestring_flag, polygon_flag, allowed)
+    """,
+)
+def signs_allowlist_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 allow-list construction, driver-checked over all 8 flag states."""
+    from ..config import SignsConfig
+
+    rows = []
+    for p in (0, 1):
+        for ls in (0, 1):
+            for pg in (0, 1):
+                cfg = SignsConfig(
+                    cotrip_token="t", point=bool(p), linestring=bool(ls), polygon=bool(pg)
+                )
+                rows.append((p, ls, pg, ",".join(cfg.allowed_types())))
+    return spark.createDataFrame(
+        rows, "point_flag int, linestring_flag int, polygon_flag int, allowed string"
+    )
+
+
+@query(
+    "signs_capabilities_matrix",
+    # A7 as data: the declared incoming-schema property names and types
+    # (task.ts:18-48's TypeBox schema), plus the empty outgoing flow.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('incoming', 'activationTime', 'string'),
+        ('incoming', 'communicationStatus', 'string'),
+        ('incoming', 'direction', 'string'),
+        ('incoming', 'displayStatus', 'string'),
+        ('incoming', 'id', 'string'),
+        ('incoming', 'lastUpdated', 'string'),
+        ('incoming', 'marker', 'double'),
+        ('incoming', 'messageMarkup', 'string'),
+        ('incoming', 'messagePreview', 'string'),
+        ('incoming', 'messageText', 'string'),
+        ('incoming', 'name', 'string'),
+        ('incoming', 'nativeId', 'string'),
+        ('incoming', 'publicName', 'string'),
+        ('incoming', 'routeName', 'string'),
+        ('incoming', 'speed', 'double'),
+        ('incoming', 'submittedBy', 'string')
+    ) AS t(flow, prop, dtype)
+    """,
+)
+def signs_capabilities_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 capabilities schema, driver-checked: one row per declared
+    incoming property; the outgoing flow contributes zero rows."""
+    from ..sources.geojson import capabilities_schema
+
+    rows = []
+    for flow in ("incoming", "outgoing"):
+        for f in capabilities_schema(flow).fields:
+            rows.append((flow, f.name, f.dataType.simpleString()))
+    return spark.createDataFrame(rows, "flow string, prop string, dtype string")
+
+
+@query(
+    "signs_pipeline_observed_counts",
+    # A9 as data: the observe() metric values for the inline feature set —
+    # 7 features in, 10 single-geometry rows out (explode +5, empty-Multi
+    # -1, allow-list keeps all three types).
+    oracle="SELECT CAST(7 AS BIGINT) AS n_features_in, CAST(10 AS BIGINT) AS n_features_out",
+)
+def signs_pipeline_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 observability, driver-visible: the pipeline's in/out row counts
+    read from real `Observation` metrics (one job, no second pass — the
+    counters the reference printed per run, task.ts:61,73, minus its
+    unconditional per-row console dump bug at :77)."""
+    from pyspark.sql import Observation
+
+    from .signs import explode_multi, filter_geometry, project_features
+
+    df = spark.createDataFrame(
+        _INLINE_FEATURES, "id string, geom_type string, coordinates string"
+    ).withColumn("properties", F.create_map(F.lit("id"), F.col("id")))
+    obs_in, obs_out = Observation("signs_in"), Observation("signs_out")
+    observed_in = project_features(df).observe(
+        obs_in, F.count(F.lit(1)).alias("n")
+    )
+    out = filter_geometry(
+        explode_multi(observed_in), ["Point", "LineString", "Polygon"]
+    ).observe(obs_out, F.count(F.lit(1)).alias("n"))
+    out.write.format("noop").mode("overwrite").save()  # one action fires both
+    return spark.createDataFrame(
+        [(obs_in.get["n"], obs_out.get["n"])],
+        "n_features_in long, n_features_out long",
+    )

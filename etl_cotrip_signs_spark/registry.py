@@ -136,6 +136,9 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_recall",
     "knn_ivf_recall",
     "signs_rest_stream_pipeline",
+    "signs_allowlist_matrix",
+    "signs_capabilities_matrix",
+    "signs_pipeline_observed_counts",
     "agg_salted_skew",
     "range_join_banded",
     "text_lang_id",
