@@ -291,3 +291,94 @@ def signs_pipeline_observed_counts(spark: SparkSession, sf_dir: str) -> DataFram
         [(obs_in.get["n"], obs_out.get["n"])],
         "n_features_in long, n_features_out long",
     )
+
+
+@query(
+    "signs_http_sink_roundtrip",
+    # A6 as data: the per-partition batched sink POSTs the 12-row fixture
+    # pipeline output over REAL HTTP (loopback server, actual urllib
+    # transport) in <=5-feature batches; the receiver's tally is the
+    # oracle-checked result.
+    oracle="SELECT CAST(12 AS BIGINT) AS n_features, CAST(true AS BOOLEAN) AS batches_bounded",
+)
+def signs_http_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 HTTP batch sink, driver-visible end-to-end: pipeline output →
+    foreachPartition POSTs (batch_size=5) → loopback HTTP server →
+    (total features received, every batch within bound). The reference's
+    single driver-side POST (task.ts:115) is the compat path
+    (sinks/http.py::submit_single_collection); this exercises the scale
+    path over a real socket."""
+    import http.server
+    import json as _json
+    import threading
+
+    from ..sinks.http import http_batch_sink
+    from ..sources.rest import file_fetcher, read_signs
+    from .signs import signs_pipeline
+
+    received: list[int] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 - stdlib naming
+            n = int(self.headers.get("Content-Length", 0))
+            payload = _json.loads(self.rfile.read(n))
+            received.append(len(payload.get("features", [])))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):  # silence request logging
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/submit"
+        df = read_signs(spark, file_fetcher(_PAGES_DIR))
+        out = signs_pipeline(df, ["Point", "LineString", "Polygon"])
+        # coalesce: local[32] would spread 12 rows over 32 near-empty
+        # partitions; at scale partitions are full and coalesce is a no-op
+        http_batch_sink(out.coalesce(2), url, batch_size=5)
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
+        srv.server_close()
+    return spark.createDataFrame(
+        [(sum(received), max(received) <= 5 if received else False)],
+        "n_features long, batches_bounded boolean",
+    )
+
+
+@query(
+    "signs_config_validation",
+    # A8 as data: defaulted, explicit, and invalid configs and what the
+    # validator does with each (task.ts:51-55's required-token raise).
+    oracle="""
+    SELECT * FROM (VALUES
+        ('defaults',      'ok',    'Point,LineString,Polygon', 0),
+        ('explicit',      'ok',    'Point',                    1),
+        ('missing_token', 'error', '',                         0)
+    ) AS t(case_name, outcome, allowed, debug_flag)
+    """,
+)
+def signs_config_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 config read/validate, driver-visible: construct configs the three
+    ways a deployment does (all defaults; explicit flags; missing token)
+    and emit the validation outcome for each."""
+    from ..config import ConfigError, SignsConfig
+
+    rows = []
+    cfg = SignsConfig(cotrip_token="t")
+    rows.append(("defaults", "ok", ",".join(cfg.allowed_types()), int(cfg.debug)))
+    cfg = SignsConfig(
+        cotrip_token="t", point=True, linestring=False, polygon=False, debug=True
+    )
+    rows.append(("explicit", "ok", ",".join(cfg.allowed_types()), int(cfg.debug)))
+    try:
+        SignsConfig(cotrip_token="")
+        rows.append(("missing_token", "MISSED", "", 0))
+    except ConfigError:
+        rows.append(("missing_token", "error", "", 0))
+    return spark.createDataFrame(
+        rows, "case_name string, outcome string, allowed string, debug_flag int"
+    )

@@ -139,6 +139,8 @@ DRIVER_ORDER: list[str] = [
     "signs_allowlist_matrix",
     "signs_capabilities_matrix",
     "signs_pipeline_observed_counts",
+    "signs_http_sink_roundtrip",
+    "signs_config_validation",
     "agg_salted_skew",
     "range_join_banded",
     "text_lang_id",
