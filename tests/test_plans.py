@@ -136,3 +136,41 @@ def test_range_join_banded_is_equi_not_bnlj(spark):
     df = registry.QUERIES["range_join_banded"](spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A hot join key triggers AQE's OptimizeSkewedJoin under the engine's
+    session confs (thresholds lowered to fixture scale): the executed plan
+    marks the sort-merge join skew=true. This is the runtime half of the
+    skew story — salting (agg_salted_skew) is the planned half."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 1000)
+        left = spark.range(400_000).select(
+            hot.alias("k"), F.col("id").alias("payload")
+        )
+        right = spark.range(1000).select(
+            (F.col("id") % 1000).alias("k"), F.lit("dim").alias("tag")
+        )
+        # bare join: a downstream shuffle requirement (e.g. groupBy) makes
+        # AQE skip the skew split (it would re-shuffle the duplicated
+        # partitions) unless forceOptimizeSkewedJoin — keep the demo honest
+        joined = left.join(right, "k")
+        assert joined.collect()  # drives THIS DataFrame's execution to final
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
