@@ -193,6 +193,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_mllib",
     "knn_brp_lsh_mllib",
     "stream_sliding_events",
+    "stream_partitioned_file_sink",
     "stream_session_windows",
     "stream_dedup_watermark",
     "stream_stateful_user_totals",

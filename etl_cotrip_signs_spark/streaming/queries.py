@@ -434,3 +434,51 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_tws()
+
+
+@query(
+    "stream_partitioned_file_sink",
+    # The stream writes real parquet (partitioned by event_type, with a
+    # checkpoint); the read-back aggregate equals the batch aggregate the
+    # oracle runs. Exactly-once through the file-sink commit log.
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_partitioned_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming partitioned parquet sink: events stream → writeStream
+    .partitionBy(event_type) with a checkpoint → read the committed files
+    back and aggregate. The file-sink commit log gives exactly-once
+    (uncommitted files are invisible to the read-back); partition
+    directories give downstream partition pruning — the landing-zone shape
+    of a 100 TB ingest."""
+    import hashlib
+    import shutil
+
+    ensure_confs(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_stream_sink/{tag}/data"
+    ckpt_dir = f"/tmp/spark_graft_stream_sink/{tag}/ckpt"
+    shutil.rmtree(f"/tmp/spark_graft_stream_sink/{tag}", ignore_errors=True)
+    e = read_events_stream(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    q = (
+        e.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
