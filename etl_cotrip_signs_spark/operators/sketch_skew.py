@@ -92,3 +92,65 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("long").alias("approx_distinct_custkeys"),
         "n_orders",
     )
+
+
+@query(
+    "udaf_trimmed_mean",
+    # Deterministic trimmed mean: per group, order by (value, orderkey),
+    # drop floor(n/10) rows at each end, average the integer-cents of the
+    # rest — both engines sum exact cents over the identical row subset.
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100, 4) AS trimmed_mean
+    FROM ranked
+    WHERE rn > CAST(floor(n / 10) AS BIGINT)
+      AND rn <= n - CAST(floor(n / 10) AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas_udf (the batch UDAF API):
+    10% trimmed mean of order totals per priority. The trim needs a
+    per-group sort — not expressible as a builtin aggregate — so the group
+    arrives as an Arrow batch and numpy does the order statistics. Exact
+    integer-cents summation keeps the result bit-identical to the SQL
+    oracle's window formulation."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # explicit GROUPED_AGG: module-level `from __future__ import annotations`
+    # stringifies the hints, defeating signature-based inference
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(price, key):
+        df = pd.DataFrame({"p": price, "k": key}).sort_values(["p", "k"])
+        n = len(df)
+        cut = n // 10
+        kept = df.iloc[cut : n - cut]["p"]
+        cents = (kept * 100).round().astype("int64").sum()
+        return round(float(cents) / len(kept) / 100, 4)
+
+    o = load_table(spark, sf_dir, "orders")
+    # a GROUPED_AGG UDF cannot share an agg() with builtin aggregates —
+    # two aggs over the same grouping, joined on the (5-value) key
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.count(F.lit(1)) - 2 * F.floor(F.count(F.lit(1)) / 10)).alias("n_kept"),
+    )
+    means = o.groupBy("o_orderpriority").agg(
+        trimmed_mean("o_totalprice", "o_orderkey").alias("trimmed_mean")
+    )
+    return counts.join(means, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "n_kept", "trimmed_mean"
+    )

@@ -166,6 +166,7 @@ DRIVER_ORDER: list[str] = [
     "agg_stat_moments",
     "agg_hll_mergeable",
     "profile_columns",
+    "udaf_trimmed_mean",
     "setops_customer_keys",
     "dedup_keep_first_per_group",
     "pivot_returnflag",
