@@ -425,3 +425,51 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__hit").cast("double") / F.count(F.lit(1)), 4
         ).alias("contamination_rate"),
     )
+
+
+@query("pack_sequences_greedy")  # rows-only: loop-carried bin state has no SQL form
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit bin packing via applyInPandas (grouped-map): per lang,
+    documents in doc_id order drop into the FIRST bin with room — tighter
+    than the contiguous prefix-sum packing (`pack_sequences`) because a
+    large doc no longer strands the remainder of its bin.
+
+    This is the one training-pipeline op with genuinely loop-carried
+    per-group state (open-bin loads), i.e. the honest use case for the
+    grouped-map API: the group arrives as one Arrow batch, numpy/python
+    runs the sequential fit, Spark parallelizes across groups.
+    Deterministic (fixed doc order, fixed budget); invariants pinned in
+    tests/test_llm_ops.py."""
+    import pandas as pd
+
+    budget = 512
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        loads: list[int] = []
+        bins: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = min(int(t), budget)  # oversized docs own a full bin
+            for i, ld in enumerate(loads):
+                if ld + t <= budget:
+                    loads[i] = ld + t
+                    bins.append(i)
+                    break
+            else:
+                loads.append(t)
+                bins.append(len(loads) - 1)
+        out = pdf.assign(bin_id=bins)
+        return out.groupby("bin_id", as_index=False).agg(
+            lang=("lang", "first"),
+            n_docs=("doc_id", "size"),
+            bin_tokens=("n_tokens", "sum"),
+        )[["lang", "bin_id", "n_docs", "bin_tokens"]]
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("lang").applyInPandas(
+        pack, "lang string, bin_id long, n_docs long, bin_tokens long"
+    )

@@ -184,6 +184,7 @@ DRIVER_ORDER: list[str] = [
     "text_pii_scrub",
     "shuffle_deterministic",
     "pack_sequences",
+    "pack_sequences_greedy",
     "cdc_merge_upsert",
     "cdc_scd2_history",
     "sample_stratified",

@@ -232,3 +232,30 @@ def test_multimodal_decode_batch_shape(spark):
         assert len(r["feat"]) == 8
         assert abs(sum(r["feat"]) - 1.0) < 1e-9  # normalized histogram
         assert 0 <= r["mean_byte"] <= 255
+
+
+def test_greedy_packing_invariants(spark):
+    """First-fit packing: every bin within budget (modulo single oversized
+    docs), no docs lost, at most as many bins as contiguous packing, and
+    deterministic across runs."""
+    from etl_cotrip_signs_spark import registry
+    from .conftest import SF_ORACLE
+
+    registry.load_all()
+    greedy = registry.QUERIES["pack_sequences_greedy"](spark, SF_ORACLE).toPandas()
+    contig = registry.QUERIES["pack_sequences"](spark, SF_ORACLE).toPandas()
+    # every multi-doc bin within the 512 budget (a single oversized doc may
+    # own an over-budget bin by design)
+    over = greedy[(greedy.bin_tokens > 512) & (greedy.n_docs > 1)]
+    assert over.empty, over
+    # doc conservation
+    assert greedy.n_docs.sum() == contig.n_docs.sum()
+    # first-fit never uses more bins than contiguous
+    g_bins = greedy.groupby("lang").bin_id.nunique()
+    c_bins = contig.groupby("lang").bin_id.nunique()
+    assert (g_bins <= c_bins.reindex(g_bins.index)).all(), (g_bins, c_bins)
+    # deterministic
+    again = registry.QUERIES["pack_sequences_greedy"](spark, SF_ORACLE).toPandas()
+    a = greedy.sort_values(["lang", "bin_id"]).reset_index(drop=True)
+    b = again.sort_values(["lang", "bin_id"]).reset_index(drop=True)
+    assert a.equals(b)
