@@ -149,6 +149,22 @@ def build_probe_dir(spark) -> str:
     return probe_dir
 
 
+def _release_session_state(spark) -> None:
+    """Measurement hygiene between phases: the headline set leaves dozens of
+    lazy localCheckpoint RDDs whose release waits on Python GC + the JVM
+    ContextCleaner; under load the cleaner lags and later queries pay for
+    the dead blocks (observed: the components probe at 50 s in-bench vs
+    10 s isolated). Force both collectors before timing the probes."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(1.0)  # let the ContextCleaner drain its reference queue
+
+
 def run_density_probes(spark):
     from etl_cotrip_signs_spark import registry
 
@@ -156,6 +172,7 @@ def run_density_probes(spark):
     probes: dict[str, float] = {}
     probe_rows: dict[str, int] = {}
     for name in PROBE_QUERIES:
+        _release_session_state(spark)
         t0 = time.perf_counter()
         probe_rows[name] = registry.QUERIES[name](spark, probe_dir).count()
         probes[name] = round(time.perf_counter() - t0, 3)

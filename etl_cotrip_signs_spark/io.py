@@ -30,19 +30,24 @@ TABLES = (
 )
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; normalizes the `events.ts` nanos column to NTZ micros.
+    """Load one table; normalizes the `events.ts` column to NTZ micros.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively; we read it as raw nanos (legacy.parquet.nanosAsLong) and
-    floor-convert to microseconds — the same instant DuckDB sees, truncated
-    to Spark's timestamp precision.
+    The driver has shipped `events.ts` as both parquet TIMESTAMP(NANOS)
+    (which Spark reads as raw long nanos under legacy.parquet.nanosAsLong)
+    and TIMESTAMP(MICROS) (read natively as a timestamp). Dispatch on the
+    read dtype so either vintage of testdata lands on the same
+    TIMESTAMP_NTZ micros column DuckDB sees.
     """
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "integer"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

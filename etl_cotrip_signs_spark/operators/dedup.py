@@ -367,11 +367,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hot-posting-list guard: candidate generation drops shingles present in
     more than DF_FRAC of a language's documents (ubiquitous shingles fan
-    out toward all-pairs — the classic inverted-index blowup). Jaccard is
-    then computed EXACTLY from the full shingle arrays of the surviving
-    candidate pairs, so the cap affects only candidacy: a pair is missed
-    only if its entire intersection is ubiquitous shingles, which at any
-    meaningful threshold means boilerplate, not near-duplication.
+    out toward all-pairs — the classic inverted-index blowup). The cap
+    affects only candidacy: a pair is missed only if its entire
+    intersection is ubiquitous shingles, which at any meaningful threshold
+    means boilerplate, not near-duplication.
+
+    Exact Jaccard WITHOUT shipping full shingle arrays to every pair
+    (round 2 did, and paid 4.2×): the posting join itself yields the
+    cold-overlap count — each shared cold shingle produces exactly one
+    join row, so ``count(*)`` per (doc_a, doc_b) IS |cold(A) ∩ cold(B)|.
+    Hot-shingle overlap comes from the *small* per-doc hot arrays (≤ the
+    handful of shingles a lang has above the DF cap). Then
+    |A ∩ B| = cold_overlap + hot_overlap and |A ∪ B| = |A| + |B| − |A ∩ B|
+    from per-doc distinct counts — the same math the full-array verify
+    computed, at the cost of one pair-keyed aggregate instead of two
+    array-shipping joins.
     """
     df_frac = 0.5  # a shingle in >50% of a lang's docs generates no candidates
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -384,13 +394,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
-    ).localCheckpoint(eager=False)  # feeds candidate gen + verify; released on GC
+    ).localCheckpoint(eager=False)  # feeds postings + hot arrays; released on GC
     # (see minhash_candidates note on why not persist())
     # Inverted-index set-similarity join: explode to (shingle, doc) postings
     # and equi-join on (shingle, lang) — pairs sharing no shingle are never
-    # generated at all.
+    # generated at all. n_sh (per-doc distinct count) rides along for the
+    # union-size arithmetic.
     post = d.select(
-        "doc_id", "lang", "n_chars", F.explode("hs").alias("s")
+        "doc_id", "lang", "n_chars", F.size("hs").alias("n_sh"),
+        F.explode("hs").alias("s"),
     )
     # document-frequency cap: hot postings out before the self-join
     lang_sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -405,28 +417,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cold.select(
         F.col("s"), F.col("lang"),
         F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a"),
+        F.col("n_sh").alias("n_sh_a"),
     )
     b = cold.select(
         F.col("s"), F.col("lang"),
         F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("chars_b"),
+        F.col("n_sh").alias("n_sh_b"),
     )
-    cands = (
+    # one shared cold shingle == one join row → count(*) = |cold(A)∩cold(B)|
+    pair_cold = (
         a.join(b, ["s", "lang"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("chars_b") >= F.floor(F.col("chars_a") * 0.7))
             & (F.col("chars_b") <= F.ceil(F.col("chars_a") * 1.3))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
+        .agg(F.count(F.lit(1)).alias("inter_cold"))
     )
-    # exact verify over full arrays — the DF cap cannot skew the score
-    pairs = cands.join(
-        d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a"
-    ).join(
-        d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b"
+    # per-doc hot-shingle arrays: bounded by construction — every hot
+    # shingle has df > n_docs·df_frac, so a lang has fewer than
+    # avg_shingles_per_doc/df_frac hot shingles total; the per-doc array is
+    # at most that, independent of corpus size, hence broadcastable
+    hot_per_doc = (
+        post.join(F.broadcast(hot), ["s", "lang"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("hot_arr"))
     )
-    jac = jaccard_arrays(F.col("hs_a"), F.col("hs_b"))
+    empty = F.array().cast("array<bigint>")
+    pairs = (
+        pair_cold.join(
+            F.broadcast(
+                hot_per_doc.select(
+                    F.col("doc_id").alias("doc_a"), F.col("hot_arr").alias("hot_a")
+                )
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                hot_per_doc.select(
+                    F.col("doc_id").alias("doc_b"), F.col("hot_arr").alias("hot_b")
+                )
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "inter",
+            F.col("inter_cold")
+            + F.size(
+                F.array_intersect(
+                    F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+                )
+            ),
+        )
+    )
+    jac = F.col("inter") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("inter"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.05)

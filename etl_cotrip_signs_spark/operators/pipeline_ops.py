@@ -1,0 +1,332 @@
+"""Training-corpus composition operators [EXT beyond task.ts —
+LLM-data-pipeline surface, round 3 additions].
+
+The dedup/quality/split plumbing (operators/training.py) decides WHICH
+documents survive; these operators decide HOW MUCH of each slice a
+training run actually consumes: domain mixture reweighting, deterministic
+fractional upsampling, token-budget selection, and curriculum bucketing.
+All are built from builtin expressions (windows, sequence+explode,
+md5-bucket hashing) — no Python in the row path — and every one is
+oracle-checked.
+
+Scale notes (100 TB): every operator here is one window pass or one
+map-side expression over the documents table; the only shuffles are the
+per-lang/per-source ones whose key cardinality is tiny but whose groups
+are processed in parallel partitions. Determinism comes from md5-bucket
+hashing (partition-layout-independent), the same discipline as
+training.py's split/shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+# Target mixture for mix_domain_weights: upweight curated-looking sources,
+# downweight the rest. Keys are the fixture's source ids (src0..src19);
+# anything absent gets weight 1.0. A real pipeline feeds this from config.
+_TARGET_MIX = {"src0": 0.15, "src1": 0.10, "src2": 0.10}
+
+
+@query(
+    "mix_domain_weights",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_source)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(CASE p.source
+                     WHEN 'src0' THEN 0.15
+                     WHEN 'src1' THEN 0.10
+                     WHEN 'src2' THEN 0.10
+                     ELSE (1.0 - 0.35) * p.n_tokens / nullif(t.total_tokens - (
+                         SELECT CAST(sum(n_tokens) AS BIGINT) FROM per_source
+                         WHERE source IN ('src0','src1','src2')), 0)
+                 END, 6) AS target_frac,
+           round(CASE p.source
+                     WHEN 'src0' THEN 0.15
+                     WHEN 'src1' THEN 0.10
+                     WHEN 'src2' THEN 0.10
+                     ELSE (1.0 - 0.35) * p.n_tokens / nullif(t.total_tokens - (
+                         SELECT CAST(sum(n_tokens) AS BIGINT) FROM per_source
+                         WHERE source IN ('src0','src1','src2')), 0)
+                 END * t.total_tokens / p.n_tokens, 6) AS sample_weight
+    FROM per_source p, tot t
+    """,
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: pinned target fractions for named
+    sources; the remaining probability mass distributed over the other
+    sources proportionally to their natural token share. Emits per-source
+    (target_frac, sample_weight) where sample_weight is the per-document
+    sampling multiplier that realizes the target mixture.
+
+    One groupBy over the corpus + a two-row broadcast of the totals — the
+    weights table is dimension-sized however big the corpus is."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    pinned_frac = sum(_TARGET_MIX.values())
+    is_pinned = F.col("source").isin(*_TARGET_MIX)
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(is_pinned, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("pinned_tokens"),
+    )
+    pinned_col = F.lit(None).cast("double")
+    for src, frac in _TARGET_MIX.items():
+        pinned_col = F.when(F.col("source") == src, F.lit(frac)).otherwise(
+            pinned_col
+        )
+    target = F.coalesce(
+        pinned_col,
+        (1.0 - pinned_frac)
+        * F.col("n_tokens")
+        / F.nullif(
+            (F.col("total_tokens") - F.col("pinned_tokens")).cast("double"),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        per_source.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(target, 6).alias("target_frac"),
+            F.round(
+                target * F.col("total_tokens") / F.col("n_tokens"), 6
+            ).alias("sample_weight"),
+        )
+    )
+
+
+@query(
+    "upsample_fractional",
+    oracle="""
+    WITH weighted AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ('src0', 'src1') THEN 2.3 ELSE 0.8 END AS w
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, source,
+               CAST(floor(w) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up'), 1, 8)) AS BIGINT)
+                           % 1000000 < CAST((w - floor(w)) * 1000000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM weighted
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_after,
+           CAST(min(n_copies) AS BIGINT) AS min_copies,
+           CAST(max(n_copies) AS BIGINT) AS max_copies
+    FROM copies GROUP BY source
+    """,
+)
+def upsample_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling: weight 2.3 means every doc
+    appears twice and a deterministic md5-selected 30% appear a third
+    time; weight 0.8 keeps a deterministic 80%. The expansion itself is
+    ``explode(sequence(1, n_copies))`` — a generator, no shuffle, no RNG —
+    so a rerun (or a different partition layout) reproduces the exact same
+    corpus. The query aggregates the expanded rows per source to stay
+    driver-safe; the expanded frame is what a training export would write.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.when(F.col("source").isin("src0", "src1"), F.lit(2.3)).otherwise(
+        F.lit(0.8)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":up"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    n_copies = (
+        F.floor(w).cast("long")
+        + F.when(
+            bucket < ((w - F.floor(w)) * 1_000_000).cast("long"), 1
+        ).otherwise(0)
+    ).alias("n_copies")
+    # GOTCHA: sequence(1, 0) yields a DESCENDING [1, 0] — Spark's sequence
+    # auto-steps -1 when stop < start — so zero-copy docs must map to an
+    # explicit empty array, and explode_outer (not explode) keeps them as
+    # a null-idx row so n_docs still counts them.
+    copies_arr = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies").cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    expanded = d.select("doc_id", "source", n_copies).withColumn(
+        "copy_idx", F.explode_outer(copies_arr)
+    )
+    # aggregate over the EXPANDED rows: n_after counts actual emitted rows,
+    # so the generator (not just the arithmetic) is what the oracle checks
+    return (
+        expanded.groupBy("doc_id", "source", "n_copies")
+        .agg(F.count("copy_idx").alias("emitted"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("emitted").cast("long").alias("n_after"),
+            F.min("n_copies").cast("long").alias("min_copies"),
+            F.max("n_copies").cast("long").alias("max_copies"),
+        )
+    )
+
+
+@query(
+    "select_token_budget",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM sized
+    )
+    SELECT lang,
+           count(*) AS n_selected,
+           CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+    FROM ranked WHERE cum_tokens <= 20000
+    GROUP BY lang
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per language, take the highest-quality
+    documents (quality proxy: n_chars, doc_id tie-break) until a 20k-token
+    budget is filled — the 'best N tokens per domain' selection step of a
+    corpus build. One window prefix-sum per lang partition, then a filter:
+    no driver loop, no second pass, layout-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") <= 20_000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.max("cum_tokens").cast("long").alias("tokens_used"),
+        )
+    )
+
+
+@query(
+    "curriculum_buckets",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               ntile(5) OVER (
+                   PARTITION BY lang
+                   ORDER BY len(string_split_regex(trim(text), '\\s+')), doc_id
+               ) AS stage
+        FROM documents
+    )
+    SELECT lang, stage,
+           count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM scored GROUP BY lang, stage
+    """,
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: ntile(5) over a difficulty proxy (token count,
+    doc_id tie-break) per language — stage 1 holds the shortest/easiest
+    fifth, stage 5 the longest. The tie-broken ORDER BY makes the ntile
+    deterministic (plain ntile over a non-unique key is not), which is
+    what lets an oracle check it at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    scored = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    staged = scored.withColumn("stage", F.ntile(5).over(w))
+    return staged.groupBy("lang", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_viewed,
+        CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+        CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                       AND first_purchase > first_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    timestamps via conditional min, then strict ordering checks — the
+    sessionless funnel shape. One shuffle on user_id with map-side partial
+    mins; the funnel logic itself is row-local arithmetic on the 3-column
+    per-user frame (NULL comparisons are falsy, matching the SQL)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    converted = clicked & (F.col("first_purchase") > F.col("first_click"))
+    as_long = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_long(viewed).alias("n_viewed"),
+        as_long(clicked).alias("n_clicked_after_view"),
+        as_long(converted).alias("n_converted"),
+    )

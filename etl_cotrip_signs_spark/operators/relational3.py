@@ -370,3 +370,70 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
         ),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           ntile(4) OVER w                 AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    over a tie-broken ORDER BY — the tie-break makes all three
+    deterministic and therefore oracle-checkable. One window pass, one
+    shuffle on the partition key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_time_range_events",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_in_window,
+           round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS sum_in_window
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_time_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, the rolling 10-minute count and
+    exact-DECIMAL sum ending at each event — the time-based sliding
+    aggregate that rowsBetween cannot express when events are unevenly
+    spaced. Spark's rangeBetween needs a numeric ORDER BY, so the frame
+    runs over unix MICROseconds (the fixture's ts carries sub-second
+    precision) — the same instants DuckDB's INTERVAL frame sees."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("sum_in_window"),
+    )

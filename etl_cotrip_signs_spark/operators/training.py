@@ -112,8 +112,8 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sized
     )
     SELECT lang, CAST(floor(tokens_before / 512) AS BIGINT) AS bin_id,
-           count(*)        AS n_docs,
-           sum(n_tokens)   AS bin_tokens
+           count(*)                        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)   AS bin_tokens
     FROM cum
     GROUP BY lang, bin_id
     """,
@@ -220,7 +220,8 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'train' ELSE 'eval' END AS split
         FROM deduped
     )
-    SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM split GROUP BY split, lang
     """,
 )

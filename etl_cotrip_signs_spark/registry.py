@@ -78,6 +78,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # evidence. The first ~50 names cover every SURVEY §2 inventory area at
 # least once (relational core, scalars, signs pipeline, dedup, similarity,
 # text, multimodal, training, streaming); per-area variants follow after.
+#
+# ROTATION (round 3, VERDICT r2 task 5): ten proven-stable slots (green in
+# r1+r2) swapped for never-driver-checked queries so hard evidence
+# accumulates across rounds; each area keeps at least one green-historied
+# representative in the first 50 (string_funcs_part for scalars,
+# window_rank_customers for windows, setops_all_variants for set ops,
+# partitioned_sink_roundtrip for IO, the join family keeps five forms).
 DRIVER_ORDER: list[str] = [
     "q1_pricing_summary",
     "q5_regional_revenue",
@@ -89,29 +96,32 @@ DRIVER_ORDER: list[str] = [
     "agg_collect_first_last",
     "agg_exact_percentile",
     "join_outer_customers_orders",
-    "join_full_outer_nations",
+    "q3_shipping_priority",          # r3 rotation in (was join_full_outer_nations)
     "join_broadcast_brand_revenue",
     "join_semi_customers",
     "join_anti_customers",
     "join_theta_price_band",
     "join_asof_latest_order",
     "window_rank_customers",
-    "window_lag_delta",
-    "window_range_frame",
+    "q6_forecast_revenue",           # r3 rotation in (was window_lag_delta)
+    "q7_volume_shipping",            # r3 rotation in (was window_range_frame)
     "sort_topk_orders",
     "setops_all_variants",
-    "distinct_order_status",
-    "csv_scan_roundtrip",
+    "q18_large_volume_customer",     # r3 rotation in (was distinct_order_status)
+    "agg_salted_skew",               # r3 rotation in (was csv_scan_roundtrip)
     "partitioned_sink_roundtrip",
     "sessionize_events_batch",
     "subquery_max_acctbal",
     "filter_predicate_family",
-    "case_bucket_orders",
+    "orc_scan_roundtrip",            # r3 rotation in (was case_bucket_orders)
     "string_funcs_part",
-    "date_funcs_orders",
-    "math_funcs_lineitem",
-    "array_funcs_embeddings",
-    "map_funcs_events",
+    "knn_lsh_recall",                # r3 rotation in (was date_funcs_orders); the
+    # threshold_pairs_lsh variant stays in the variants tail: its honest
+    # sf0.01 answer is 0 rows (no >=0.9-cos pairs in the fixture) and the
+    # recall row is the stronger hard evidence for the LSH path
+    "udaf_trimmed_mean",             # r3 rotation in (was math_funcs_lineitem)
+    "stream_session_windows",        # r3 rotation in (was array_funcs_embeddings)
+    "sample_stratified",             # r3 rotation in (was map_funcs_events)
     "json_schema_roundtrip",
     "dedup_exact_docs",
     "dedup_minhash_docs",
@@ -130,9 +140,18 @@ DRIVER_ORDER: list[str] = [
     "pipeline_training_corpus",
     "stream_tumbling_events",
     # -- per-area variants (driver coverage best-effort past the cap) --
+    "join_full_outer_nations",       # r3 rotation out (green r1+r2)
+    "window_lag_delta",              # r3 rotation out (green r1+r2)
+    "window_range_frame",            # r3 rotation out (green r1+r2)
+    "distinct_order_status",         # r3 rotation out (green r1+r2)
+    "csv_scan_roundtrip",            # r3 rotation out (green r1+r2)
+    "case_bucket_orders",            # r3 rotation out (green r1+r2)
+    "date_funcs_orders",             # r3 rotation out (green r1+r2)
+    "math_funcs_lineitem",           # r3 rotation out (green r1+r2)
+    "array_funcs_embeddings",        # r3 rotation out (green r1+r2)
+    "map_funcs_events",              # r3 rotation out (green r1+r2)
     "dedup_simhash_docs",
     "knn_ivf_ann",
-    "knn_lsh_recall",
     "dedup_minhash_recall",
     "knn_ivf_recall",
     "signs_rest_stream_pipeline",
@@ -141,32 +160,37 @@ DRIVER_ORDER: list[str] = [
     "signs_pipeline_observed_counts",
     "signs_http_sink_roundtrip",
     "signs_config_validation",
-    "agg_salted_skew",
     "range_join_banded",
     "text_lang_id",
     "text_tfidf_top_term",
     "bucketed_join_roundtrip",
-    "orc_scan_roundtrip",
     "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
     "embedding_quantize_int8",
     "dedup_survivors_quality",
-    "q3_shipping_priority",
     "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_revenue",
-    "q18_large_volume_customer",
     "window_topk_orders_per_cust",
     "window_running_revenue",
+    # -- round-3 additions --
+    "q12_priority_by_flag",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_dormant_accounts",
+    "window_distribution_funcs",
+    "window_time_range_events",
+    "mix_domain_weights",
+    "upsample_fractional",
+    "select_token_budget",
+    "curriculum_buckets",
+    "events_funnel_conversion",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
     "agg_hll_mergeable",
     "profile_columns",
-    "udaf_trimmed_mean",
     "setops_customer_keys",
     "dedup_keep_first_per_group",
     "pivot_returnflag",
@@ -187,7 +211,6 @@ DRIVER_ORDER: list[str] = [
     "pack_sequences_greedy",
     "cdc_merge_upsert",
     "cdc_scd2_history",
-    "sample_stratified",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "signs_explode_only",
@@ -196,7 +219,6 @@ DRIVER_ORDER: list[str] = [
     "knn_brp_lsh_mllib",
     "stream_sliding_events",
     "stream_partitioned_file_sink",
-    "stream_session_windows",
     "stream_dedup_watermark",
     "stream_stateful_user_totals",
     "stream_stream_join",
@@ -222,6 +244,7 @@ def load_all() -> None:
         sketch_skew,
         training,
         io_queries,
+        pipeline_ops,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -130,12 +130,15 @@ try:  # pragma: no cover - import guard for older Spark
             for feat in payload.get("features", []):
                 geom = feat.get("geometry") or {}
                 props = feat.get("properties") or {}
-                # Explicit None checks: a falsy-but-present id ('' / 0) is
-                # still an id, and a properties id is stringified before it
-                # enters the string-typed column.
-                feat_id = feat.get("id")
-                if feat_id is None and props.get("id") is not None:
-                    feat_id = props["id"]
+                # Reference precedence (task.ts:79): properties.id first,
+                # unconditionally; the top-level GeoJSON id is only a
+                # documented-extension fallback (same rule as
+                # operators/signs.py project_features). Explicit None
+                # checks: a falsy-but-present id ('' / 0) is still an id,
+                # and every id is stringified into the string-typed column.
+                feat_id = props.get("id")
+                if feat_id is None:
+                    feat_id = feat.get("id")
                 yield (
                     None if feat_id is None else str(feat_id),
                     geom.get("type"),
@@ -177,9 +180,10 @@ try:  # pragma: no cover - import guard for older Spark
             for feat in payload.get("features", []):
                 geom = feat.get("geometry") or {}
                 props = feat.get("properties") or {}
-                feat_id = feat.get("id")
-                if feat_id is None and props.get("id") is not None:
-                    feat_id = props["id"]
+                # properties-first id precedence; see RestSignsReader.read
+                feat_id = props.get("id")
+                if feat_id is None:
+                    feat_id = feat.get("id")
                 rows.append(
                     (
                         None if feat_id is None else str(feat_id),
@@ -245,8 +249,12 @@ def read_signs_udtf(spark: SparkSession, pages_dir: str, offsets: list[str | Non
             payload, _ = file_fetcher(pages_dir)(offset or None)
             for feat in payload.get("features", []):
                 geom = feat.get("geometry") or {}
+                props = feat.get("properties") or {}
+                feat_id = props.get("id")  # properties-first (task.ts:79)
+                if feat_id is None:
+                    feat_id = feat.get("id")
                 yield (
-                    feat.get("id"),
+                    None if feat_id is None else str(feat_id),
                     geom.get("type"),
                     json.dumps(geom.get("coordinates"), separators=(",", ":")),
                 )

@@ -236,8 +236,12 @@ def test_multimodal_decode_batch_shape(spark):
 
 def test_greedy_packing_invariants(spark):
     """First-fit packing: every bin within budget (modulo single oversized
-    docs), no docs lost, at most as many bins as contiguous packing, and
-    deterministic across runs."""
+    docs), no docs lost, bin count at least the information-theoretic floor
+    ceil(total_tokens/512), and deterministic across runs.
+
+    Note greedy can legitimately use MORE bins than contiguous packing:
+    contiguous bins (floor(tokens_before/512)) may exceed the 512 budget
+    when a doc straddles a boundary, while greedy enforces <=512/bin."""
     from etl_cotrip_signs_spark import registry
     from .conftest import SF_ORACLE
 
@@ -250,10 +254,13 @@ def test_greedy_packing_invariants(spark):
     assert over.empty, over
     # doc conservation
     assert greedy.n_docs.sum() == contig.n_docs.sum()
-    # first-fit never uses more bins than contiguous
+    # bin count can never beat the token-budget floor ceil(total/512)
+    import math
+
     g_bins = greedy.groupby("lang").bin_id.nunique()
-    c_bins = contig.groupby("lang").bin_id.nunique()
-    assert (g_bins <= c_bins.reindex(g_bins.index)).all(), (g_bins, c_bins)
+    g_tokens = greedy.groupby("lang").bin_tokens.sum()
+    floor_bins = g_tokens.apply(lambda t: math.ceil(t / 512))
+    assert (g_bins >= floor_bins.reindex(g_bins.index)).all(), (g_bins, floor_bins)
     # deterministic
     again = registry.QUERIES["pack_sequences_greedy"](spark, SF_ORACLE).toPandas()
     a = greedy.sort_values(["lang", "bin_id"]).reset_index(drop=True)

@@ -223,3 +223,48 @@ def test_streaming_source_pages_per_microbatch(spark, tmp_path):
     nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
     rows_per_batch = [p["numInputRows"] for p in nonempty]
     assert sorted(rows_per_batch) == [2, 3, 4], rows_per_batch
+
+
+def test_datasource_reader_prefers_properties_id(spark, tmp_path):
+    """End-to-end id precedence at the source (VERDICT r2 task 7): a feature
+    carrying BOTH a top-level GeoJSON id and a differing properties.id must
+    surface properties.id (task.ts:79 uses sign.properties.id
+    unconditionally); top-level id remains the documented fallback."""
+    import pytest
+
+    if not HAS_DATASOURCE_API:
+        pytest.skip("Python DataSource API unavailable")
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    (pages / "page_0.json").write_text(json.dumps({
+        "features": [
+            {   # both ids, differing: properties.id must win
+                "id": "top-level",
+                "properties": {"id": "props-id"},
+                "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            },
+            {   # only top-level id: documented fallback
+                "id": "only-top",
+                "properties": {},
+                "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+            },
+            {   # numeric properties id: stringified into the string column
+                "properties": {"id": 42},
+                "geometry": {"type": "Point", "coordinates": [5.0, 6.0]},
+            },
+        ],
+    }))
+    register_rest_source(spark)
+    for opts in ({"offsets": ""}, {}):  # batch DataSource + streaming default
+        df = (
+            spark.read.format("rest_signs")
+            .option("transport", "file")
+            .option("path", str(pages))
+            .options(**opts)
+            .load()
+        )
+        assert sorted(r["id"] for r in df.collect()) == ["42", "only-top", "props-id"]
+    # serial driver path goes through project_features, same precedence
+    out = signs_pipeline(read_signs(spark, file_fetcher(str(pages))),
+                         ["Point", "LineString", "Polygon"])
+    assert sorted(r["id"] for r in out.collect()) == ["42", "only-top", "props-id"]

@@ -51,11 +51,38 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
     return [tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
 
 
-def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+def run_oracle(sql: str, sf_dir: str) -> tuple[pd.DataFrame, dict[str, str]]:
+    """Run the oracle; also return DuckDB's declared column types.
+
+    The types matter: ``sum(BIGINT)`` yields HUGEINT, which pandas
+    materializes as float64 while Spark returns int64 — values print the
+    same under %.6g but the driver hashes the dtypes apart. Round 2 shipped
+    exactly that FAIL, so the rehearsal now surfaces it instead of
+    normalizing it away."""
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con.sql(sql).df()
+    rel = con.sql(sql)
+    types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    return rel.df(), types
+
+
+def dtype_skew(spdf: pd.DataFrame, opdf: pd.DataFrame, otypes: dict[str, str]) -> list[str]:
+    """Columns whose numeric kind differs between Spark and the oracle
+    (int-vs-float), plus any oracle column DuckDB types as HUGEINT.
+    Either one means the driver's hash will diverge even when every value
+    renders identically — treat as a mismatch, not a cosmetic detail."""
+    bad: list[str] = []
+    for c in spdf.columns:
+        if c not in opdf.columns:
+            continue
+        if "HUGEINT" in otypes.get(c, "").upper():
+            bad.append(f"{c}: oracle type {otypes[c]} (HUGEINT) — cast the SQL to BIGINT")
+            continue
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
+            bad.append(f"{c}: spark dtype {spdf[c].dtype} vs oracle dtype {opdf[c].dtype}")
+    return bad
 
 
 def main() -> int:
@@ -84,11 +111,16 @@ def main() -> int:
             if sql is None:
                 row["err"] = "no_oracle"
             else:
-                opdf = run_oracle(sql, sf_dir)
+                opdf, otypes = run_oracle(sql, sf_dir)
                 row["oracle_rows"] = len(opdf)
                 row["rows_match"] = len(spdf) == len(opdf)
                 row["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
-                row["hash_match"] = spark_canon == _canon(opdf)
+                skew = dtype_skew(spdf, opdf, otypes)
+                if skew:
+                    row["hash_match"] = False
+                    row["err"] = "dtype_skew: " + "; ".join(skew)
+                else:
+                    row["hash_match"] = spark_canon == _canon(opdf)
         except Exception:
             row["err"] = traceback.format_exc(limit=5)
         row["secs"] = round(time.time() - t0, 2)
