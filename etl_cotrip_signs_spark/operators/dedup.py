@@ -443,6 +443,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.join(F.broadcast(hot), ["s", "lang"], "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("hot_arr"))
+        .localCheckpoint(eager=False)  # two broadcasts below; compute once
     )
     empty = F.array().cast("array<bigint>")
     pairs = (

@@ -330,3 +330,79 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_long(clicked).alias("n_clicked_after_view"),
         as_long(converted).alias("n_converted"),
     )
+
+
+@query(
+    "cross_partition_duplicate_audit",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               md5(array_to_string(
+                   list_slice(string_split_regex(trim(text), '\\s+'), 1, 5), ' '
+               )) AS prefix_fp
+        FROM documents
+    )
+    SELECT prefix_fp,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT)   AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS first_doc_id
+    FROM fp GROUP BY prefix_fp HAVING count(*) > 1
+    """,
+)
+def cross_partition_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition leakage audit: documents sharing a 5-token prefix
+    fingerprint ACROSS languages/sources — the 'same boilerplate translated
+    or mirrored into several corpus slices' check a per-lang dedup misses
+    by construction (every dedup operator here restricts candidates to one
+    lang for scale). One fingerprint groupBy; at 100 TB the shuffle carries
+    16 bytes/doc and the HAVING drops the unique mass at the reducer."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5), " "
+    )
+    fp = d.select(
+        "doc_id", "lang", "source", F.md5(prefix.cast("binary")).alias("prefix_fp")
+    )
+    return (
+        fp.groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query("agg_approx_error_bounds")  # rows-only by nature: instruments the
+# approximate operators against their exact twins (like the recall queries)
+def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error instrumentation for the approximate aggregation surface:
+    approx_count_distinct and percentile_approx vs their exact twins over
+    orders, one row per (metric, group) with the relative error — the
+    driver record gets a hard number for how approximate 'approx' is each
+    round (the sketch configs are fixed, so drift means a data change).
+    At scale the approximate forms are the only affordable ones; this query
+    is the evidence they stay within their documented bounds (HLL ~2.3%,
+    quantile eps=0.01 here)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.023).alias("approx_nd"),
+        F.countDistinct("o_custkey").alias("exact_nd"),
+        F.percentile_approx("o_totalprice", 0.5, 100).alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
+    rel = lambda a, e: F.round(F.abs(a - e) / F.abs(e), 6)  # noqa: E731
+    return per.select(
+        "o_orderpriority",
+        "approx_nd",
+        "exact_nd",
+        rel(F.col("approx_nd").cast("double"), F.col("exact_nd").cast("double")).alias(
+            "nd_rel_err"
+        ),
+        F.round("approx_p50", 2).alias("approx_p50"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        rel(F.col("approx_p50"), F.col("exact_p50")).alias("p50_rel_err"),
+    )

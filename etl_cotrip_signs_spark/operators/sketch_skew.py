@@ -154,3 +154,53 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(means, "o_orderpriority").select(
         "o_orderpriority", "n_orders", "n_kept", "trimmed_mean"
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_returnflag, o.o_orderpriority,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(l.l_extendedprice, 2) AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag, o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN: the fact side's join key is salted into
+    ``SALT`` sub-keys and the (small, filtered) build side is replicated
+    once per salt value — the manual form of AQE's skew-join split, usable
+    when one key dominates so heavily that even AQE's partition splitting
+    leaves a straggler (or on engines/paths where AQE cannot apply, e.g.
+    inside some streaming joins). Result is hash-equal to the plain join:
+    salting only re-routes rows, it never changes the match set.
+
+    At 100 TB: the replicated side costs |build| × SALT rows of shuffle —
+    chosen only for build sides small enough that broadcast would almost
+    apply; the probe side's hot key spreads over SALT reducers instead of
+    one straggler."""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    # probe side: deterministic salt from the row's own content
+    li_salted = li.withColumn(
+        "__salt", (F.pmod(F.xxhash64("l_orderkey", "l_returnflag", "l_extendedprice"), F.lit(SALT))).cast("int")
+    )
+    # build side: one replica per salt value (explode a literal range)
+    o_rep = o.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    joined = li_salted.join(o_rep, (li_salted.l_orderkey == o_rep.o_orderkey) & (li_salted.__salt == o_rep.__salt))
+    return joined.groupBy("l_returnflag", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )

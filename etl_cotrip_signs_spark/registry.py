@@ -186,6 +186,9 @@ DRIVER_ORDER: list[str] = [
     "select_token_budget",
     "curriculum_buckets",
     "events_funnel_conversion",
+    "join_salted_skew",
+    "cross_partition_duplicate_audit",
+    "agg_approx_error_bounds",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

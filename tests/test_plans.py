@@ -174,3 +174,68 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q17_part_filter_is_broadcast(spark):
+    """The brand-filtered part side must broadcast (dimension discipline);
+    the decorrelated per-part aggregate keeps partial aggregation."""
+    df = registry.QUERIES["q17_small_quantity_revenue"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_q22_not_exists_is_left_anti(spark):
+    df = registry.QUERIES["q22_dormant_accounts"](spark, SF_SMALL)
+    assert plan_has(df, "LeftAnti"), formatted_plan(df)
+
+
+def test_q13_join_side_filter_stays_in_join(spark):
+    """Q13's priority filter lives in the join condition/orders side; the
+    customer side must NOT be filtered (every customer must survive into
+    the outer join) — i.e. the plan keeps LeftOuter."""
+    df = registry.QUERIES["q13_customer_distribution"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, plan
+
+
+def test_upsample_expansion_is_generate_no_shuffle_before_group(spark):
+    """The copy expansion must be a Generate (explode) — rows multiply
+    map-side; the only exchanges are the aggregation's."""
+    df = registry.QUERIES["upsample_fractional"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
+
+
+def test_token_budget_single_window_exchange(spark):
+    """select_token_budget is one window pass AND one exchange total: the
+    groupBy(lang) reuses the window's lang partitioning, so the final agg
+    adds no shuffle. (Formatted plans list each node twice — tree and
+    detail — so count the numbered detail entries.)"""
+    import re
+
+    df = registry.QUERIES["select_token_budget"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """join_salted_skew: the build side carries a Generate (salt replicas)
+    and the join key includes the salt column, so the hot orderkey spreads
+    across SALT reducers."""
+    df = registry.QUERIES["join_salted_skew"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
+    assert "__salt" in plan, plan
+
+
+def test_funnel_single_shuffle(spark):
+    """The funnel is one user_id aggregation (map-side partial mins) plus
+    the final single-row agg — exactly two exchanges, both preceded by
+    partial HashAggregates."""
+    import re
+
+    df = registry.QUERIES["events_funnel_conversion"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
