@@ -197,3 +197,74 @@ def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.length("n_name").cast("long").alias("name_len"),
     )
+
+
+@query(
+    "sort_within_partitions_check",
+    oracle="""
+    WITH bucketed AS (
+        SELECT o_orderkey,
+               CAST(floor(o_custkey / 100) AS BIGINT) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           count(*)                          AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT)   AS min_key,
+           CAST(max(o_orderkey) AS BIGINT)   AS max_key,
+           CAST(1 AS BIGINT)                 AS all_sorted
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def sort_within_partitions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort made driver-visible: repartition orders by a
+    bucket key, `sortWithinPartitions(o_orderkey)`, then VERIFY the
+    physical order with a mapInPandas monotonicity probe (Arrow batches
+    arrive in partition order, so `is_monotonic_increasing` per partition
+    chunk observes the real layout — SQL cannot see it). Emits per-bucket
+    (count, min, max, all_sorted); the oracle reproduces everything but
+    sortedness arithmetically and pins all_sorted = 1, so an engine that
+    stopped sorting flips the hash.
+
+    This is the write-side layout discipline for sorted runs: at 100 TB,
+    `repartition(k).sortWithinPartitions(key)` before a parquet write
+    yields min/max-clustered row groups (data-skipping on read) without
+    the global Exchange an `orderBy` would cost."""
+    import pandas as pd
+
+    ensure_confs(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_custkey") / 100).cast("long").alias("bucket"),
+    )
+    arranged = o.repartition(8, "bucket").sortWithinPartitions(
+        "bucket", "o_orderkey"
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # partition chunks arrive in order; per (chunk, bucket) the key
+            # column must already be non-decreasing
+            rows = [
+                (b, len(s), s.min(), s.max(), int(s.is_monotonic_increasing))
+                for b, s in pdf.groupby("bucket", sort=False)["o_orderkey"]
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["bucket", "n_rows", "min_key", "max_key", "all_sorted"],
+            )
+
+    per_part = arranged.mapInPandas(
+        probe,
+        "bucket long, n_rows long, min_key long, max_key long, all_sorted long",
+    )
+    # merge per-chunk stats (a partition may span several Arrow batches;
+    # min() over all_sorted ANDs the flags; cross-chunk boundary order is
+    # guaranteed by the within-partition sort on (bucket, key))
+    return per_part.groupBy("bucket").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+        F.min("all_sorted").alias("all_sorted"),
+    )

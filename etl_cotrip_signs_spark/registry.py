@@ -189,6 +189,7 @@ DRIVER_ORDER: list[str] = [
     "join_salted_skew",
     "cross_partition_duplicate_audit",
     "agg_approx_error_bounds",
+    "sort_within_partitions_check",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
