@@ -48,6 +48,10 @@ HEADLINE = [
     "knn_lsh_ann",
     "text_tfidf_top_term",
     "multimodal_decode_stub",
+    # round-3 additions: skew join, outer-join distribution, corpus composition
+    "join_salted_skew",
+    "q13_customer_distribution",
+    "select_token_budget",
 ]
 
 

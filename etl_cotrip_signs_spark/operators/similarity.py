@@ -553,3 +553,77 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+@query("kmeans_lloyd_embeddings")  # rows-only: iterative FP refinement has
+# no SQL oracle; pytest pins the invariants (monotone inertia, full coverage)
+def kmeans_lloyd_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    clustering primitive behind IVF cell construction and corpus
+    partitioning, written as the canonical Spark iteration:
+
+    - init: deterministic (first k vectors by vec_id — reproducible,
+      unlike sampled init)
+    - assign: broadcast the k×64 centroid table, argmin squared L2 via
+      builtin array expressions (posexplode + groupBy would also work;
+      the aggregate form keeps it one stage)
+    - update: posexplode assigned vectors → groupBy(cluster, pos) → avg →
+      collect back to k centroids. One shuffle per iteration, map-side
+      combinable, exactly the embedding_centroids shape.
+    - driver loop over n_iter rounds (k-means is O(iters) rounds by
+      nature; each round's state is k×64 doubles — broadcast-sized).
+
+    Emits per-cluster (n_vectors, inertia contribution) after n_iter
+    rounds. At 100 TB the per-round cost is one scan + one centroid-sized
+    shuffle; the centroid table never leaves broadcast range."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    # deterministic init: first k vectors by id
+    init = e.orderBy("vec_id").limit(k).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
+
+    def assign(df: DataFrame, cents) -> DataFrame:
+        cdf = spark.createDataFrame(
+            cents, "cluster int, centroid array<double>"
+        )
+        sq_dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = df.crossJoin(F.broadcast(cdf)).withColumn("d2", sq_dist)
+        w = W.partitionBy("vec_id").orderBy("d2", "cluster")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster", "d2")
+        )
+
+    assigned = None
+    for _ in range(n_iter):
+        assigned = assign(e, centroids)
+        new_cents = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs")
+            )
+            .select(
+                "cluster",
+                F.transform("pairs", lambda p: p.getField("cv")).alias("centroid"),
+            )
+            .collect()
+        )
+        centroids = [(r["cluster"], list(r["centroid"])) for r in new_cents]
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+        )
+    )

@@ -466,3 +466,49 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("email_chars"),
         clean.contains("@").alias("still_has_at"),
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM words, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction, step one of BPE training: count
+    adjacent-character pairs inside words across the corpus and rank the
+    top merge candidates. The full BPE loop repeats this count after each
+    merge; one iteration is the distributed primitive (count pairs →
+    argmax), and this query is that primitive, oracle-checked.
+
+    Shape: split → explode words → explode character-pair substrings
+    (two generators, both map-side) → one count shuffle whose key space is
+    bounded by |alphabet|² — at 100 TB the combine makes the shuffle tiny
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pairs = words.select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

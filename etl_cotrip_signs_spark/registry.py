@@ -190,6 +190,8 @@ DRIVER_ORDER: list[str] = [
     "cross_partition_duplicate_audit",
     "agg_approx_error_bounds",
     "sort_within_partitions_check",
+    "bpe_merge_candidates",
+    "kmeans_lloyd_embeddings",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

@@ -266,3 +266,33 @@ def test_greedy_packing_invariants(spark):
     a = greedy.sort_values(["lang", "bin_id"]).reset_index(drop=True)
     b = again.sort_values(["lang", "bin_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_kmeans_lloyd_invariants(spark):
+    """Lloyd's k-means: every vector assigned exactly once, at most k
+    clusters, non-negative inertia, and bit-identical across reruns
+    (deterministic init + fixed iteration count)."""
+    from etl_cotrip_signs_spark import registry
+    from .conftest import SF_ORACLE
+
+    registry.load_all()
+    out = registry.QUERIES["kmeans_lloyd_embeddings"](spark, SF_ORACLE).toPandas()
+    assert out.n_vectors.sum() == 500  # all vectors assigned
+    assert len(out) <= 8
+    assert (out.inertia >= 0).all()
+    again = registry.QUERIES["kmeans_lloyd_embeddings"](spark, SF_ORACLE).toPandas()
+    a = out.sort_values("cluster").reset_index(drop=True)
+    b = again.sort_values("cluster").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_kmeans_inertia_improves_over_first_assignment(spark):
+    """Three Lloyd's rounds must not be worse than the round-0 assignment
+    (inertia is non-increasing in exact arithmetic; FP avg noise is far
+    below the gap on this fixture)."""
+    from etl_cotrip_signs_spark.operators.similarity import kmeans_lloyd_embeddings
+    from .conftest import SF_ORACLE
+
+    one = kmeans_lloyd_embeddings(spark, SF_ORACLE, n_iter=1).toPandas()
+    three = kmeans_lloyd_embeddings(spark, SF_ORACLE, n_iter=3).toPandas()
+    assert three.inertia.sum() <= one.inertia.sum() + 1e-6
