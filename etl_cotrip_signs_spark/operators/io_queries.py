@@ -268,3 +268,48 @@ def sort_within_partitions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_key").alias("max_key"),
         F.min("all_sorted").alias("all_sorted"),
     )
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(NULL AS BIGINT) AS n_regionkey, 'v1' AS file_version
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name,
+           CAST(n_regionkey AS BIGINT), 'v2'
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet file generations — v1 lacks
+    the n_regionkey column, v2 carries it — land in one directory; a
+    `mergeSchema` read reconciles them (missing columns null-filled).
+    The oracle reconstructs the union arithmetically, so a regression in
+    merge semantics (column dropped, wrong null side) flips the hash.
+
+    At scale this is the ingest reality: years of files with drifting
+    schemas read as one table; mergeSchema reconciles footers at planning
+    time (cost scales with file count, not data — for stable prod schemas,
+    pin an explicit read schema instead)."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "nation_evolution")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = n.filter(F.col("n_nationkey") < 10).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.lit("v1").alias("file_version"),
+    )
+    v2 = n.filter(F.col("n_nationkey") >= 10).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.lit("v2").alias("file_version"),
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.coalesce(1).write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey", "file_version")

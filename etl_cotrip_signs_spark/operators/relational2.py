@@ -243,3 +243,94 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.count(F.lit(1)).over(w_size).alias("session_size"),
     )
+
+
+@query(
+    "events_resample_gapfill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS hour_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+        SELECT user_id, min(h) AS h_lo, max(h) AS h_hi FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id, g.h
+        FROM span s, LATERAL (
+            SELECT unnest(generate_series(s.h_lo, s.h_hi, INTERVAL 1 HOUR)) AS h
+        ) g
+    ),
+    filled AS (
+        SELECT g.user_id, g.h, o.hour_value,
+               last_value(o.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS ffill_value
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    )
+    SELECT user_id,
+           count(*) AS n_hours,
+           CAST(count(hour_value) AS BIGINT) AS n_observed,
+           CAST(count(*) - count(hour_value) AS BIGINT) AS n_filled,
+           round(CAST(sum(CAST(round(ffill_value, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS ffill_total
+    FROM filled GROUP BY user_id
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill: per user, hourly buckets over
+    the user's own active span, gap hours materialized from a
+    sequence-explode grid, missing values forward-filled with
+    last(ignorenulls) — the resample→ffill primitive of feature pipelines.
+
+    Shape: one agg shuffle (user, hour) with map-side combine; the grid is
+    a generator off the per-user span (no driver loop, no range table);
+    the ffill is one window pass reusing the user partitioning. At 100 TB
+    the grid is bounded by users × span-hours, independent of event count
+    — and the exact-DECIMAL discipline keeps the fill sums hash-stable."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("hour_value"),
+        )
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h_lo"), F.col("h_hi"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = joined.withColumn(
+        "ffill_value", F.last("hour_value", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("hour_value").alias("n_observed"),
+        (F.count(F.lit(1)) - F.count("hour_value")).alias("n_filled"),
+        F.round(
+            F.sum(F.round(F.col("ffill_value"), 2).cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("ffill_total"),
+    )

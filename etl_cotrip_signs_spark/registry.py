@@ -192,6 +192,9 @@ DRIVER_ORDER: list[str] = [
     "sort_within_partitions_check",
     "bpe_merge_candidates",
     "kmeans_lloyd_embeddings",
+    "events_resample_gapfill",
+    "schema_evolution_roundtrip",
+    "stream_foreach_batch_upsert",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

@@ -503,3 +503,126 @@ def stream_partitioned_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_value"),
     )
+
+
+@query(
+    "stream_foreach_batch_upsert",
+    # Final upserted state == batch latest-event-per-user; argmax is made
+    # deterministic with the event_id tiebreak. (DuckDB max_by has no
+    # struct comparator overload, so the oracle ranks with a window.)
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           round(value, 2)   AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch: each micro-batch upserts a
+    per-user (n_events, last_value) table on plain parquet — reduce the
+    batch to one row per user, anti-join the current table, merge counts
+    and take the later (ts, event_id) value. The incremental-maintenance
+    shape for engines without MERGE INTO; with Delta/Iceberg the body
+    becomes one MERGE statement and the surrounding code is unchanged.
+
+    Exactly-once trail: foreachBatch can replay a batch on recovery, so
+    the upsert keys on batch_id — a replayed batch overwrites its own
+    output directory instead of double-counting (idempotent write), the
+    same discipline the file-sink commit log automates."""
+    import hashlib
+
+    ensure_confs(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    e = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return run_foreach_batch_upsert(
+        e, f"/tmp/spark_graft_fb_upsert/{tag}"
+    )
+
+
+def run_foreach_batch_upsert(events_stream: DataFrame, base: str) -> DataFrame:
+    """Core of stream_foreach_batch_upsert, parameterized over the source
+    stream so tests can drive it with a multi-file directory +
+    maxFilesPerTrigger=1 (several micro-batches → the merge branch runs,
+    not just the first-batch passthrough)."""
+    import shutil
+
+    spark = events_stream.sparkSession
+    state_dir, ckpt_dir = f"{base}/state", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    e = events_stream
+
+    def upsert(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by(
+                F.round(F.col("value"), 2), F.struct("ts", "event_id")
+            ).alias("last_value"),
+            F.max(F.struct("ts", "event_id")).alias("last_key"),
+        )
+        try:
+            cur = s.read.parquet(state_dir)
+        except Exception:  # first batch: no state yet
+            cur = None
+        if cur is None:
+            merged = delta
+        else:
+            # full-outer merge: three row classes — state-only (keep),
+            # delta-only (insert: users first seen this batch), matched
+            # (update). Round 3's first cut dropped the delta-only class;
+            # test_foreach_batch_upsert_multi_batch_merge pins it now.
+            keep = cur.join(delta, "user_id", "left_anti")
+            insert = delta.join(cur, "user_id", "left_anti")
+            both = (
+                cur.join(
+                    delta.select(
+                        "user_id",
+                        F.col("n_events").alias("d_n"),
+                        F.col("last_value").alias("d_val"),
+                        F.col("last_key").alias("d_key"),
+                    ),
+                    "user_id",
+                )
+                .select(
+                    "user_id",
+                    (F.col("n_events") + F.col("d_n")).alias("n_events"),
+                    # the delta's events are later pages of the chain, but
+                    # compare keys anyway — replay order is not guaranteed
+                    F.when(F.col("d_key") > F.col("last_key"), F.col("d_val"))
+                    .otherwise(F.col("last_value"))
+                    .alias("last_value"),
+                    F.greatest("d_key", "last_key").alias("last_key"),
+                )
+            )
+            merged = keep.unionByName(both).unionByName(insert)
+        # idempotent overwrite: state is rebuilt whole per batch (state is
+        # user-count-sized, far smaller than the stream); a replayed batch
+        # rewrites the same result
+        merged.write.mode("overwrite").parquet(f"{state_dir}_next")
+        s.read.parquet(f"{state_dir}_next").write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        e.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.parquet(state_dir)
+    return back.select(
+        "user_id", "n_events", F.round("last_value", 2).alias("last_value")
+    )

@@ -98,3 +98,42 @@ def test_transform_with_state_always_registered(spark):
         assert len(rows) == 1
         assert rows[0]["available"] is False
         assert "protobuf" in rows[0]["reason"]
+
+
+def test_foreach_batch_upsert_multi_batch_merge(spark, tmp_path):
+    """Force MULTIPLE micro-batches (one file each) so the upsert's merge
+    branch runs: later batches must add counts and replace last_value only
+    when their (ts, event_id) key is later. Final state == batch argmax."""
+    from pyspark.sql import functions as F
+
+    from etl_cotrip_signs_spark.streaming.queries import run_foreach_batch_upsert
+
+    rows = [
+        # (event_id, ts_str, user_id, value)  — user 1 spans all 3 files
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (2, "2024-01-01 00:01:00", 2, 20.0),
+        (3, "2024-01-01 00:02:00", 1, 30.0),
+        (4, "2024-01-01 00:00:30", 3, 40.0),
+        (5, "2024-01-01 00:03:00", 1, 50.0),
+        # same ts as event 5: event_id tiebreak picks 6
+        (6, "2024-01-01 00:03:00", 1, 60.0),
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    data_dir = tmp_path / "events_files"
+    for i, chunk in enumerate(([rows[0], rows[1]], [rows[2], rows[3]], [rows[4], rows[5]])):
+        spark.createDataFrame(
+            chunk, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(data_dir / f"part{i}"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(data_dir))
+    )
+    out = run_foreach_batch_upsert(stream, str(tmp_path / "fb")).toPandas()
+    got = {int(r.user_id): (int(r.n_events), float(r.last_value)) for r in out.itertuples()}
+    assert got == {1: (4, 60.0), 2: (1, 20.0), 3: (1, 40.0)}
