@@ -442,3 +442,268 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH min_bal AS (
+        SELECT s_nationkey, min(s_acctbal) AS min_bal
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN min_bal m ON s.s_nationkey = m.s_nationkey
+                  AND s.s_acctbal = m.min_bal
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min subquery (the per-region min-cost
+    supplier) decorrelated into a grouped-min + equality re-join — on this
+    schema, the minimum-balance supplier per nation.
+
+    Scale: the grouped min is a tiny aggregate (one row per nation),
+    broadcast back onto the supplier scan; the nation dim broadcasts. No
+    shuffle touches the fact-sized side beyond the initial aggregate."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    min_bal = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(min_bal.withColumnRenamed("s_nationkey", "mk")),
+            (F.col("s_nationkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                     AS DOUBLE), 2) AS supp_value
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    total AS (
+        SELECT CAST(sum(CAST(supp_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM per_supp
+    )
+    SELECT p.l_suppkey, p.supp_value
+    FROM per_supp p, total t
+    WHERE p.supp_value > t.total_value * 0.011
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global-scalar fraction — keep
+    suppliers whose lineitem value exceeds 1.1% of the total. The global
+    scalar is the same aggregate re-reduced, joined back as a one-row
+    broadcast (Catalyst's rewrite of scalar subqueries, written out).
+
+    Scale: one supplier-keyed shuffle with map-side combine; AQE reuses
+    the exchange for the total; the threshold join is a literal
+    comparison against a broadcast single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("supp_value")
+    )
+    total = per_supp.agg(
+        F.sum(F.col("supp_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        per_supp.join(F.broadcast(total))
+        .filter(F.col("supp_value") > F.col("total_value") * 0.011)
+        .select("l_suppkey", "supp_value")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2)
+                     AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregated view + scalar-max filter — the
+    top-revenue supplier for a quarter, ties preserved (all max-revenue
+    suppliers survive, the spec's required tie semantics — NOT a limit 1).
+
+    Scale: the revenue view is one combined shuffle; the max is a one-row
+    broadcast; supplier joins broadcast. The quarter filter pushes to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+                    ).cast("decimal(18,2)")
+                ).cast("double"),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_sum_fixed('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate blocks spanning both join
+    sides. Catalyst extracts the common join key and pushes the
+    per-relation parts of each disjunct (brand/size to part, quantity to
+    lineitem as an OR-range) into the scans; the residual disjunction
+    evaluates post-join.
+
+    Scale: the part side (brand-filtered by the union of disjuncts)
+    broadcasts; nothing degenerates to a nested-loop join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(disj).agg(
+        sum_fixed(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT l1.l_suppkey, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_waiting
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+    )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS on the same
+    fact table — suppliers who were the LAST to ship in multi-supplier
+    finished orders. Both correlations decorrelate to per-order aggregates
+    (supplier count; max shipdate of OTHER suppliers), computed once and
+    re-joined — three shuffles on orderkey total, instead of two
+    nested-loop correlations.
+
+    The NOT EXISTS becomes: no other supplier shipped later ⇔ this row's
+    shipdate equals the order's max shipdate AND (single tie-holder ⇔ the
+    max is held only by this supplier). Computed via per-(order, supplier)
+    max vs per-order max over others: max_other = max over the order
+    excluding rows of this supplier, derived from the top-2 distinct
+    (shipdate, suppkey) pairs per order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li_f = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    # per (order, supplier): my latest shipment
+    per_os = li_f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("my_max")
+    )
+    # max shipdate among OTHER suppliers = max over per_os rows of the
+    # order excluding mine: top-2 my_max values per order suffice
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_orderkey").orderBy(F.col("my_max").desc())
+    top2 = (
+        per_os.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("my_max"))).alias("m1"),
+            F.max(F.when(F.col("rk") == 1, F.col("l_suppkey"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("my_max"))).alias("m2"),
+        )
+    )
+    cand = (
+        per_os.join(per_order, "l_orderkey")
+        .join(top2, "l_orderkey")
+        .filter(F.col("n_supp") >= 2)  # EXISTS other supplier
+        .withColumn(
+            "max_other",
+            F.when(F.col("l_suppkey") == F.col("s1"), F.col("m2")).otherwise(
+                F.col("m1")
+            ),
+        )
+        # NOT EXISTS other-supplier-later ⇔ my latest >= every other's
+        .filter(F.col("my_max") >= F.col("max_other"))
+    )
+    return cand.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").alias("n_waiting")
+    )

@@ -195,6 +195,11 @@ DRIVER_ORDER: list[str] = [
     "events_resample_gapfill",
     "schema_evolution_roundtrip",
     "stream_foreach_batch_upsert",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q21_waiting_orders",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
