@@ -89,3 +89,77 @@ def test_exact_dedup_idempotent(spark, texts):
     twice = dedup(once)
     assert sorted(once.collect()) == sorted(twice.collect())
     assert once.select("text").distinct().count() == once.count()
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.0, max_value=4.0, allow_nan=False), min_size=1, max_size=6
+    ),
+    n_docs=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_upsample_conservation_property(spark, weights, n_docs):
+    """Fractional upsampling conservation: emitted rows == sum of per-doc
+    n_copies, every n_copies ∈ {floor(w), ceil(w)}, and the expansion is
+    deterministic — for any weight assignment."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), len(weights))).cast("int").alias("wi"),
+    )
+    w = F.lit(None).cast("double")
+    for i, wv in enumerate(weights):
+        w = F.when(F.col("wi") == i, F.lit(wv)).otherwise(w)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":up"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1_000_000
+    )
+    n_copies = (
+        F.floor(w).cast("long")
+        + F.when(bucket < ((w - F.floor(w)) * 1_000_000).cast("long"), 1).otherwise(0)
+    )
+    base = docs.select("doc_id", n_copies.alias("n_copies"))
+    arr = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies").cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    expanded = base.withColumn("ci", F.explode(arr))
+    total_copies = base.agg(F.sum("n_copies")).first()[0]
+    assert expanded.count() == total_copies
+    rows = base.collect()
+    import math
+    for r in rows:
+        wv = weights[r["doc_id"] % len(weights)]
+        assert r["n_copies"] in (math.floor(wv), math.ceil(wv))
+
+
+@given(budget=st.integers(min_value=1, max_value=5000))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_token_budget_never_exceeded_property(spark, budget):
+    """select_token_budget invariant: for any budget, the selected prefix's
+    cumulative tokens per lang never exceeds the budget, and selection is a
+    prefix of the quality ordering (no doc skipped then a worse one taken)."""
+    from pyspark.sql import Window as W, functions as F
+
+    d = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 3)).cast("string").alias("lang"),
+        (F.pmod(F.col("id") * 37 + 11, 97) + 1).alias("n_tokens"),
+        (F.pmod(F.col("id") * 53 + 7, 199)).alias("quality"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = d.withColumn("cum", F.sum("n_tokens").over(w))
+    sel = ranked.filter(F.col("cum") <= budget)
+    assert sel.filter(F.col("cum") > budget).count() == 0
+    # prefix property: within a lang, every selected row's predecessors in
+    # the quality order are also selected
+    w2 = W.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    flagged = ranked.withColumn("sel", (F.col("cum") <= budget).cast("int")) \
+        .withColumn("prev_sel", F.lag("sel", 1, 1).over(w2))
+    assert flagged.filter((F.col("sel") == 1) & (F.col("prev_sel") == 0)).count() == 0
