@@ -382,3 +382,63 @@ def signs_config_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "case_name string, outcome string, allowed string, debug_flag int"
     )
+
+
+@query("signs_datasource_writer_sink", oracle=_REST_PIPELINE_ORACLE)
+def signs_datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 through the Spark 4 Python DataSource WRITER: the reference
+    pipeline's output written with `df.write.format("signs_sink")` —
+    executor-side bounded FeatureCollection batches staged per task, an
+    all-or-nothing manifest commit (sinks/http.py::SignsSinkWriter) — then
+    the committed batches read back and re-projected to the same canonical
+    rows the REST-pipeline oracle checks. An uncommitted/aborted write
+    leaves no manifest and the read-back sees nothing: the exactly-once
+    property is what this query proves end-to-end.
+
+    (The read-back parse is a driver-side loop over the handful of staged
+    fixture files — the distributed artifact under test is the write path;
+    a real deployment swaps the staged files for HTTP POSTs.)"""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+
+    from ..sinks.http import HAS_DATASOURCE_WRITER, SignsSinkDataSource
+
+    out = signs_pipeline(
+        read_signs(spark, file_fetcher(_PAGES_DIR)),
+        ["Point", "LineString", "Polygon"],
+    )
+    if not HAS_DATASOURCE_WRITER:  # pragma: no cover - old Spark
+        return out.select("id", "geom_type", "coordinates")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    sink_dir = f"/tmp/spark_graft_signs_sink/{tag}"
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    spark.dataSource.register(SignsSinkDataSource)
+    (
+        out.write.format("signs_sink")
+        .option("path", sink_dir)
+        .option("batch_size", "4")
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(sink_dir, "_MANIFEST.json")) as fh:
+        committed = _json.load(fh)["committed"]
+    rows = []
+    for p in committed:
+        with open(p) as fh:
+            fc = _json.load(fh)
+        assert fc["type"] == "FeatureCollection"
+        for feat in fc["features"]:
+            rows.append(
+                (
+                    feat["id"],
+                    feat["geometry"]["type"],
+                    _json.dumps(
+                        feat["geometry"]["coordinates"], separators=(",", ":")
+                    ),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "id string, geom_type string, coordinates string"
+    )

@@ -200,6 +200,7 @@ DRIVER_ORDER: list[str] = [
     "q15_top_supplier",
     "q19_disjunctive_predicates",
     "q21_waiting_orders",
+    "signs_datasource_writer_sink",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
