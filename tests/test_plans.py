@@ -239,3 +239,26 @@ def test_funnel_single_shuffle(spark):
     df = registry.QUERIES["events_funnel_conversion"](spark, SF_SMALL)
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_q21_no_cartesian_no_bnlj(spark):
+    """q21's double decorrelation must stay hash/sort-merge joins on
+    orderkey — a correlated rewrite gone wrong shows up as
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    df = registry.QUERIES["q21_waiting_orders"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q19_part_side_broadcasts(spark):
+    df = registry.QUERIES["q19_disjunctive_predicates"](spark, SF_SMALL)
+    assert_broadcast_join(df)
+
+
+def test_resample_grid_is_generate(spark):
+    """The hour grid comes from a Generate (sequence-explode off the span
+    aggregate), not a join against a materialized range table."""
+    df = registry.QUERIES["events_resample_gapfill"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
