@@ -201,6 +201,7 @@ DRIVER_ORDER: list[str] = [
     "q19_disjunctive_predicates",
     "q21_waiting_orders",
     "signs_datasource_writer_sink",
+    "stream_rocksdb_state_agg",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

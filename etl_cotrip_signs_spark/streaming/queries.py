@@ -626,3 +626,58 @@ def run_foreach_batch_upsert(events_stream: DataFrame, base: str) -> DataFrame:
     return back.select(
         "user_id", "n_events", F.round("last_value", 2).alias("last_value")
     )
+
+
+@query(
+    "stream_rocksdb_state_agg",
+    # Same math as the tumbling query at a different granularity; what this
+    # row evidences is the STATE BACKEND: the aggregation state lives in
+    # RocksDB, not the JVM heap.
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT) AS window_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation on the RocksDB state store provider —
+    the 100 TB state backend (heap state OOMs once keyspace × watermark
+    exceeds executor memory; RocksDB spills to local SSD and checkpoints
+    incrementally via changelog). The provider is a session conf, so it is
+    set for this query's lifetime and restored after; if this Spark build
+    lacks RocksDB (not expected on 3.2+), the query falls back to the
+    default provider and still verifies the same oracle — the CORRECTNESS
+    row then certifies values only, not the backend."""
+    ensure_confs(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        e = read_events_stream(spark, sf_dir)
+        agg = (
+            e.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                ).alias("sum_value"),
+            )
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("window_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        return run_to_completion(agg, "mem_stream_rocksdb_state", "complete")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
