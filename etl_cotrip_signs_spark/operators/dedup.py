@@ -435,32 +435,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
         .agg(F.count(F.lit(1)).alias("inter_cold"))
     )
-    # per-doc hot-shingle arrays: bounded by construction — every hot
-    # shingle has df > n_docs·df_frac, so a lang has fewer than
-    # avg_shingles_per_doc/df_frac hot shingles total; the per-doc array is
-    # at most that, independent of corpus size, hence broadcastable
+    # per-doc hot-shingle arrays: each ARRAY is bounded by construction
+    # (every hot shingle has df > n_docs·df_frac, so a lang has fewer than
+    # avg_shingles_per_doc/df_frac distinct hot shingles — a constant), but
+    # the TABLE has up to one row per document, so it is NOT broadcast:
+    # the joins below shuffle on doc id and AQE broadcasts only when the
+    # hot table is actually small (fixture scale). What matters at 100 TB
+    # is the payload — a handful of int64s per doc vs the full shingle
+    # arrays the round-2 verify shipped.
     hot_per_doc = (
         post.join(F.broadcast(hot), ["s", "lang"], "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("hot_arr"))
-        .localCheckpoint(eager=False)  # two broadcasts below; compute once
+        .localCheckpoint(eager=False)  # two joins below; compute once
     )
     empty = F.array().cast("array<bigint>")
     pairs = (
         pair_cold.join(
-            F.broadcast(
-                hot_per_doc.select(
-                    F.col("doc_id").alias("doc_a"), F.col("hot_arr").alias("hot_a")
-                )
+            hot_per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("hot_arr").alias("hot_a")
             ),
             "doc_a",
             "left",
         )
         .join(
-            F.broadcast(
-                hot_per_doc.select(
-                    F.col("doc_id").alias("doc_b"), F.col("hot_arr").alias("hot_b")
-                )
+            hot_per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("hot_arr").alias("hot_b")
             ),
             "doc_b",
             "left",

@@ -11,21 +11,18 @@ partition values) breaks the hash match.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 from ..registry import query
 from ..sinks.files import write_parquet
 from ..sources.readers import read_csv, read_jsonl
-from ..session import ensure_confs
+from ..session import ensure_confs, scratch_dir
 
 
 def _scratch(sf_dir: str, tag: str) -> str:
-    """Deterministic per-sf scratch path (parallel sf runs can't collide)."""
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_io/{h}/{tag}"
+    """Deterministic per-sf scratch path (see session.scratch_dir)."""
+    return scratch_dir(tag, sf_dir)
 
 
 @query(

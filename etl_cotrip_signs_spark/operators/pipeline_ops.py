@@ -113,6 +113,39 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def upsample_n_copies_expr(w: F.Column, id_col: F.Column) -> F.Column:
+    """Deterministic per-row copy count for fractional weight ``w``:
+    floor(w) copies always, +1 when the row's md5 bucket falls under the
+    fractional part. BOTH the fraction-to-threshold conversion and the
+    bucket use explicit floor/truncation — DuckDB's CAST(double AS BIGINT)
+    rounds-to-nearest while Spark's cast('long') truncates, so the
+    threshold must be floored on both sides or a bucket equal to the
+    boundary diverges between engines (caught in round-3 review)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(":up"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    threshold = F.floor((w - F.floor(w)) * 1_000_000).cast("long")
+    return F.floor(w).cast("long") + F.when(bucket < threshold, 1).otherwise(0)
+
+
+def upsample_copies_array(n_copies: F.Column) -> F.Column:
+    """1..n_copies as an array, empty when n_copies == 0.
+
+    GOTCHA: sequence(1, 0) yields a DESCENDING [1, 0] — Spark's sequence
+    auto-steps -1 when stop < start — so zero-copy rows must map to an
+    explicit empty array (explode_outer then keeps them as a null-idx row
+    so doc counts still see them)."""
+    return F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+
 @query(
     "upsample_fractional",
     oracle="""
@@ -125,7 +158,7 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                CAST(floor(w) AS BIGINT)
                + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up'), 1, 8)) AS BIGINT)
-                           % 1000000 < CAST((w - floor(w)) * 1000000 AS BIGINT)
+                           % 1000000 < CAST(floor((w - floor(w)) * 1000000) AS BIGINT)
                       THEN 1 ELSE 0 END AS n_copies
         FROM weighted
     )
@@ -150,31 +183,8 @@ def upsample_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.when(F.col("source").isin("src0", "src1"), F.lit(2.3)).otherwise(
         F.lit(0.8)
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":up"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
-    n_copies = (
-        F.floor(w).cast("long")
-        + F.when(
-            bucket < ((w - F.floor(w)) * 1_000_000).cast("long"), 1
-        ).otherwise(0)
-    ).alias("n_copies")
-    # GOTCHA: sequence(1, 0) yields a DESCENDING [1, 0] — Spark's sequence
-    # auto-steps -1 when stop < start — so zero-copy docs must map to an
-    # explicit empty array, and explode_outer (not explode) keeps them as
-    # a null-idx row so n_docs still counts them.
-    copies_arr = F.when(
-        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies").cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
+    n_copies = upsample_n_copies_expr(w, F.col("doc_id")).alias("n_copies")
+    copies_arr = upsample_copies_array(F.col("n_copies"))
     expanded = d.select("doc_id", "source", n_copies).withColumn(
         "copy_idx", F.explode_outer(copies_arr)
     )

@@ -398,11 +398,11 @@ def signs_datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The read-back parse is a driver-side loop over the handful of staged
     fixture files — the distributed artifact under test is the write path;
     a real deployment swaps the staged files for HTTP POSTs.)"""
-    import hashlib
     import json as _json
     import os
     import shutil
 
+    from ..session import scratch_dir
     from ..sinks.http import HAS_DATASOURCE_WRITER, SignsSinkDataSource
 
     out = signs_pipeline(
@@ -411,8 +411,7 @@ def signs_datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not HAS_DATASOURCE_WRITER:  # pragma: no cover - old Spark
         return out.select("id", "geom_type", "coordinates")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    sink_dir = f"/tmp/spark_graft_signs_sink/{tag}"
+    sink_dir = scratch_dir("signs_sink", sf_dir)
     shutil.rmtree(sink_dir, ignore_errors=True)
     spark.dataSource.register(SignsSinkDataSource)
     (

@@ -68,3 +68,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return ensure_confs(spark)
+
+
+def scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(sf_dir, tag) scratch path for queries that stage
+    files (IO roundtrips, sinks, foreachBatch state). Keyed on a hash of
+    sf_dir so parallel runs against different scale factors cannot collide;
+    deterministic (no run id) so a query re-invocation in one session
+    reuses/overwrites its own directory instead of leaking a new one per
+    call. Single definition — the md5-tag idiom previously lived in three
+    drifting copies."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_scratch/{h}/{tag}"

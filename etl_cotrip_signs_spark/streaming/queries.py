@@ -476,14 +476,15 @@ def stream_partitioned_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uncommitted files are invisible to the read-back); partition
     directories give downstream partition pruning — the landing-zone shape
     of a 100 TB ingest."""
-    import hashlib
     import shutil
 
+    from ..session import scratch_dir
+
     ensure_confs(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_dir = f"/tmp/spark_graft_stream_sink/{tag}/data"
-    ckpt_dir = f"/tmp/spark_graft_stream_sink/{tag}/ckpt"
-    shutil.rmtree(f"/tmp/spark_graft_stream_sink/{tag}", ignore_errors=True)
+    base = scratch_dir("stream_sink", sf_dir)
+    out_dir = f"{base}/data"
+    ckpt_dir = f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
     e = read_events_stream(spark, sf_dir).select("event_id", "ts", "event_type", "value")
     q = (
         e.writeStream.format("parquet")
@@ -534,35 +535,82 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes one MERGE statement and the surrounding code is unchanged.
 
     Exactly-once trail: foreachBatch can replay a batch on recovery, so
-    the upsert keys on batch_id — a replayed batch overwrites its own
-    output directory instead of double-counting (idempotent write), the
-    same discipline the file-sink commit log automates."""
-    import hashlib
+    state versions are keyed on batch_id behind an atomically-renamed
+    pointer file — a replayed batch either finds the pointer already
+    advanced (skip) or recomputes from the pre-batch version (same
+    result); it can never merge into its own output
+    (test_foreach_batch_upsert_replay_idempotent)."""
+    from ..session import scratch_dir
 
     ensure_confs(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     e = read_events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "value"
     )
-    return run_foreach_batch_upsert(
-        e, f"/tmp/spark_graft_fb_upsert/{tag}"
-    )
+    return run_foreach_batch_upsert(e, scratch_dir("fb_upsert", sf_dir))
 
 
 def run_foreach_batch_upsert(events_stream: DataFrame, base: str) -> DataFrame:
     """Core of stream_foreach_batch_upsert, parameterized over the source
     stream so tests can drive it with a multi-file directory +
     maxFilesPerTrigger=1 (several micro-batches → the merge branch runs,
-    not just the first-batch passthrough)."""
+    not just the first-batch passthrough).
+
+    Replay idempotence: each batch writes a NEW state version directory
+    (`state_b{batch_id}`) and then atomically renames a pointer file to
+    it. A replayed batch_id either (a) sees the pointer already at or past
+    itself and skips, or (b) reads the version the pointer names — always
+    the pre-batch state, never its own partial output — and deterministically
+    recomputes the same merge. A crash between version write and pointer
+    rename leaves an unreferenced directory, not corrupt state; a corrupt
+    referenced version is a hard error (no broad except to silently reset
+    state — that was round 3's first cut, caught in review)."""
     import shutil
 
     spark = events_stream.sparkSession
-    state_dir, ckpt_dir = f"{base}/state", f"{base}/ckpt"
+    ckpt_dir = f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
     e = events_stream
+    upsert, read_ptr = make_upsert_fn(base)
+
+    q = (
+        e.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.parquet(read_ptr()["dir"])
+    return back.select(
+        "user_id", "n_events", F.round("last_value", 2).alias("last_value")
+    )
+
+
+def make_upsert_fn(base: str):
+    """Build the (upsert, read_ptr) pair over a state directory — separate
+    from the stream driver so tests can invoke upsert directly with a
+    repeated batch_id (the replay case a single-source stream never
+    exercises naturally)."""
+    import json as _json
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    ptr_path = f"{base}/_ptr.json"
+
+    def read_ptr() -> dict:
+        try:
+            with open(ptr_path) as fh:
+                return _json.load(fh)
+        except FileNotFoundError:
+            return {"batch": -1, "dir": None}
 
     def upsert(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
+        ptr = read_ptr()
+        if batch_id <= ptr["batch"]:
+            return  # replayed batch already applied — idempotent skip
+        cur = s.read.parquet(ptr["dir"]) if ptr["dir"] else None
         delta = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max_by(
@@ -570,10 +618,6 @@ def run_foreach_batch_upsert(events_stream: DataFrame, base: str) -> DataFrame:
             ).alias("last_value"),
             F.max(F.struct("ts", "event_id")).alias("last_key"),
         )
-        try:
-            cur = s.read.parquet(state_dir)
-        except Exception:  # first batch: no state yet
-            cur = None
         if cur is None:
             merged = delta
         else:
@@ -605,27 +649,17 @@ def run_foreach_batch_upsert(events_stream: DataFrame, base: str) -> DataFrame:
                 )
             )
             merged = keep.unionByName(both).unionByName(insert)
-        # idempotent overwrite: state is rebuilt whole per batch (state is
-        # user-count-sized, far smaller than the stream); a replayed batch
-        # rewrites the same result
-        merged.write.mode("overwrite").parquet(f"{state_dir}_next")
-        s.read.parquet(f"{state_dir}_next").write.mode("overwrite").parquet(
-            state_dir
-        )
+        # versioned write + atomic pointer advance (state is user-count-
+        # sized, far smaller than the stream, so whole-version rewrite is
+        # the cheap, layout-independent choice)
+        version_dir = f"{base}/state_b{batch_id}"
+        merged.write.mode("overwrite").parquet(version_dir)
+        tmp = f"{ptr_path}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"batch": batch_id, "dir": version_dir}, fh)
+        os.replace(tmp, ptr_path)  # atomic on POSIX
 
-    q = (
-        e.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
-    back = spark.read.parquet(state_dir)
-    return back.select(
-        "user_id", "n_events", F.round("last_value", 2).alias("last_value")
-    )
+    return upsert, read_ptr
 
 
 @query(

@@ -104,6 +104,11 @@ def test_upsample_conservation_property(spark, weights, n_docs):
     deterministic — for any weight assignment."""
     from pyspark.sql import functions as F
 
+    from etl_cotrip_signs_spark.operators.pipeline_ops import (
+        upsample_copies_array,
+        upsample_n_copies_expr,
+    )
+
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         (F.pmod(F.col("id"), len(weights))).cast("int").alias("wi"),
@@ -111,21 +116,14 @@ def test_upsample_conservation_property(spark, weights, n_docs):
     w = F.lit(None).cast("double")
     for i, wv in enumerate(weights):
         w = F.when(F.col("wi") == i, F.lit(wv)).otherwise(w)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":up"))), 1, 8),
-            16, 10,
-        ).cast("long") % 1_000_000
+    # the PRODUCTION expressions, not an inline copy — a regression in the
+    # operator's threshold/sequence logic must fail this property
+    base = docs.select(
+        "doc_id", upsample_n_copies_expr(w, F.col("doc_id")).alias("n_copies")
     )
-    n_copies = (
-        F.floor(w).cast("long")
-        + F.when(bucket < ((w - F.floor(w)) * 1_000_000).cast("long"), 1).otherwise(0)
+    expanded = base.withColumn(
+        "ci", F.explode(upsample_copies_array(F.col("n_copies")))
     )
-    base = docs.select("doc_id", n_copies.alias("n_copies"))
-    arr = F.when(
-        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies").cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    expanded = base.withColumn("ci", F.explode(arr))
     total_copies = base.agg(F.sum("n_copies")).first()[0]
     assert expanded.count() == total_copies
     rows = base.collect()

@@ -137,3 +137,29 @@ def test_foreach_batch_upsert_multi_batch_merge(spark, tmp_path):
     out = run_foreach_batch_upsert(stream, str(tmp_path / "fb")).toPandas()
     got = {int(r.user_id): (int(r.n_events), float(r.last_value)) for r in out.itertuples()}
     assert got == {1: (4, 60.0), 2: (1, 20.0), 3: (1, 40.0)}
+
+
+def test_foreach_batch_upsert_replay_idempotent(spark, tmp_path):
+    """A replayed batch_id must be a no-op: invoke the upsert directly with
+    the same (df, batch_id) twice — counts must not double — and a replay
+    of an OLD batch after newer ones must not regress the pointer."""
+    from pyspark.sql import functions as F
+
+    from etl_cotrip_signs_spark.streaming.queries import make_upsert_fn
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    b0 = batch([(1, "2024-01-01 00:00:00", 1, 10.0), (2, "2024-01-01 00:01:00", 2, 20.0)])
+    b1 = batch([(3, "2024-01-01 00:02:00", 1, 30.0)])
+    upsert, read_ptr = make_upsert_fn(str(tmp_path / "fb"))
+    upsert(b0, 0)
+    upsert(b0, 0)  # crash-recovery replay of the same batch
+    upsert(b1, 1)
+    upsert(b0, 0)  # stale replay arriving after newer state
+    assert read_ptr()["batch"] == 1
+    state = spark.read.parquet(read_ptr()["dir"]).toPandas()
+    got = {int(r.user_id): (int(r.n_events), float(r.last_value)) for r in state.itertuples()}
+    assert got == {1: (2, 30.0), 2: (1, 20.0)}
