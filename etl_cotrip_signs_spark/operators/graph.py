@@ -213,3 +213,119 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("n_chars").cast("long").alias("survivor_chars"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH edges AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.label = b.label
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 5) >= 0.2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.d = e2.s
+    JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the similarity graph (embedding threshold
+    pairs): the classic two-join pattern on ORIENTED edges (s < d), so
+    every triangle is produced exactly once — no /6 correction, no
+    symmetric blowup.
+
+    At 100 TB the refinement is degree-based re-orientation (point edges
+    from lower- to higher-degree endpoints), which bounds the e1⋈e2
+    fan-out by sqrt(|E|) per vertex; the fixture graph is small enough
+    that id-orientation is the honest baseline. Triangle density is the
+    standard cluster-cohesion diagnostic over a near-dup graph: near-dup
+    clusters should be near-cliques — a triangle-poor pair graph means the
+    threshold is admitting chains of weak links (bridge pairs), exactly
+    the failure mode that merges unrelated documents into one dedup
+    cluster."""
+    from .similarity import similarity_threshold_pairs
+
+    edges = (
+        similarity_threshold_pairs(spark, sf_dir)
+        .select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
+        .localCheckpoint(eager=False)  # three self-join consumers
+    )
+    e1 = edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = edges.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = edges.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+@query(
+    "split_group_preserving",
+    # Components from the SAME pair set as dedup_components_ngram, then an
+    # md5-bucket split keyed on the COMPONENT id (not the doc id): all
+    # members of a near-dup cluster land in the same split.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NGRAM_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    ),
+    split AS (
+        SELECT doc_id, component,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR) || ':grp'), 1, 8)) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM comp
+    )
+    SELECT split,
+           count(*)                              AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_groups
+    FROM split GROUP BY split
+    """,
+)
+def split_group_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split: hash-bucket on the near-dup CLUSTER
+    id, not the document id — a plain per-doc split puts near-duplicate
+    pairs on both sides of the train/eval boundary, which is test-set
+    contamination by construction (the eval doc has a ~paraphrase in
+    train). Composition: jaccard pairs → connected components →
+    md5(component)-bucket 90/10.
+
+    At 100 TB this is the same cost profile as dedup_components_ngram
+    (the CC dominates); the split itself is stateless hashing, and the
+    component key keeps the split deterministic under any partitioning —
+    re-running with different cluster sizes cannot move a document across
+    the boundary."""
+    comp = dedup_components_ngram(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("component").cast("string"), F.lit(":grp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = comp.withColumn(
+        "split", F.when(bucket < 90, "train").otherwise("eval")
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_groups"),
+    )

@@ -202,6 +202,8 @@ DRIVER_ORDER: list[str] = [
     "q21_waiting_orders",
     "signs_datasource_writer_sink",
     "stream_rocksdb_state_agg",
+    "graph_triangle_count",
+    "split_group_preserving",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
