@@ -204,6 +204,7 @@ DRIVER_ORDER: list[str] = [
     "stream_rocksdb_state_agg",
     "graph_triangle_count",
     "split_group_preserving",
+    "stream_incremental_dedup",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

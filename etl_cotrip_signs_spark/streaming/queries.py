@@ -715,3 +715,118 @@ def stream_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+@query(
+    "stream_incremental_dedup",
+    # Final state == batch keep-first-by-doc_id exact dedup: only the
+    # lowest-doc_id copy of each distinct text survives the gate.
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)    AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online exact-dedup gate: documents arrive as a stream; each
+    micro-batch keeps only texts whose digest is NOT in the accumulated
+    fingerprint index (and is the batch's lowest-doc_id holder), then adds
+    the survivors' digests to the index — the ingest-time dedup every
+    corpus pipeline runs in front of storage, as foreachBatch + anti-join.
+
+    Semantics are FIRST-ARRIVAL-wins (the only thing an online gate can
+    promise); within a batch, ties resolve to the lowest doc_id. The
+    oracle states that as lowest-doc_id-wins, which coincides because the
+    fixture arrives as one ordered batch — the multi-batch pytest pins the
+    arrival-order behavior explicitly.
+
+    State is the digest index: 16 bytes/distinct-doc, partitionable on
+    digest — at 100 TB this is the small table. Replay-idempotent by the
+    same versioned-pointer protocol as run_foreach_batch_upsert."""
+    from ..session import scratch_dir
+
+    ensure_confs(spark)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return run_incremental_dedup(stream, scratch_dir("inc_dedup", sf_dir))
+
+
+def run_incremental_dedup(doc_stream: DataFrame, base: str) -> DataFrame:
+    """Core of stream_incremental_dedup (testable with a multi-file source
+    + maxFilesPerTrigger=1, where the cross-batch index path actually
+    runs). State rows: (digest, doc_id, lang) of every kept document."""
+    import json as _json
+    import os
+    import shutil
+
+    spark = doc_stream.sparkSession
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ptr_path = f"{base}/_ptr.json"
+
+    def read_ptr() -> dict:
+        try:
+            with open(ptr_path) as fh:
+                return _json.load(fh)
+        except FileNotFoundError:
+            return {"batch": -1, "dir": None}
+
+    def gate(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ptr = read_ptr()
+        if batch_id <= ptr["batch"]:
+            return  # replay: already applied
+        cur = s.read.parquet(ptr["dir"]) if ptr["dir"] else None
+        # within-batch keep-first (deterministic: lowest doc_id per digest)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("digest").orderBy("doc_id")
+        batch_kept = (
+            batch_df.withColumn(
+                "digest", F.md5(F.col("text").cast("binary"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("digest", "doc_id", "lang")
+        )
+        # cross-batch gate: drop digests already in the index
+        fresh = (
+            batch_kept.join(cur.select("digest"), "digest", "left_anti")
+            if cur is not None
+            else batch_kept
+        )
+        merged = cur.unionByName(fresh) if cur is not None else fresh
+        version_dir = f"{base}/state_b{batch_id}"
+        merged.write.mode("overwrite").parquet(version_dir)
+        tmp = f"{ptr_path}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"batch": batch_id, "dir": version_dir}, fh)
+        os.replace(tmp, ptr_path)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    kept = spark.read.parquet(read_ptr()["dir"])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -163,3 +163,35 @@ def test_foreach_batch_upsert_replay_idempotent(spark, tmp_path):
     state = spark.read.parquet(read_ptr()["dir"]).toPandas()
     got = {int(r.user_id): (int(r.n_events), float(r.last_value)) for r in state.itertuples()}
     assert got == {1: (2, 30.0), 2: (1, 20.0)}
+
+
+def test_incremental_dedup_first_arrival_wins(spark, tmp_path):
+    """Online dedup gate semantics: the FIRST-ARRIVED copy of a text
+    survives, even when a later batch carries a lower doc_id duplicate;
+    within a batch the lowest doc_id wins."""
+    from etl_cotrip_signs_spark.streaming.queries import run_incremental_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = [
+        # batch 0: doc 10 ("aaa") and doc 11 ("bbb"); doc 12 duplicates
+        # "aaa" within the batch (higher id -> dropped)
+        [(10, "aaa", "en", "s", 3), (11, "bbb", "en", "s", 3), (12, "aaa", "en", "s", 3)],
+        # batch 1: doc 5 duplicates "aaa" with a LOWER id -> still dropped
+        # (first arrival won); doc 6 is new
+        [(5, "aaa", "en", "s", 3), (6, "ccc", "de", "s", 3)],
+    ]
+    data_dir = tmp_path / "docs"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(data_dir / f"part{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(data_dir))
+    )
+    out = run_incremental_dedup(stream, str(tmp_path / "state")).toPandas()
+    got = {r.lang: (int(r.n_kept), int(r.first_doc_id)) for r in out.itertuples()}
+    # kept: doc 10 ("aaa", first arrival), doc 11 ("bbb"), doc 6 ("ccc")
+    assert got == {"en": (2, 10), "de": (1, 6)}
