@@ -329,3 +329,76 @@ def split_group_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("component").alias("n_groups"),
     )
+
+
+@query("graph_pagerank")  # rows-only: iterative FP refinement, no SQL oracle;
+# pytest pins mass conservation + determinism
+def graph_pagerank(
+    spark: SparkSession, sf_dir: str, n_iter: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over the similarity graph (undirected → both edge
+    directions), the third graph primitive next to CC and triangles —
+    in a dedup pipeline, rank concentration identifies template/boilerplate
+    hubs (documents similar to MANY others) that deserve manual review
+    before mass deletion.
+
+    Spark shape: the standard power iteration — contributions =
+    ranks ⋈ out-degree edges (one shuffle per round), new rank =
+    (1-d)/N + d·(received + dangling share). The rank table is two longs
+    per node; the driver loop is O(n_iter) rounds, each cutting lineage
+    with localCheckpoint — same discipline as connected_components.
+    Top-20 by rounded rank with id tie-break keeps the output
+    deterministic and driver-safe."""
+    from .similarity import similarity_threshold_pairs
+
+    pairs = similarity_threshold_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    ranks = pagerank_ranks(pairs, n_iter=n_iter, damping=damping)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+def pagerank_ranks(
+    pairs: DataFrame, n_iter: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Full (node, rank) table for an undirected pair list — the power
+    iteration itself, separated from the top-k query so tests can assert
+    rank-mass conservation over ALL nodes."""
+    edges = (
+        pairs.toDF("a", "b")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.toDF("a", "b").select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        # undirected graph => no dangling nodes (every node has out-edges)
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping * F.coalesce("received", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

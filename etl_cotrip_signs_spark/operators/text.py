@@ -512,3 +512,93 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_rare_bigram_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+        FROM toks, unnest(range(1, greatest(len(w), 1))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    df AS (
+        SELECT bg, count(*) AS corpus_freq FROM bigrams GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN d.corpus_freq < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           round(CAST(sum(CASE WHEN d.corpus_freq < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS rare_frac
+    FROM bigrams b JOIN df d ON b.bg = d.bg
+    GROUP BY b.doc_id
+    """,
+)
+def text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-flavored quality scoring without float logs: the
+    fraction of a document's word bigrams that are corpus-rare
+    (frequency < 3). High rare_frac flags the same population a bigram-LM
+    perplexity filter flags — garbled or off-distribution text — but the
+    statistic is an exact rational (count ratio), so it is reproducible
+    across engines, partitionings, and FP variations, where sum-of-logs
+    perplexity is not.
+
+    Shape: one bigram explode, one corpus-frequency aggregate (map-side
+    combined, key space bounded by distinct bigrams), one re-join keyed on
+    the bigram, one per-doc aggregate — at 100 TB the frequency table is
+    the classic shared side and AQE picks broadcast vs shuffle by its
+    actual size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    bigrams = d.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), k=2)).alias("bg")
+    )
+    freq = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    joined = bigrams.join(freq, "bg")
+    is_rare = (F.col("corpus_freq") < 3).cast("int")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(is_rare).cast("long").alias("n_rare"),
+        F.round(F.sum(is_rare) / F.count(F.lit(1)), 4).alias("rare_frac"),
+    )
+
+
+@query(
+    "text_vocab_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, count(*) AS n FROM tok GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                        AS vocab_size,
+           CAST(sum(n) AS BIGINT)                          AS n_tokens,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(n), 4)     AS type_token_ratio
+    FROM counts GROUP BY lang
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics per language: vocab size, token
+    count, hapax legomena (frequency-1 types — the Zipf tail whose share
+    predicts tokenizer OOV pressure), and type-token ratio. One explode +
+    one two-level aggregate; the (lang, token) key space is
+    vocabulary-bounded, so the shuffle stays small at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum((F.col("n") == 1).cast("int")).cast("long").alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 4).alias("type_token_ratio"),
+    )

@@ -205,6 +205,9 @@ DRIVER_ORDER: list[str] = [
     "graph_triangle_count",
     "split_group_preserving",
     "stream_incremental_dedup",
+    "graph_pagerank",
+    "text_rare_bigram_score",
+    "text_vocab_stats",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

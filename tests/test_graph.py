@@ -92,3 +92,26 @@ def test_random_graphs_match_union_find(spark):
             ).collect()
         )
         assert got == want, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_pagerank_mass_conservation_and_hub(spark):
+    """Power-iteration invariants on a known star graph: rank mass sums to
+    1 (undirected graph, no dangling leak), the hub outranks every leaf,
+    and the result is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from etl_cotrip_signs_spark.operators.graph import pagerank_ranks
+
+    # star: node 0 connected to 1..8, plus an isolated-ish pair 100-101
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + [(100, 101)], "a long, b long"
+    )
+    ranks = pagerank_ranks(pairs, n_iter=10).toPandas()
+    assert abs(ranks["rank"].sum() - 1.0) < 1e-9
+    hub = float(ranks.loc[ranks.node == 0, "rank"].iloc[0])
+    leaves = ranks[(ranks.node >= 1) & (ranks.node <= 8)]["rank"]
+    assert (hub > leaves).all()
+    again = pagerank_ranks(pairs, n_iter=10).toPandas()
+    a = ranks.sort_values("node").reset_index(drop=True)
+    b = again.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
