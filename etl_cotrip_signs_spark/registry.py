@@ -208,6 +208,7 @@ DRIVER_ORDER: list[str] = [
     "graph_pagerank",
     "text_rare_bigram_score",
     "text_vocab_stats",
+    "knn_ivf_recall_curve",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

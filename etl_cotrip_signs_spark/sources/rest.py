@@ -47,12 +47,28 @@ def file_fetcher(pages_dir: str) -> FetchFn:
     return fetch
 
 
-def http_fetcher(base_url: str, token: str, timeout: float = 30.0) -> FetchFn:
+def http_fetcher(
+    base_url: str,
+    token: str,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff_base: float = 0.5,
+    sleeper: Callable[[float], None] | None = None,
+) -> FetchFn:
     """HTTP transport matching the reference URL/header contract
     (task.ts:62-67: `apiKey` query param, `offset` param, `next-offset`
-    response header)."""
+    response header).
+
+    Engine hardening beyond the reference (which lets any fetch error kill
+    the Lambda run): transient failures retry with exponential backoff
+    (0.5s, 1s, 2s, ...) before surfacing. Retrying a page GET is safe —
+    pagination is read-only and offset-addressed, so a duplicate request
+    cannot skip or double-deliver records. ``sleeper`` is injectable so
+    tests assert the schedule without wall-clock sleeps."""
+    do_sleep = sleeper if sleeper is not None else __import__("time").sleep
 
     def fetch(offset: str | None) -> tuple[dict[str, Any], str | None]:
+        import urllib.error
         import urllib.parse
         import urllib.request
 
@@ -60,10 +76,18 @@ def http_fetcher(base_url: str, token: str, timeout: float = 30.0) -> FetchFn:
         if offset is not None:
             params["offset"] = offset
         url = f"{base_url}?{urllib.parse.urlencode(params)}"
-        with urllib.request.urlopen(url, timeout=timeout) as res:
-            payload = json.loads(res.read().decode("utf-8"))
-            next_offset = res.headers.get("next-offset")
-        return payload, next_offset
+        last_err: Exception | None = None
+        for attempt in range(max_retries + 1):
+            if attempt:
+                do_sleep(backoff_base * (2 ** (attempt - 1)))
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as res:
+                    payload = json.loads(res.read().decode("utf-8"))
+                    next_offset = res.headers.get("next-offset")
+                return payload, next_offset
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]  # max_retries >= 0 ⇒ set
 
     return fetch
 

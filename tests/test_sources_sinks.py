@@ -268,3 +268,48 @@ def test_datasource_reader_prefers_properties_id(spark, tmp_path):
     out = signs_pipeline(read_signs(spark, file_fetcher(str(pages))),
                          ["Point", "LineString", "Polygon"])
     assert sorted(r["id"] for r in out.collect()) == ["42", "only-top", "props-id"]
+
+
+def test_http_fetcher_retries_with_backoff(monkeypatch):
+    """Transient fetch failures retry on the exponential schedule and then
+    succeed; a permanently failing endpoint surfaces the error after
+    exhausting retries with the full schedule slept."""
+    import urllib.error
+    import urllib.request
+
+    from etl_cotrip_signs_spark.sources.rest import http_fetcher
+
+    calls = {"n": 0}
+
+    def flaky_urlopen(url, timeout=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise urllib.error.URLError("transient")
+        return _FakeHttpResponse(json.dumps({"features": [{"id": "x"}]}).encode(), {})
+
+    monkeypatch.setattr(urllib.request, "urlopen", flaky_urlopen)
+    sleeps: list[float] = []
+    fetch = http_fetcher(
+        "https://example.test/s", "t", max_retries=3, sleeper=sleeps.append
+    )
+    payload, nxt = fetch(None)
+    assert payload["features"][0]["id"] == "x"
+    assert calls["n"] == 3
+    assert sleeps == [0.5, 1.0]  # exponential: slept before attempts 2 and 3
+
+    # permanent failure: all retries consumed, error surfaces
+    calls["n"] = -1000
+    sleeps.clear()
+
+    def dead_urlopen(url, timeout=None):
+        raise urllib.error.URLError("down")
+
+    monkeypatch.setattr(urllib.request, "urlopen", dead_urlopen)
+    fetch = http_fetcher(
+        "https://example.test/s", "t", max_retries=2, sleeper=sleeps.append
+    )
+    import pytest
+
+    with pytest.raises(urllib.error.URLError):
+        fetch(None)
+    assert sleeps == [0.5, 1.0]
