@@ -366,10 +366,14 @@ def pagerank_ranks(
     """Full (node, rank) table for an undirected pair list — the power
     iteration itself, separated from the top-k query so tests can assert
     rank-mass conservation over ALL nodes."""
+    # checkpoint the pair list BEFORE symmetrizing: both union branches
+    # descend from it, and without the cut the (possibly expensive)
+    # upstream pair join runs once per branch — same lesson as
+    # dedup_components_ngram's checkpointed jaccard pairs.
+    p = pairs.toDF("a", "b").localCheckpoint(eager=False)
     edges = (
-        pairs.toDF("a", "b")
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(pairs.toDF("a", "b").select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(p.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint(eager=False)
     )
     nodes = (

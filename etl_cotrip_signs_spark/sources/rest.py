@@ -85,6 +85,15 @@ def http_fetcher(
                     payload = json.loads(res.read().decode("utf-8"))
                     next_offset = res.headers.get("next-offset")
                 return payload, next_offset
+            except urllib.error.HTTPError as e:
+                # HTTPError subclasses URLError but carries a status: only
+                # server-side/throttling statuses are transient; a 4xx
+                # (bad apiKey, bad offset) will fail identically on every
+                # retry — surface it immediately.
+                if e.code >= 500 or e.code == 429:
+                    last_err = e
+                else:
+                    raise
             except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
                 last_err = e
         raise last_err  # type: ignore[misc]  # max_retries >= 0 ⇒ set

@@ -581,7 +581,13 @@ def run_foreach_batch_upsert(events_stream: DataFrame, base: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    back = spark.read.parquet(read_ptr()["dir"])
+    final = read_ptr()
+    if final["dir"] is None:
+        raise RuntimeError(
+            "foreachBatch upsert processed zero batches — the source matched "
+            "no files (check the path / pathGlobFilter)"
+        )
+    back = spark.read.parquet(final["dir"])
     return back.select(
         "user_id", "n_events", F.round("last_value", 2).alias("last_value")
     )
@@ -592,18 +598,7 @@ def make_upsert_fn(base: str):
     from the stream driver so tests can invoke upsert directly with a
     repeated batch_id (the replay case a single-source stream never
     exercises naturally)."""
-    import json as _json
-    import os
-
-    os.makedirs(base, exist_ok=True)
-    ptr_path = f"{base}/_ptr.json"
-
-    def read_ptr() -> dict:
-        try:
-            with open(ptr_path) as fh:
-                return _json.load(fh)
-        except FileNotFoundError:
-            return {"batch": -1, "dir": None}
+    read_ptr, commit_version = versioned_state(base)
 
     def upsert(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -652,14 +647,43 @@ def make_upsert_fn(base: str):
         # versioned write + atomic pointer advance (state is user-count-
         # sized, far smaller than the stream, so whole-version rewrite is
         # the cheap, layout-independent choice)
+        commit_version(merged, batch_id)
+
+    return upsert, read_ptr
+
+
+def versioned_state(base: str):
+    """The crash-safe versioned-state protocol shared by every foreachBatch
+    sink here (run_foreach_batch_upsert, run_incremental_dedup): each batch
+    writes a fresh ``state_b{batch_id}`` directory, then atomically renames
+    a pointer file to it. Crash between write and rename leaves an
+    unreferenced directory, never corrupt referenced state; a replayed
+    batch compares its id against the pointer. ONE implementation — a
+    future hardening (fsync, pointer schema) lands in both sinks.
+
+    Returns (read_ptr, commit_version)."""
+    import json as _json
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    ptr_path = f"{base}/_ptr.json"
+
+    def read_ptr() -> dict:
+        try:
+            with open(ptr_path) as fh:
+                return _json.load(fh)
+        except FileNotFoundError:
+            return {"batch": -1, "dir": None}
+
+    def commit_version(df: DataFrame, batch_id: int) -> None:
         version_dir = f"{base}/state_b{batch_id}"
-        merged.write.mode("overwrite").parquet(version_dir)
+        df.write.mode("overwrite").parquet(version_dir)
         tmp = f"{ptr_path}.tmp"
         with open(tmp, "w") as fh:
             _json.dump({"batch": batch_id, "dir": version_dir}, fh)
         os.replace(tmp, ptr_path)  # atomic on POSIX
 
-    return upsert, read_ptr
+    return read_ptr, commit_version
 
 
 @query(
@@ -768,21 +792,11 @@ def run_incremental_dedup(doc_stream: DataFrame, base: str) -> DataFrame:
     """Core of stream_incremental_dedup (testable with a multi-file source
     + maxFilesPerTrigger=1, where the cross-batch index path actually
     runs). State rows: (digest, doc_id, lang) of every kept document."""
-    import json as _json
-    import os
     import shutil
 
     spark = doc_stream.sparkSession
     shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    ptr_path = f"{base}/_ptr.json"
-
-    def read_ptr() -> dict:
-        try:
-            with open(ptr_path) as fh:
-                return _json.load(fh)
-        except FileNotFoundError:
-            return {"batch": -1, "dir": None}
+    read_ptr, commit_version = versioned_state(base)
 
     def gate(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -809,12 +823,7 @@ def run_incremental_dedup(doc_stream: DataFrame, base: str) -> DataFrame:
             else batch_kept
         )
         merged = cur.unionByName(fresh) if cur is not None else fresh
-        version_dir = f"{base}/state_b{batch_id}"
-        merged.write.mode("overwrite").parquet(version_dir)
-        tmp = f"{ptr_path}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump({"batch": batch_id, "dir": version_dir}, fh)
-        os.replace(tmp, ptr_path)
+        commit_version(merged, batch_id)
 
     q = (
         doc_stream.writeStream.foreachBatch(gate)
@@ -825,7 +834,13 @@ def run_incremental_dedup(doc_stream: DataFrame, base: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    kept = spark.read.parquet(read_ptr()["dir"])
+    final = read_ptr()
+    if final["dir"] is None:
+        raise RuntimeError(
+            "incremental dedup processed zero batches — the source matched "
+            "no files (check the path / pathGlobFilter)"
+        )
+    kept = spark.read.parquet(final["dir"])
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("first_doc_id"),

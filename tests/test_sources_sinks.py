@@ -313,3 +313,41 @@ def test_http_fetcher_retries_with_backoff(monkeypatch):
     with pytest.raises(urllib.error.URLError):
         fetch(None)
     assert sleeps == [0.5, 1.0]
+
+
+def test_http_fetcher_4xx_fails_fast_5xx_retries(monkeypatch):
+    """Permanent client errors (401) surface immediately with zero sleeps;
+    server errors (503) retry like transient network failures."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from etl_cotrip_signs_spark.sources.rest import http_fetcher
+
+    def err(code):
+        return urllib.error.HTTPError("u", code, "err", {}, io.BytesIO(b""))
+
+    calls = {"n": 0}
+    monkeypatch.setattr(
+        urllib.request, "urlopen",
+        lambda url, timeout=None: (_ for _ in ()).throw(err(401)),
+    )
+    sleeps: list[float] = []
+    with pytest.raises(urllib.error.HTTPError):
+        http_fetcher("https://e.test/s", "t", max_retries=3, sleeper=sleeps.append)(None)
+    assert sleeps == []  # no retry on 4xx
+
+    def flaky_503(url, timeout=None):
+        calls["n"] += 1
+        if calls["n"] <= 1:
+            raise err(503)
+        return _FakeHttpResponse(json.dumps({"features": []}).encode(), {})
+
+    monkeypatch.setattr(urllib.request, "urlopen", flaky_503)
+    payload, _ = http_fetcher(
+        "https://e.test/s", "t", max_retries=3, sleeper=sleeps.append
+    )(None)
+    assert payload == {"features": []}
+    assert sleeps == [0.5]  # one retry before success
