@@ -26,6 +26,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter semi-join reduction: a selective build side
+    # injects might_contain(bloom) into the probe scan, cutting shuffle
+    # input before the join — at 100 TB the probe side is the 100 TB, so
+    # this is the ship-a-filter-not-a-shuffle lever. Size thresholds stay
+    # at Spark defaults; tests/test_plans.py pins the injection fires on
+    # a selective fact-fact join (fixture thresholds lowered there).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

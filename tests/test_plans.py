@@ -262,3 +262,36 @@ def test_resample_grid_is_generate(spark):
     df = registry.QUERIES["events_resample_gapfill"](spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "Generate" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """With a selective build side and broadcast disabled (forcing a
+    shuffle join), the optimizer must inject a might_contain(bloom) filter
+    on the probe side — the ship-a-filter-not-a-shuffle reduction that
+    trims the 100 TB side's shuffle input. Fixture-scale thresholds."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
