@@ -441,3 +441,32 @@ def signs_datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "id string, geom_type string, coordinates string"
     )
+
+
+@query("signs_udtf_pipeline", oracle=_REST_PIPELINE_ORACLE)
+def signs_udtf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 through the Python UDTF form (`LATERAL fetch_signs_page(...)`) —
+    executors fetch pages in parallel like the DataSource variant, but the
+    paginator composes inside any SQL query. The page set is discovered by
+    a cheap serial header-chain walk (offsets only, payloads discarded),
+    then the UDTF refetches pages in parallel; the same A2→A3→A5 transform
+    runs on top and the REST-pipeline oracle checks the result, giving the
+    UDTF path hard driver evidence instead of pytest-only."""
+    from ..sources.rest import file_fetcher, iter_pages, read_signs_udtf
+
+    # offset discovery: follow the chain recording each page's offset
+    offsets: list[str | None] = []
+    offset: str | None = None
+    fetch = file_fetcher(_PAGES_DIR)
+    while True:
+        offsets.append(offset)
+        _, nxt = fetch(offset)
+        if nxt is None or nxt == "None":
+            break
+        offset = nxt
+    df = read_signs_udtf(spark, _PAGES_DIR, offsets)
+    canonical = df.withColumn(
+        "properties", F.lit(None).cast("map<string,string>")
+    )
+    out = signs_pipeline(canonical, ["Point", "LineString", "Polygon"])
+    return out.select("id", "geom_type", "coordinates")

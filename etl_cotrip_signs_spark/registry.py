@@ -209,6 +209,7 @@ DRIVER_ORDER: list[str] = [
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",
+    "signs_udtf_pipeline",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
