@@ -437,3 +437,52 @@ def window_time_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_in_window"),
     )
+
+
+@query(
+    "window_topk_via_agg",
+    # Same result contract as the window row_number() top-k: top-3 orders
+    # by (totalprice desc, orderkey asc) per customer, flattened.
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_topk_via_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITHOUT a window: collect each group's rows into a
+    sorted array and slice the top 3. The payoff is the execution shape —
+    a window top-k must shuffle EVERY row to its partition before ranking,
+    while the aggregate form gets map-side partial aggregation: each map
+    task pre-reduces its local rows per key, so only per-key partial
+    arrays cross the wire. With k << group size (the 100 TB norm: top-3 of
+    millions per key) the shuffle shrinks by ~group_size/k.
+
+    (Caveat honored: partial aggregation buffers whole local groups before
+    the slice — the refinement when even that is too big is slicing inside
+    the partial via a custom Aggregator; builtin composition shown here.)
+
+    Determinism: sort key is (rounded price desc, orderkey) — total order,
+    so the slice is unique and the window oracle reproduces it exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    item = F.struct(
+        (-F.round(F.col("o_totalprice"), 2)).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    topk = (
+        o.groupBy("o_custkey")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, 3).alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "it"))
+    )
+    return topk.select(
+        "o_custkey",
+        F.col("it.o_orderkey").alias("o_orderkey"),
+        (-F.col("it.neg_price")).alias("totalprice"),
+        (F.col("pos") + 1).cast("int").alias("rk"),
+    )

@@ -474,3 +474,81 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         pack, "lang string, bin_id long, n_docs long, bin_tokens long"
     )
+
+
+@query(
+    "scd2_temporal_join",
+    oracle="""
+    WITH versions AS (
+        SELECT c_custkey, 0 AS version, 1992 AS from_year FROM customer
+        UNION ALL
+        SELECT c_custkey, 1, 1997 FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 2, 1998 FROM customer WHERE c_custkey % 20 = 0
+    ),
+    intervals AS (
+        SELECT c_custkey, version, from_year,
+               coalesce(lead(from_year) OVER (
+                   PARTITION BY c_custkey ORDER BY version
+               ) - 1, 9999) AS to_year
+        FROM versions
+    )
+    SELECT i.version,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_price
+    FROM orders o
+    JOIN intervals i
+      ON o.o_custkey = i.c_custkey
+     AND EXTRACT(year FROM o.o_orderdate) BETWEEN i.from_year AND i.to_year
+    GROUP BY i.version
+    """,
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic warehouse temporal join: facts matched to the
+    slowly-changing dimension version VALID AT EVENT TIME — each order
+    joins the customer version whose [from_year, to_year] interval covers
+    the order date (versions: base from 1992, %10 keys revised 1997,
+    %20 keys revised 1998; intervals closed by one lead() window, the
+    cdc_scd2_history shape with time validity).
+
+    Scale shape: the join key is the EQUI dimension key (custkey) with
+    the interval predicate as a post-join filter — never a range-only
+    join; a customer has ≤3 versions, so the equi join fans out by a
+    bounded constant before the filter keeps exactly one version per
+    fact row. One fact-sized shuffle, dimension-history broadcast when
+    small."""
+    c = load_table(spark, sf_dir, "customer")
+    versions = (
+        c.select("c_custkey", F.lit(0).alias("version"), F.lit(1992).alias("from_year"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey", F.lit(1).alias("version"), F.lit(1997).alias("from_year")
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 20 == 0).select(
+                "c_custkey", F.lit(2).alias("version"), F.lit(1998).alias("from_year")
+            )
+        )
+    )
+    w = W.partitionBy("c_custkey").orderBy("version")
+    intervals = versions.select(
+        "c_custkey",
+        "version",
+        "from_year",
+        F.coalesce(F.lead("from_year").over(w) - 1, F.lit(9999)).alias("to_year"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(intervals, o.o_custkey == intervals.c_custkey).filter(
+        F.year("o_orderdate").between(F.col("from_year"), F.col("to_year"))
+    )
+    return joined.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total_price"),
+    )

@@ -210,6 +210,8 @@ DRIVER_ORDER: list[str] = [
     "text_vocab_stats",
     "knn_ivf_recall_curve",
     "signs_udtf_pipeline",
+    "scd2_temporal_join",
+    "window_topk_via_agg",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",

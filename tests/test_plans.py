@@ -295,3 +295,17 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_via_agg_has_partial_aggregation(spark):
+    """The aggregate top-k's load-bearing property: map-side partial
+    aggregation (two HashAggregate/ObjectHashAggregate phases), so only
+    per-key partial arrays cross the shuffle — the window form cannot
+    pre-reduce."""
+    import re
+
+    df = registry.QUERIES["window_topk_via_agg"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    n_aggs = len(re.findall(r"\(\d+\) (?:ObjectHashAggregate|HashAggregate|SortAggregate)", plan))
+    assert n_aggs >= 2, plan
+    assert "Window" not in plan, plan  # the whole point: no window
