@@ -334,3 +334,108 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("ffill_total"),
     )
+
+
+@query(
+    "events_anomaly_iqr",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(b.q1, 4) AS q1,
+           round(b.q3, 4) AS q3,
+           CAST(sum(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.q1, b.q3
+    """,
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR anomaly flagging: per event type, exact interpolated quartiles
+    → Tukey fences (1.5×IQR) → outlier counts. Two passes by nature
+    (bounds must exist before rows are classified): an exact-percentile
+    aggregate over a low-cardinality key, broadcast back onto the scan —
+    the standard data-quality gate in front of a metrics pipeline.
+
+    Spark's percentile() and DuckDB's quantile_cont compute the same
+    linear interpolation, so the bounds — and therefore the counts —
+    match exactly."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(epoch(CAST(cohort_day AS TIMESTAMP)) AS BIGINT) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT)   AS n_active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted as
+    active at each day offset (first week) — the product-analytics matrix
+    every event pipeline serves. Shape: one min-aggregate on user_id, one
+    re-join (broadcast when the user dimension is small, shuffle
+    otherwise), one distinct + count — no window, no self-join of the
+    event table against itself."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.unix_timestamp(F.col("cohort_day")).alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

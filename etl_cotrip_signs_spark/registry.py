@@ -212,6 +212,8 @@ DRIVER_ORDER: list[str] = [
     "signs_udtf_pipeline",
     "scd2_temporal_join",
     "window_topk_via_agg",
+    "events_anomaly_iqr",
+    "events_retention_cohort",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
