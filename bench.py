@@ -93,6 +93,7 @@ def main() -> None:
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     probes, probe_rows = run_density_probes(spark)
+    calibration = run_calibration(spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -105,11 +106,30 @@ def main() -> None:
                 "queries": timings,
                 "probes": probes,
                 "probe_rows": probe_rows,
+                "calibration": calibration,
                 "sf": float(sf) if sf else None,
             }
         )
     )
     spark.stop()
+
+
+def run_calibration(spark) -> float:
+    """Fixed, data-independent CPU reference: sum of xxhash64 over a
+    constant range. The sandbox's throughput drifts ~1.5-3x between
+    sessions (host steal on the shared VM); dividing any query's wall by
+    this value gives a noise-normalized number that is comparable across
+    rounds. Best-of-three because the drift operates at second granularity."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000, numPartitions=32).select(
+            F.avg(F.xxhash64("id"))  # avg, not sum: 50M random longs overflow
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    return round(min(once() for _ in range(3)), 3)
 
 
 # Queries whose pair/candidate spaces are density-sensitive: replicating
@@ -155,7 +175,7 @@ def build_probe_dir(spark) -> str:
 
 def _release_session_state(spark) -> None:
     """Measurement hygiene between phases: the headline set leaves dozens of
-    lazy localCheckpoint RDDs whose release waits on Python GC + the JVM
+    localCheckpoint RDDs whose release waits on Python GC + the JVM
     ContextCleaner; under load the cleaner lags and later queries pay for
     the dead blocks (observed: the components probe at 50 s in-bench vs
     10 s isolated). Force both collectors before timing the probes."""

@@ -131,12 +131,21 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     per doc): it feeds both signature generation and the two verify joins,
     and re-deriving it under a join/Generate re-evaluates the expensive
     shingle expression per consumer (measured 5x). ``localCheckpoint``
-    (lazy) rather than ``persist``: checkpoint blocks are released by the
+    rather than ``persist``: checkpoint blocks are released by the
     ContextCleaner when the returned plan is garbage-collected, so repeated
     invocations in one session (bench best-of-two, driver verify loops)
     don't accumulate cached blocks the way CacheManager entries do.
+
+    EAGER checkpoint, always: a lazy (eager=False) checkpoint only
+    materializes when some job first computes it — when the FIRST consuming
+    job contains several branches over this plan, tasks race and each
+    branch recomputes the expensive derivation (round 3 shipped that bug:
+    12.7-30s instead of ~3s on dedup_ngram_jaccard). Eager materialization
+    before fan-out is the single-computation guarantee;
+    tests/test_materialization.py pins both the mechanism and a repo-wide
+    no-lazy-checkpoint lint.
     """
-    hs = hashed_shingles(docs).localCheckpoint(eager=False)
+    hs = hashed_shingles(docs).localCheckpoint(eager=True)
     sig = hs.select(
         "doc_id",
         *[
@@ -304,7 +313,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int | None = None) -> DataFrame:
     (:func:`derive_hamming_threshold`). Typical values: tight shared-
     vocabulary corpora discriminate at ~2; natural text at ~3-8.
     """
-    sig = simhash_signatures(docs).localCheckpoint(eager=False)
+    sig = simhash_signatures(docs).localCheckpoint(eager=True)
     if max_hamming is None:
         max_hamming = derive_hamming_threshold(sig)
     return simhash_candidate_pairs(sig).filter(F.col("hamming") <= max_hamming)
@@ -394,8 +403,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
-    ).localCheckpoint(eager=False)  # feeds postings + hot arrays; released on GC
-    # (see minhash_candidates note on why not persist())
+    ).localCheckpoint(eager=True)  # feeds postings + hot arrays; released on GC
+    # (see minhash_candidates note on why not persist(), and why EAGER:
+    # this plan fans out to 4 consumers — postings a/b sides, the hot
+    # table, hot_per_doc — inside one write job; a lazy checkpoint lets
+    # those branches race and recompute the 6.6s shingle derivation)
     # Inverted-index set-similarity join: explode to (shingle, doc) postings
     # and equi-join on (shingle, lang) — pairs sharing no shingle are never
     # generated at all. n_sh (per-doc distinct count) rides along for the
@@ -413,7 +425,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > F.col("n_docs") * df_frac)
         .select("s", "lang")
     )
-    cold = post.join(F.broadcast(hot), ["s", "lang"], "left_anti")
+    # The cold posting table is consumed TWICE (a-side and b-side of the
+    # pair self-join); without materialization each side re-runs the
+    # explode + hot-agg + anti-join from the d checkpoint (measured: the
+    # full query drops 10s → 6.8s with this cut, → 3.4s with hot_per_doc's
+    # below). Storage is O(corpus postings) on executor disk — the same
+    # order as the shuffle the self-join writes anyway.
+    cold = post.join(F.broadcast(hot), ["s", "lang"], "left_anti").localCheckpoint(
+        eager=True
+    )
     a = cold.select(
         F.col("s"), F.col("lang"),
         F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a"),
@@ -447,7 +467,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.join(F.broadcast(hot), ["s", "lang"], "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("hot_arr"))
-        .localCheckpoint(eager=False)  # two joins below; compute once
+        .localCheckpoint(eager=True)  # two joins below; compute once
     )
     empty = F.array().cast("array<bigint>")
     pairs = (

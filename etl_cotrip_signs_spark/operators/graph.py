@@ -62,8 +62,8 @@ def connected_components(
     if num_partitions is not None:
         sym = sym.repartition(num_partitions, "s")
         labels_init = labels_init.repartition(num_partitions, "node")
-    sym = sym.distinct().localCheckpoint(eager=False)
-    labels = labels_init.localCheckpoint(eager=False)
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = labels_init.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.s == labels.node)
@@ -79,7 +79,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("new_component"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         changed = proposed.filter(
             F.col("new_component") != F.col("component")
@@ -129,7 +129,7 @@ def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # Iterate ONLY over nodes that have an edge: per-round shuffle size is
     # O(near-dup docs), not O(corpus). Singletons (the overwhelming
@@ -252,7 +252,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         similarity_threshold_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
-        .localCheckpoint(eager=False)  # three self-join consumers
+        .localCheckpoint(eager=True)  # three self-join consumers
     )
     e1 = edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = edges.select(F.col("s").alias("b"), F.col("d").alias("c"))
@@ -370,17 +370,17 @@ def pagerank_ranks(
     # descend from it, and without the cut the (possibly expensive)
     # upstream pair join runs once per branch — same lesson as
     # dedup_components_ngram's checkpointed jaccard pairs.
-    p = pairs.toDF("a", "b").localCheckpoint(eager=False)
+    p = pairs.toDF("a", "b").localCheckpoint(eager=True)
     edges = (
         p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(p.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -403,6 +403,6 @@ def pagerank_ranks(
                     + damping * F.coalesce("received", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return ranks

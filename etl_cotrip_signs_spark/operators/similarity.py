@@ -253,7 +253,7 @@ def _label_lsh_candidates(e: DataFrame) -> DataFrame:
     bucketed = (
         e.withColumn("buckets", lsh(F.col("embedding")))
         .select("vec_id", "label", F.posexplode("buckets").alias("table_id", "bucket"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), "label", "table_id", "bucket"
@@ -414,7 +414,7 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         src.withColumn("buckets", lsh_buckets(F.col("embedding")))
         .select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # Multi-probe: the QUERY side also probes every 1-bit-flip neighbor of
     # its bucket — (1+b) probes/table lift recall like extra tables would,
@@ -660,10 +660,10 @@ def knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         knn_exact_cosine(spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_exact = exact.count()
-    assigned = _ivf_assigned(e).localCheckpoint(eager=False)
+    assigned = _ivf_assigned(e).localCheckpoint(eager=True)
     n_cells = assigned.select("cell").distinct().count()
     rows = []
     for nprobe in (1, 2, 4, n_cells):
