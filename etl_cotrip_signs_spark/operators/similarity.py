@@ -567,6 +567,49 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Shuffle-free Lloyd assignment step: argmin squared-L2 over the k
+    centroids, computed entirely map-side.
+
+    The centroid table is inlined as a literal array of (cluster, centroid)
+    structs; each row transforms it to (d2, cluster) structs and takes
+    ``array_min``, whose struct ordering (first field, then second) is
+    exactly the d2-ascending, cluster-id tie-broken argmin the previous
+    window form produced. The whole step lives in the scan's codegen stage:
+    no Exchange, no Window, no join — pinned in tests/test_plans.py.
+    Centroid state is k×dim double literals (k-means state is tiny by
+    construction), well under plan-size concerns for any practical k."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(ci)).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for ci, vec in cents
+        ]
+    )
+    scored = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), c.getField("centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c.getField("cluster").alias("cluster"),
+        ),
+    )
+    best = F.array_min(scored)
+    return df.select(
+        "vec_id",
+        "v",
+        best.getField("cluster").alias("cluster"),
+        best.getField("d2").alias("d2"),
+    )
+
+
 @query("kmeans_lloyd_embeddings")  # rows-only: iterative FP refinement has
 # no SQL oracle; pytest pins the invariants (monotone inertia, full coverage)
 def kmeans_lloyd_embeddings(
@@ -578,18 +621,24 @@ def kmeans_lloyd_embeddings(
 
     - init: deterministic (first k vectors by vec_id — reproducible,
       unlike sampled init)
-    - assign: broadcast the k×64 centroid table, argmin squared L2 via
-      builtin array expressions (posexplode + groupBy would also work;
-      the aggregate form keeps it one stage)
+    - assign: MAP-SIDE argmin — the k×64 centroid table is inlined as a
+      literal array-of-structs and each row folds over it (transform +
+      array_min on (d2, cluster) structs, whose lexicographic ordering IS
+      the d2-then-cluster tie-break). Zero shuffle, zero Window: round 3
+      shipped this as crossJoin(broadcast) + row_number over
+      partitionBy(vec_id), which exchanges and sorts n×k exploded rows
+      EVERY iteration — at 100 TB that is k full-data shuffles per round
+      for an argmin that is computable in the scan projection.
+      tests/test_plans.py pins the no-Exchange/no-Window shape.
     - update: posexplode assigned vectors → groupBy(cluster, pos) → avg →
       collect back to k centroids. One shuffle per iteration, map-side
       combinable, exactly the embedding_centroids shape.
     - driver loop over n_iter rounds (k-means is O(iters) rounds by
-      nature; each round's state is k×64 doubles — broadcast-sized).
+      nature; each round's state is k×64 doubles — literal-sized).
 
     Emits per-cluster (n_vectors, inertia contribution) after n_iter
     rounds. At 100 TB the per-round cost is one scan + one centroid-sized
-    shuffle; the centroid table never leaves broadcast range."""
+    shuffle (the update agg); assignment never leaves the scan stage."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
@@ -597,26 +646,9 @@ def kmeans_lloyd_embeddings(
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
 
-    def assign(df: DataFrame, cents) -> DataFrame:
-        cdf = spark.createDataFrame(
-            cents, "cluster int, centroid array<double>"
-        )
-        sq_dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = df.crossJoin(F.broadcast(cdf)).withColumn("d2", sq_dist)
-        w = W.partitionBy("vec_id").orderBy("d2", "cluster")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster", "d2")
-        )
-
     assigned = None
     for _ in range(n_iter):
-        assigned = assign(e, centroids)
+        assigned = kmeans_assign(e, centroids)
         new_cents = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")

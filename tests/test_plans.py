@@ -309,3 +309,25 @@ def test_topk_via_agg_has_partial_aggregation(spark):
     n_aggs = len(re.findall(r"\(\d+\) (?:ObjectHashAggregate|HashAggregate|SortAggregate)", plan))
     assert n_aggs >= 2, plan
     assert "Window" not in plan, plan  # the whole point: no window
+
+
+def test_kmeans_assign_is_shuffle_free(spark):
+    """The Lloyd assignment step must stay in the scan stage: the argmin
+    over k broadcast-small centroids is a map-side fold (literal
+    array-of-structs + array_min), NOT a crossJoin + row_number window —
+    the window form exchanges and sorts n×k rows every iteration."""
+    from etl_cotrip_signs_spark.functions.vectors import to_double
+    from etl_cotrip_signs_spark.operators.similarity import kmeans_assign
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = [(0, [0.0] * 64), (1, [0.1] * 64), (2, [0.2] * 64)]
+    df = kmeans_assign(e, cents)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    # same argmin semantics as the window form: d2 asc, cluster tie-break
+    rows = df.limit(5).collect()
+    assert all(r["cluster"] in (0, 1, 2) for r in rows)
