@@ -335,6 +335,14 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared by dedup_ngram_jaccard and dedup_components_ngram (operators/graph.py):
 # both oracles must see the IDENTICAL pair set.
+#
+# The oracle mirrors the operator's document-frequency candidacy cap
+# (NGRAM_DF_FRAC): a pair is a candidate only if it shares at least one
+# COLD shingle (document frequency <= df_frac of its language's docs).
+# Jaccard itself is still computed over the FULL shingle sets. Without
+# this clause the operator and its oracle would diverge on a corpus where
+# some pair's entire overlap is ubiquitous boilerplate shingles — the
+# equivalence is now unconditional, not fixture-dependent.
 NGRAM_PAIRS_ORACLE = """
     WITH sh AS (
         SELECT doc_id, lang, n_chars,
@@ -345,29 +353,57 @@ NGRAM_PAIRS_ORACLE = """
                         string_split_regex(trim(text), '\\s+')[i+2]
                )) AS shingles
         FROM documents
+    ),
+    lang_sizes AS (SELECT lang, count(*) AS n_docs FROM sh GROUP BY lang),
+    hot AS (
+        SELECT p.lang, p.s
+        FROM (SELECT lang, unnest(shingles) AS s FROM sh) p
+        JOIN lang_sizes ls ON ls.lang = p.lang
+        GROUP BY p.lang, p.s, ls.n_docs
+        HAVING count(*) > ls.n_docs * 0.5
+    ),
+    hot_lists AS (SELECT lang, list(s) AS hot_list FROM hot GROUP BY lang),
+    shc AS (
+        SELECT sh.doc_id, sh.lang, sh.n_chars, sh.shingles,
+               CASE WHEN hl.lang IS NULL THEN sh.shingles
+                    ELSE list_filter(sh.shingles,
+                                     x -> NOT list_contains(hl.hot_list, x))
+               END AS cold_shingles
+        FROM sh LEFT JOIN hot_lists hl ON hl.lang = sh.lang
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
-    FROM sh a JOIN sh b
+    FROM shc a JOIN shc b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
      AND b.n_chars BETWEEN CAST(floor(a.n_chars * 0.7) AS BIGINT)
                        AND CAST(ceil(a.n_chars * 1.3) AS BIGINT)
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    WHERE len(list_intersect(a.cold_shingles, b.cold_shingles)) >= 1
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
 """
+
+
+# Document-frequency candidacy cap shared by the operator and
+# NGRAM_PAIRS_ORACLE (the 0.5 literal there): a shingle present in more
+# than this fraction of a language's documents generates no candidates.
+NGRAM_DF_FRAC = 0.5
 
 
 @query("dedup_ngram_jaccard", oracle=NGRAM_PAIRS_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over candidate-restricted pairs (oracle-checked).
 
-    Candidates: same lang + ±30% length band. The band condition is turned
-    into an *equi* bucket key (banded range-join): the left side explodes to
-    the length buckets its band covers, the right side joins on its own
-    bucket — so the join key is (lang, bucket), whose cardinality scales
-    with the data instead of capping parallelism at n_langs, and each pair
-    is produced exactly once (the right doc's bucket is unique).
+    Candidates: pairs sharing ≥1 cold shingle, same lang, ±30% length band.
+    The join key is (shingle, lang) — the inverted-index posting join —
+    and the length band is applied as a post-join filter, NOT folded into
+    the key: the shingle key is already high-cardinality (parallelism and
+    pair pruning both come from it), so exploding the probe side to the
+    2-3 length buckets its band covers would triple the posting shuffle to
+    prune pairs the band filter removes for ~free after the match. (A
+    banded *equi* bucket key is the right shape when the only other key is
+    low-cardinality — see join_theta_price_band / range_join_banded for
+    that form.)
 
     Shingle sets are hashed to int64 before the join: Jaccard over long
     arrays is identical to Jaccard over the strings (64-bit collisions are
@@ -375,11 +411,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is dedup_minhash_docs.
 
     Hot-posting-list guard: candidate generation drops shingles present in
-    more than DF_FRAC of a language's documents (ubiquitous shingles fan
-    out toward all-pairs — the classic inverted-index blowup). The cap
-    affects only candidacy: a pair is missed only if its entire
+    more than NGRAM_DF_FRAC of a language's documents (ubiquitous shingles
+    fan out toward all-pairs — the classic inverted-index blowup). The cap
+    affects only candidacy: a pair is dropped only if its entire
     intersection is ubiquitous shingles, which at any meaningful threshold
-    means boilerplate, not near-duplication.
+    means boilerplate, not near-duplication — and the oracle mirrors the
+    same clause (≥1 shared cold shingle), so operator ≡ oracle holds on
+    EVERY corpus, not just ones without hot-only pairs.
 
     Exact Jaccard WITHOUT shipping full shingle arrays to every pair
     (round 2 did, and paid 4.2×): the posting join itself yields the
@@ -392,7 +430,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed, at the cost of one pair-keyed aggregate instead of two
     array-shipping joins.
     """
-    df_frac = 0.5  # a shingle in >50% of a lang's docs generates no candidates
+    df_frac = NGRAM_DF_FRAC
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = with_shingles(
         load_table(spark, sf_dir, "documents")

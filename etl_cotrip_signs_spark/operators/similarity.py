@@ -698,7 +698,9 @@ def knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _ivf_assigned(e).localCheckpoint(eager=True)
     n_cells = assigned.select("cell").distinct().count()
     rows = []
-    for nprobe in (1, 2, 4, n_cells):
+    # set-dedup the sweep: a fixture with n_cells in {1,2,4} would
+    # otherwise emit duplicate rows for the same nprobe
+    for nprobe in sorted({1, 2, 4, n_cells}):
         ann = _ivf_topk(assigned, nprobe).select("query_id", "neighbor_id")
         n_hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi").count()
         recall = round(n_hit / n_exact, 4) if n_exact else None

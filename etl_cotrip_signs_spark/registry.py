@@ -96,24 +96,24 @@ DRIVER_ORDER: list[str] = [
     "agg_collect_first_last",
     "agg_exact_percentile",
     "join_outer_customers_orders",
-    "q3_shipping_priority",          # r3 rotation in (was join_full_outer_nations)
+    "q21_waiting_orders",           # r4 rotation in (was q3_shipping_priority)
     "join_broadcast_brand_revenue",
-    "join_semi_customers",
-    "join_anti_customers",
+    "q2_min_cost_supplier",         # r4 rotation in (was join_semi_customers)
+    "scd2_temporal_join",           # r4 rotation in (was join_anti_customers)
     "join_theta_price_band",
     "join_asof_latest_order",
-    "window_rank_customers",
-    "q6_forecast_revenue",           # r3 rotation in (was window_lag_delta)
-    "q7_volume_shipping",            # r3 rotation in (was window_range_frame)
+    "window_topk_via_agg",          # r4 rotation in (was window_rank_customers)
+    "graph_triangle_count",         # r4 rotation in (was q6_forecast_revenue)
+    "events_anomaly_iqr",           # r4 rotation in (was q7_volume_shipping)
     "sort_topk_orders",
     "setops_all_variants",
-    "q18_large_volume_customer",     # r3 rotation in (was distinct_order_status)
-    "agg_salted_skew",               # r3 rotation in (was csv_scan_roundtrip)
+    "select_token_budget",          # r4 rotation in (was q18_large_volume_customer)
+    "split_group_preserving",       # r4 rotation in (was agg_salted_skew)
     "partitioned_sink_roundtrip",
     "sessionize_events_batch",
-    "subquery_max_acctbal",
+    "stream_foreach_batch_upsert",  # r4 rotation in (was subquery_max_acctbal)
     "filter_predicate_family",
-    "orc_scan_roundtrip",            # r3 rotation in (was case_bucket_orders)
+    "cdc_scd2_history",             # r4 rotation in (was orc_scan_roundtrip)
     "string_funcs_part",
     "knn_lsh_recall",                # r3 rotation in (was date_funcs_orders); the
     # threshold_pairs_lsh variant stays in the variants tail: its honest
@@ -140,6 +140,16 @@ DRIVER_ORDER: list[str] = [
     "pipeline_training_corpus",
     "stream_tumbling_events",
     # -- per-area variants (driver coverage best-effort past the cap) --
+    "q3_shipping_priority",          # r4 rotation out (green r3)
+    "q6_forecast_revenue",           # r4 rotation out (green r3)
+    "q7_volume_shipping",            # r4 rotation out (green r3)
+    "q18_large_volume_customer",     # r4 rotation out (green r3)
+    "agg_salted_skew",               # r4 rotation out (green r3)
+    "orc_scan_roundtrip",            # r4 rotation out (green r3)
+    "join_semi_customers",           # r4 rotation out (green r1+r2+r3)
+    "join_anti_customers",           # r4 rotation out (green r1+r2+r3)
+    "window_rank_customers",         # r4 rotation out (green r1+r2+r3)
+    "subquery_max_acctbal",          # r4 rotation out (green r1+r2+r3)
     "join_full_outer_nations",       # r3 rotation out (green r1+r2)
     "window_lag_delta",              # r3 rotation out (green r1+r2)
     "window_range_frame",            # r3 rotation out (green r1+r2)
@@ -183,7 +193,6 @@ DRIVER_ORDER: list[str] = [
     "window_time_range_events",
     "mix_domain_weights",
     "upsample_fractional",
-    "select_token_budget",
     "curriculum_buckets",
     "events_funnel_conversion",
     "join_salted_skew",
@@ -194,25 +203,17 @@ DRIVER_ORDER: list[str] = [
     "kmeans_lloyd_embeddings",
     "events_resample_gapfill",
     "schema_evolution_roundtrip",
-    "stream_foreach_batch_upsert",
-    "q2_min_cost_supplier",
     "q11_important_stock",
     "q15_top_supplier",
     "q19_disjunctive_predicates",
-    "q21_waiting_orders",
     "signs_datasource_writer_sink",
     "stream_rocksdb_state_agg",
-    "graph_triangle_count",
-    "split_group_preserving",
     "stream_incremental_dedup",
     "graph_pagerank",
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",
     "signs_udtf_pipeline",
-    "scd2_temporal_join",
-    "window_topk_via_agg",
-    "events_anomaly_iqr",
     "events_retention_cohort",
     "agg_rollup_priority",
     "agg_cube_flags",
@@ -238,7 +239,6 @@ DRIVER_ORDER: list[str] = [
     "pack_sequences",
     "pack_sequences_greedy",
     "cdc_merge_upsert",
-    "cdc_scd2_history",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "signs_explode_only",

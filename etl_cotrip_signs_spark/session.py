@@ -84,8 +84,18 @@ def scratch_dir(tag: str, sf_dir: str) -> str:
     deterministic (no run id) so a query re-invocation in one session
     reuses/overwrites its own directory instead of leaking a new one per
     call. Single definition — the md5-tag idiom previously lived in three
-    drifting copies."""
-    import hashlib
+    drifting copies.
 
+    Rooted in a per-user 0o700 directory (not a fixed world-writable /tmp
+    prefix): callers rmtree-and-repopulate these paths, and a predictable
+    shared prefix would let another local user pre-create or symlink the
+    target (deletion-through-symlink)."""
+    import hashlib
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_scratch/{h}/{tag}"
+    return os.path.join(root, h, tag)

@@ -365,7 +365,7 @@ def _tws_unavailable_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``queries()`` with an honest rows-only CORRECTNESS row instead of
     silently disappearing or erroring.
 
-    Round-3 re-check (2026-08-13): ``import google.protobuf`` still raises
+    Round-4 re-check (2026-08-14): ``import google.protobuf`` still raises
     ModuleNotFoundError, and the environment forbids package installs, so
     an install attempt is not available; the waiver stands. The processor
     class above self-activates (HAS_TWS) the moment a runtime ships
@@ -682,6 +682,22 @@ def versioned_state(base: str):
         with open(tmp, "w") as fh:
             _json.dump({"batch": batch_id, "dir": version_dir}, fh)
         os.replace(tmp, ptr_path)  # atomic on POSIX
+        # GC superseded versions: on a long-running stream the per-batch
+        # full-version directories otherwise grow without bound. Keep the
+        # just-committed version plus its immediate predecessor (crash
+        # recovery can land on the pointer's previous target mid-replace);
+        # everything older is unreachable — the pointer moves strictly
+        # forward — so deletion is safe after the rename lands.
+        import re as _re
+        import shutil as _shutil
+
+        versions = sorted(
+            int(m.group(1))
+            for name in os.listdir(base)
+            if (m := _re.fullmatch(r"state_b(-?\d+)", name))
+        )
+        for v in versions[:-2]:
+            _shutil.rmtree(f"{base}/state_b{v}", ignore_errors=True)
 
     return read_ptr, commit_version
 

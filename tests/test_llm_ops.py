@@ -296,3 +296,46 @@ def test_kmeans_inertia_improves_over_first_assignment(spark):
     one = kmeans_lloyd_embeddings(spark, SF_ORACLE, n_iter=1).toPandas()
     three = kmeans_lloyd_embeddings(spark, SF_ORACLE, n_iter=3).toPandas()
     assert three.inertia.sum() <= one.inertia.sum() + 1e-6
+
+
+def test_ngram_jaccard_df_cap_matches_oracle_on_hot_only_pairs(spark, tmp_path):
+    """The DF-cap ≡ oracle equivalence must hold on a corpus where it
+    BITES: docs 0-9 overlap each other ONLY via two ubiquitous (hot,
+    df=10/10 > 0.5) shingles with jaccard 0.2 ≥ 0.05 — candidacy must drop
+    all 45 such pairs on BOTH sides (the oracle's ≥1-shared-cold-shingle
+    clause mirrors the operator's cap; before round 4 the oracle had no
+    cap and would emit them). One genuinely cold-overlapping pair
+    (100, 101) must survive on both sides."""
+    import duckdb
+
+    from etl_cotrip_signs_spark.operators.dedup import (
+        NGRAM_PAIRS_ORACLE,
+        dedup_ngram_jaccard,
+    )
+
+    rows = []
+    for i in range(10):  # hot-only overlap: "alpha beta gamma delta" ∀ docs
+        text = f"alpha beta gamma delta u{i}a u{i}b u{i}c u{i}d"
+        rows.append((i, "en", len(text), text))
+    for d, tail in ((100, "x1 x2 x3"), (101, "y1 y2 y3")):
+        text = f"zeta eta theta iota kappa {tail}"
+        rows.append((d, "en", len(text), text))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (a, b): j for a, b, j in con.execute(NGRAM_PAIRS_ORACLE).fetchall()
+    }
+    assert set(got) == {(100, 101)}, got
+    assert got == oracle, (got, oracle)

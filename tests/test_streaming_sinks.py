@@ -195,3 +195,30 @@ def test_incremental_dedup_first_arrival_wins(spark, tmp_path):
     got = {r.lang: (int(r.n_kept), int(r.first_doc_id)) for r in out.itertuples()}
     # kept: doc 10 ("aaa", first arrival), doc 11 ("bbb"), doc 6 ("ccc")
     assert got == {"en": (2, 10), "de": (1, 6)}
+
+
+def test_versioned_state_gc_keeps_current_plus_predecessor(spark, tmp_path):
+    """commit_version must garbage-collect superseded state_b* directories
+    (unbounded growth on a long-running stream otherwise): after batch N
+    commits, only versions N and N-1 remain on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cotrip_signs_spark.streaming.queries import make_upsert_fn
+
+    def batch(eid, uid):
+        return spark.createDataFrame(
+            [(eid, "2024-01-01 00:00:00", uid, 1.0)],
+            "event_id long, ts string, user_id long, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    base = str(tmp_path / "fb")
+    upsert, read_ptr = make_upsert_fn(base)
+    for i in range(5):
+        upsert(batch(i, i), i)
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("state_b"))
+    assert dirs == ["state_b3", "state_b4"], dirs
+    assert read_ptr() == {"batch": 4, "dir": f"{base}/state_b4"}
+    # the referenced (current) version must still be fully readable
+    assert spark.read.parquet(read_ptr()["dir"]).count() == 5
