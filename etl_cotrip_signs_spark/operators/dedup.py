@@ -568,3 +568,99 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# Token length of the exact-substring grams. 10 tokens is scaled to the
+# fixture's short documents; production corpora use 50 (the "memorized
+# span" threshold in the exact-substring-dedup literature).
+SUBSTR_GRAM_K = 10
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(t[i : i + {SUBSTR_GRAM_K - 1}], ' ') AS g
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t) - {SUBSTR_GRAM_K} + 2)) AS i) r
+        WHERE len(t) >= {SUBSTR_GRAM_K}
+    ),
+    shared AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_grams
+        FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           round(CAST(n_dup_grams AS DOUBLE) / n_grams, 4) AS dup_frac
+    FROM per_doc WHERE n_dup_grams >= 1
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit: for every document, the fraction
+    of its {SUBSTR_GRAM_K}-token windows that also occur verbatim in at
+    least one OTHER document — the exact-substring complement to the
+    set-similarity (jaccard/minhash) family. Set similarity scores whole
+    documents; this finds verbatim SPANS (quotes, boilerplate, templated
+    passages) inside otherwise-distinct documents, which is what
+    memorization-risk dedup actually removes at training time.
+
+    Spark shape: tokenize → rolling k-gram per position (slice over a
+    sequence — one Generate, no Python) → postings keyed by the gram's
+    xxhash64 (the shuffle moves 8-byte keys, not ~60-char strings; a
+    64-bit collision is the same negligible-odds trade the jaccard
+    operator documents) → grams with ≥2 distinct docs → per-doc dup-span
+    counts. Two shuffles total (gram groupBy, doc groupBy), both on
+    unskewed high-cardinality keys; the DF-cap lesson from the jaccard
+    operator does not apply because nothing here joins pairs — per-gram
+    aggregation stays linear in corpus size no matter how hot a gram is.
+
+    The oracle compares raw gram STRINGS (DuckDB has no xxhash64);
+    counts agree unless two distinct grams collide in 64 bits."""
+    k = SUBSTR_GRAM_K
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - k + 1),
+                lambda i: F.xxhash64(F.array_join(F.slice("t", i, k), " ")),
+            )
+        ).alias("gh"),
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup_counts = (
+        grams.join(shared, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = d.select("doc_id", (F.size("t") - k + 1).cast("long").alias("n_grams"))
+    return (
+        totals.join(dup_counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )

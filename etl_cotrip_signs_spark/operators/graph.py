@@ -264,6 +264,74 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangle_count_degree",
+    # Triangle COUNT is orientation-invariant, so the id-oriented oracle
+    # is the degree-oriented operator's oracle verbatim.
+    oracle="""
+    WITH edges AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.label = b.label
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 5) >= 0.2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.d = e2.s
+    JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+)
+def graph_triangle_count_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting — the scale path next to the
+    id-oriented baseline (graph_triangle_count).
+
+    Each undirected edge is re-pointed from its lower- to its
+    higher-(degree, id) endpoint. (degree, id) is a total order, so every
+    triangle still has exactly one oriented wedge and is counted once —
+    the count is identical to id-orientation, which is why the SAME SQL
+    oracle verifies both. What changes is the worst case: the e1⋈e2 wedge
+    join fans out per-vertex as out-degree², and under degree orientation
+    out-degree is bounded by O(sqrt |E|) (a vertex of degree d > sqrt E
+    has all its edges pointed AT it unless the neighbor's degree is
+    higher, and fewer than sqrt E vertices can beat sqrt E) — id
+    orientation has no such bound and a single hub vertex goes quadratic.
+    The degree table is two longs per vertex, joined on the (unskewed
+    post-orientation) node key."""
+    from .similarity import similarity_threshold_pairs
+
+    pairs = (
+        similarity_threshold_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)  # feeds degree agg + reorientation
+    )
+    deg = (
+        pairs.select(F.col("vec_a").alias("node"))
+        .union(pairs.select(F.col("vec_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        pairs.join(deg.select(F.col("node").alias("vec_a"), F.col("deg").alias("deg_a")), "vec_a")
+        .join(deg.select(F.col("node").alias("vec_b"), F.col("deg").alias("deg_b")), "vec_b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    edges = ranked.select(
+        F.when(a_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("s"),
+        F.when(a_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("d"),
+    ).localCheckpoint(eager=True)  # three wedge-join consumers
+    e1 = edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = edges.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = edges.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+@query(
     "split_group_preserving",
     # Components from the SAME pair set as dedup_components_ngram, then an
     # md5-bucket split keyed on the COMPONENT id (not the doc id): all

@@ -416,3 +416,62 @@ def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_p50", 2).alias("exact_p50"),
         rel(F.col("approx_p50"), F.col("exact_p50")).alias("p50_rel_err"),
     )
+
+
+# 2^52: 13 hex chars of the md5 fit a double EXACTLY (<= 52 bits), so the
+# uniform u below is bit-identical in Spark and DuckDB — the whole sample
+# is reproducible cross-engine, not just in-engine.
+_WRS_DENOM = float(1 << 52)
+_WRS_K = 50
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(
+                   -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13))
+                             AS BIGINT) + 0.5) / {_WRS_DENOM!r})
+                   / n_chars, 12) AS sample_key
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT {_WRS_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys), deterministic and distributed: each doc gets key
+    -ln(u)/w with u a seeded-hash uniform and w = n_chars; the k smallest
+    keys ARE a weighted sample without replacement — long documents are
+    proportionally more likely to make the reservoir, the standard
+    length-weighted corpus subsampling step.
+
+    Scale shape: the key is one map-side projection (no shuffle), and the
+    bottom-k is orderBy+limit — Catalyst compiles it to
+    TakeOrderedAndProject, a per-partition k-heap + driver merge of
+    k-sized partials, never a global sort. Compare sample_stratified
+    (seeded sampleBy: per-stratum RATES) — this one hits an exact global
+    k with per-row weights.
+
+    Determinism across engines: u is built from 13 md5 hex chars (52
+    bits, exact in a double — see _WRS_DENOM), and the key is rounded to
+    12 dp with a doc_id tie-break so a last-ulp ln/div difference between
+    Spark and DuckDB cannot flip the selection (same discipline as the
+    rounded-cosine ranking queries)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_WRS_DENOM)
+    key = F.round(-F.log(u) / F.col("n_chars"), 12)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(_WRS_K)
+    )

@@ -708,3 +708,249 @@ def knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe int, k int, n_exact long, n_hit long, recall double"
     )
+
+
+# Product quantization geometry: 64 dims = 8 subspaces x 8 dims, 16
+# centroids per subspace -> one 4-bit code per subspace, 8 codes per
+# vector. A 64-float embedding (256 B) compresses to 8 B of codes; ADC
+# scans codes + per-query lookup math instead of full vectors.
+_PQ_M = 8
+_PQ_DS = 8
+_PQ_KS = 16
+_PQ_ITERS = 3
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, subv): one row per vector per subspace."""
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), s * _PQ_DS + 1, _PQ_DS)
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sub", "subv"),
+    )
+
+
+def _pq_cents_lit(cents: dict[tuple[int, int], list[float]]):
+    """Literal array[sub][cluster] -> centroid subvector, for map-side use."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cents[(s, c)]])
+                    for c in range(_PQ_KS)
+                ]
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+
+
+def _pq_sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train_codebooks(e: DataFrame) -> dict[tuple[int, int], list[float]]:
+    """Train the m x ks codebooks with Lloyd iterations, ALL subspaces in
+    one DataFrame pass per round: explode to (vec_id, sub, subv) rows,
+    assign map-side against the literal codebook (kmeans_assign discipline
+    — no join, no window), update with a single groupBy(sub, cluster, pos)
+    avg shuffle. Driver state is m*ks*ds doubles (1024 here) per round.
+    Deterministic init: subvectors of the first ks vectors by vec_id."""
+    init = e.orderBy("vec_id").limit(_PQ_KS).collect()
+    cents = {
+        (s, c): list(r["v"][s * _PQ_DS : (s + 1) * _PQ_DS])
+        for c, r in enumerate(init)
+        for s in range(_PQ_M)
+    }
+    sub = _pq_subvectors(e).localCheckpoint(eager=True)  # reused every round
+    for _ in range(_PQ_ITERS):
+        lit = _pq_cents_lit(cents)
+        scored = F.transform(
+            F.element_at(lit, F.col("sub") + 1),
+            lambda cv, i: F.struct(
+                _pq_sq_dist(F.col("subv"), cv).alias("d2"),
+                i.alias("cluster"),
+            ),
+        )
+        assigned = sub.select(
+            "sub", "subv", F.array_min(scored).getField("cluster").alias("cluster")
+        )
+        rows = (
+            assigned.select("sub", "cluster", F.posexplode("subv").alias("pos", "val"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("sub", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+            .select(
+                "sub",
+                "cluster",
+                F.transform("pairs", lambda p: p.getField("cv")).alias("centroid"),
+            )
+            .collect()
+        )
+        # empty cells keep their previous centroid (same policy as Lloyd)
+        cents.update(
+            {(r["sub"], r["cluster"]): list(r["centroid"]) for r in rows}
+        )
+    return cents
+
+
+def pq_encode(e: DataFrame, cents) -> DataFrame:
+    """(vec_id, codes array<int> of length m): map-side argmin per
+    subspace over the literal codebook — encoding is a projection, no
+    shuffle, exactly what runs over the full corpus at 100 TB."""
+    lit = _pq_cents_lit(cents)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.element_at(lit, s + 1),
+                lambda cv, i: F.struct(
+                    _pq_sq_dist(F.slice(F.col("v"), s * _PQ_DS + 1, _PQ_DS), cv).alias("d2"),
+                    i.alias("cluster"),
+                ),
+            )
+        ).getField("cluster"),
+    )
+    return e.select("vec_id", codes.alias("codes"))
+
+
+@query("knn_pq_adc")  # rows-only: quantized distances have no SQL oracle
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization + asymmetric distance computation
+    (ADC): corpus vectors live as m 4-bit codes (32x smaller than the
+    floats); a query scores a code vector as the sum over subspaces of
+    ||q_sub − centroid[sub][code]||², i.e. table lookups + adds, never
+    touching the original vector. This is the memory-bound regime's ANN:
+    at 100 TB the full embeddings cannot be rescanned per query set, the
+    codes can. Top-k per query by rounded ADC distance (id tie-break),
+    exactly the knn query surface of the LSH/IVF variants; recall vs the
+    exact baseline is instrumented by knn_pq_recall.
+
+    Spark shape: codebooks trained in _PQ_ITERS single-shuffle rounds,
+    encode + ADC are both pure projections over literal codebooks; the
+    only per-query work is a broadcast of the (tiny) probe set."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = pq_train_codebooks(e)
+    codes = pq_encode(e, cents)
+    lit = _pq_cents_lit(cents)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            F.col("codes"),
+            lambda s, c: _pq_sq_dist(
+                F.slice(F.col("qv"), s * _PQ_DS + 1, _PQ_DS),
+                F.element_at(F.element_at(lit, s + 1), c + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(adc, 5))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
+    )
+
+
+@query("knn_pq_recall")  # rows-only: instruments the PQ approximate path
+def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC vs the exact cosine baseline — quantization
+    loss made measurable per round (same instrumentation contract as
+    knn_lsh_recall / knn_ivf_recall). Note the metric mismatch is part of
+    what is measured: ADC ranks by quantized L2 while the baseline ranks
+    exact cosine; on normalized-ish embeddings the orderings mostly agree
+    and the residual gap IS the quantization cost."""
+    exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = knn_pq_adc(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    agg = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    return agg.select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
+_PCA_TOP = 4
+
+
+@query("embedding_pca_top_components")  # rows-only: eigendecomposition has
+# no SQL oracle; pytest pins the spectrum against numpy's full-data PCA
+def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal components of the embedding cloud — the distributed
+    linear-algebra primitive behind whitening, dimensionality reduction
+    and OPQ-style rotations in an embedding pipeline.
+
+    Spark shape (the treeAggregate pattern in DataFrame form): one
+    mapInPandas pass emits per-partition moment partials (count, Σv,
+    ΣvvT as a flattened d² array — numpy matmul per Arrow batch, the only
+    place Python touches data); the ≤ num_partitions partial rows are
+    summed driver-side and the d×d covariance eigendecomposed with numpy.
+    Driver state is O(d²) — 64×64 here — independent of corpus size; the
+    corpus is scanned exactly once with no shuffle at all. For d where d²
+    no longer fits a row (d ≳ 10⁴), the refinement is block-column Gram
+    accumulation; the fixture's d=64 makes the single-row form honest.
+
+    Output: (component, eigenvalue, explained_frac) for the top
+    _PCA_TOP components, eigenvalues rounded — deterministic (sign
+    ambiguity lives in eigenVECTORS, which are not emitted)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        to_double(F.col("embedding")).alias("v")
+    )
+
+    def gram_partials(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = e.mapInPandas(
+        gram_partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # symmetric -> real, descending
+    total = float(evals.sum())
+    rows = [
+        (i, round(float(evals[i]), 8), round(float(evals[i]) / total, 6))
+        for i in range(_PCA_TOP)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_frac double"
+    )

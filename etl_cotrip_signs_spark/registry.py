@@ -210,6 +210,13 @@ DRIVER_ORDER: list[str] = [
     "stream_rocksdb_state_agg",
     "stream_incremental_dedup",
     "graph_pagerank",
+    # -- round-4 additions --
+    "dedup_substring_spans",         # r4: exact-substring span audit (oracle)
+    "sample_weighted_reservoir",     # r4: exponential-keys weighted sample (oracle)
+    "graph_triangle_count_degree",   # r4: O(sqrt E) wedge bound (oracle)
+    "knn_pq_adc",                    # r4: product-quantization ANN (rows)
+    "knn_pq_recall",                 # r4: PQ recall instrumentation (rows)
+    "embedding_pca_top_components",  # r4: Gram-partial PCA (rows, numpy-pinned)
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",

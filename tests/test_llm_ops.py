@@ -339,3 +339,90 @@ def test_ngram_jaccard_df_cap_matches_oracle_on_hot_only_pairs(spark, tmp_path):
     }
     assert set(got) == {(100, 101)}, got
     assert got == oracle, (got, oracle)
+
+
+def test_pq_twin_vectors_get_identical_codes(spark):
+    """PQ encode must be deterministic and map identical vectors to
+    identical codes (the planted-twin invariant behind ADC retrieval);
+    codes stay in [0, ks)."""
+    import random
+
+    from etl_cotrip_signs_spark.operators.similarity import (
+        _PQ_KS,
+        _PQ_M,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)] + [
+        (i + 1000, v) for i, v in enumerate(base)  # exact twins
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = pq_train_codebooks(e)
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cents).collect()}
+    for i in range(40):
+        assert codes[i] == codes[i + 1000], (i, codes[i], codes[i + 1000])
+        assert len(codes[i]) == _PQ_M
+        assert all(0 <= c < _PQ_KS for c in codes[i])
+
+
+def test_triangle_count_orientation_invariance(spark):
+    """Degree-oriented and id-oriented triangle enumeration must agree on
+    (n_triangles, n_edges) — orientation changes the join fan-out bound,
+    never the count."""
+    from etl_cotrip_signs_spark.operators.graph import (
+        graph_triangle_count,
+        graph_triangle_count_degree,
+    )
+
+    a = graph_triangle_count(spark, "/root/testdata/sf0.001").collect()[0]
+    b = graph_triangle_count_degree(spark, "/root/testdata/sf0.001").collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_weighted_reservoir_prefers_heavy_weights(spark, tmp_path):
+    """Ten documents carry 10^4x the weight of the other 200 — the
+    exponential-keys sample must (deterministically, with this seed)
+    include every heavy document in its k=50 reservoir."""
+    from etl_cotrip_signs_spark.operators.pipeline_ops import (
+        sample_weighted_reservoir,
+    )
+
+    rows = [(i, "en", 10, "x") for i in range(200)] + [
+        (1000 + i, "en", 100_000, "y") for i in range(10)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"] for r in sample_weighted_reservoir(spark, sf_dir).collect()}
+    assert len(got) == 50
+    assert {1000 + i for i in range(10)} <= got
+
+
+def test_pca_spectrum_matches_numpy(spark):
+    """The distributed Gram-partial PCA must reproduce numpy's full-data
+    covariance spectrum (same top eigenvalues to rounding), and the
+    explained fractions must be a valid decreasing distribution."""
+    import numpy as np
+
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    out = sorted(
+        registry.QUERIES["embedding_pca_top_components"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["component"],
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = np.vstack([np.asarray(r["embedding"], dtype="float64") for r in e.collect()])
+    cov = np.cov(m, rowvar=False, bias=True)
+    ref = np.linalg.eigvalsh(cov)[::-1]
+    for r in out:
+        assert abs(r["eigenvalue"] - ref[r["component"]]) < 1e-6, (r, ref[:5])
+    fr = [r["explained_frac"] for r in out]
+    assert all(a >= b for a, b in zip(fr, fr[1:]))
+    assert 0 < sum(fr) <= 1.0
