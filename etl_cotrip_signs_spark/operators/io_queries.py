@@ -310,3 +310,104 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/gen=1", f"{path}/gen=2"
     )
     return back.select("n_nationkey", "n_name", "n_regionkey", "file_version")
+
+
+_Z_BITS = 16
+_Z_FILES = 16
+
+
+def _zvalue(a_rank: F.Column, b_rank: F.Column) -> F.Column:
+    """Interleave two _Z_BITS-bit ranks into a Morton (z-curve) value —
+    pure bit arithmetic, one codegen expression."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(a_rank, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftrightunsigned(b_rank, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+@query("layout_zorder_locality")  # rows-only: a filesystem-layout property,
+# not a SQL-expressible relation; pytest pins the locality win
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout: write `orders` twice — round-robin
+    (the default layout) and range-partitioned on a Morton z-value over
+    (o_custkey, o_orderdate) — then measure how many FILES a 30%x30% box
+    predicate on both dimensions touches in each layout.
+
+    Why this is a 100 TB operator: engines skip data via per-file /
+    per-row-group min-max stats, and stats only prune when rows that
+    satisfy a predicate are physically CLUSTERED. A linear sort clusters
+    one dimension and destroys the other; the z-curve interleaves rank
+    bits so that proximity in EITHER dimension keeps bytes nearby, which
+    is what makes box predicates touch O(box-fraction) of files instead
+    of all of them. The files-touched count emitted here is exactly the
+    quantity min-max pruning scales with (Spark's parquet reader applies
+    the same skipping per row group).
+
+    Spark shape: global min/max of both columns (one tiny agg, driver
+    literals), rank-normalize to _Z_BITS bits, `repartitionByRange` on
+    the z-value (range exchange = contiguous z-intervals per file),
+    write; the probe reads back, applies the box filter, and counts
+    distinct input files. Output: one row per layout."""
+    ensure_confs(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).withColumn("od_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")))
+    mm = o.agg(
+        F.min("o_custkey").alias("ck_lo"), F.max("o_custkey").alias("ck_hi"),
+        F.min("od_day").alias("od_lo"), F.max("od_day").alias("od_hi"),
+    ).first()
+    span = (1 << _Z_BITS) - 1
+
+    def rank(col, lo, hi):
+        return ((col - F.lit(lo)) * span / F.lit(max(hi - lo, 1))).cast("long")
+
+    z = _zvalue(
+        rank(F.col("o_custkey"), mm["ck_lo"], mm["ck_hi"]),
+        rank(F.col("od_day"), mm["od_lo"], mm["od_hi"]),
+    )
+    base = _scratch(sf_dir, "zorder")
+    o.repartition(_Z_FILES).write.mode("overwrite").parquet(f"{base}/random")
+    (
+        o.withColumn("z", z)
+        .repartitionByRange(_Z_FILES, "z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(f"{base}/zorder")
+    )
+    # 30% x 30% box in the middle of both dimensions
+    ck_w = mm["ck_hi"] - mm["ck_lo"]
+    od_w = mm["od_hi"] - mm["od_lo"]
+    box = (
+        F.col("o_custkey").between(
+            mm["ck_lo"] + int(0.35 * ck_w), mm["ck_lo"] + int(0.65 * ck_w)
+        )
+        & F.col("od_day").between(
+            mm["od_lo"] + int(0.35 * od_w), mm["od_lo"] + int(0.65 * od_w)
+        )
+    )
+    out = []
+    for layout in ("random", "zorder"):
+        probe = (
+            spark.read.parquet(f"{base}/{layout}")
+            .withColumn("od_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")))
+            .filter(box)
+        )
+        touched = (
+            probe.select(F.input_file_name().alias("f"))  # project first:
+            # nondeterministic exprs may not appear inside aggregates
+            .agg(
+                F.count_distinct("f").alias("nf"),
+                F.count(F.lit(1)).alias("nr"),
+            )
+            .first()
+        )
+        out.append((layout, _Z_FILES, int(touched["nf"]), int(touched["nr"])))
+    return spark.createDataFrame(
+        out, "layout string, n_files_total int, n_files_touched int, n_rows_matched int"
+    )

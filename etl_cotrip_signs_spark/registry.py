@@ -217,6 +217,7 @@ DRIVER_ORDER: list[str] = [
     "knn_pq_adc",                    # r4: product-quantization ANN (rows)
     "knn_pq_recall",                 # r4: PQ recall instrumentation (rows)
     "embedding_pca_top_components",  # r4: Gram-partial PCA (rows, numpy-pinned)
+    "layout_zorder_locality",        # r4: z-curve layout, files-touched demo (rows)
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",

@@ -67,3 +67,21 @@ def test_observed_pipeline_reports_counts(spark):
     out = signs_pipeline_observed(df, ["Point", "LineString", "Polygon"])
     # observe() metrics ride with the job; the result must be unchanged
     assert len(out.collect()) == 12
+
+
+def test_zorder_layout_clusters_box_queries(spark):
+    """The z-ordered layout must concentrate a 30%x30% two-dimensional box
+    into at most half the files the round-robin layout touches (identical
+    matched-row counts — layout changes placement, never content)."""
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["layout"]: r
+        for r in registry.QUERIES["layout_zorder_locality"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    rnd, zo = rows["random"], rows["zorder"]
+    assert rnd["n_rows_matched"] == zo["n_rows_matched"] > 0
+    assert zo["n_files_touched"] * 2 <= rnd["n_files_touched"], (dict(rnd.asDict()), dict(zo.asDict()))

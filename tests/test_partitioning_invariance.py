@@ -1,0 +1,65 @@
+"""Partitioning-invariance: results must not depend on the physical
+partitioning — the property that makes local[32] results transfer to a
+1000-executor cluster.
+
+Each sampled query runs under the session default (32 shuffle
+partitions) and again under a deliberately hostile layout (7 shuffle
+partitions + tiny scan splits, so every scan fragments and every shuffle
+re-buckets differently); the canonicalized results must be identical.
+Queries chosen to cover the operator families where partitioning bugs
+actually hide: aggregation (partial/final merge), window top-k
+(per-partition WindowGroupLimit), iterative label propagation, posting
+self-joins, TakeOrderedAndProject merge, and the deterministic sampler.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_cotrip_signs_spark import registry
+
+from .conftest import SF_SMALL
+
+registry.load_all()
+
+QUERIES = [
+    "q1_pricing_summary",
+    "window_topk_orders_per_cust",
+    "sort_topk_orders",
+    "dedup_ngram_jaccard",
+    "dedup_components_ngram",
+    "sample_weighted_reservoir",
+    "agg_salted_skew",
+]
+
+HOSTILE = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "65536",
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(map(str, (tuple(r[c] for c in cols) for r in df.collect())))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_partitioning_invariance(spark, name):
+    fn = registry.QUERIES[name]
+    baseline = _canon(fn(spark, SF_SMALL))
+    old = {k: spark.conf.get(k, None) for k in HOSTILE}
+    try:
+        for k, v in HOSTILE.items():
+            spark.conf.set(k, v)
+        hostile = _canon(fn(spark, SF_SMALL))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert baseline == hostile, (
+        f"{name}: result depends on physical partitioning "
+        f"({len(baseline)} vs {len(hostile)} canonical rows)"
+    )
