@@ -218,6 +218,8 @@ DRIVER_ORDER: list[str] = [
     "knn_pq_recall",                 # r4: PQ recall instrumentation (rows)
     "embedding_pca_top_components",  # r4: Gram-partial PCA (rows, numpy-pinned)
     "layout_zorder_locality",        # r4: z-curve layout, files-touched demo (rows)
+    "knn_ivfpq_ann",                 # r4: composed IVF + residual-PQ index (rows)
+    "knn_ivfpq_recall",              # r4: IVF-PQ recall instrumentation (rows)
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",
