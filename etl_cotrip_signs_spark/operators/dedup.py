@@ -333,6 +333,11 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=_FIXTURE_SIMHASH_HAMMING)
 
 
+# Document-frequency candidacy cap shared by the operator and the oracle
+# (interpolated below): a shingle present in more than this fraction of a
+# language's documents generates no candidates.
+NGRAM_DF_FRAC = 0.5
+
 # Shared by dedup_ngram_jaccard and dedup_components_ngram (operators/graph.py):
 # both oracles must see the IDENTICAL pair set.
 #
@@ -343,7 +348,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this clause the operator and its oracle would diverge on a corpus where
 # some pair's entire overlap is ubiquitous boilerplate shingles — the
 # equivalence is now unconditional, not fixture-dependent.
-NGRAM_PAIRS_ORACLE = """
+NGRAM_PAIRS_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, lang, n_chars,
                list_distinct(list_transform(
@@ -360,7 +365,7 @@ NGRAM_PAIRS_ORACLE = """
         FROM (SELECT lang, unnest(shingles) AS s FROM sh) p
         JOIN lang_sizes ls ON ls.lang = p.lang
         GROUP BY p.lang, p.s, ls.n_docs
-        HAVING count(*) > ls.n_docs * 0.5
+        HAVING count(*) > ls.n_docs * {NGRAM_DF_FRAC}
     ),
     hot_lists AS (SELECT lang, list(s) AS hot_list FROM hot GROUP BY lang),
     shc AS (
@@ -382,12 +387,6 @@ NGRAM_PAIRS_ORACLE = """
       AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
 """
-
-
-# Document-frequency candidacy cap shared by the operator and
-# NGRAM_PAIRS_ORACLE (the 0.5 literal there): a shingle present in more
-# than this fraction of a language's documents generates no candidates.
-NGRAM_DF_FRAC = 0.5
 
 
 @query("dedup_ngram_jaccard", oracle=NGRAM_PAIRS_ORACLE)
@@ -640,7 +639,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.xxhash64(F.array_join(F.slice("t", i, k), " ")),
             )
         ).alias("gh"),
-    )
+    ).localCheckpoint(eager=True)  # two consumers (shared-gram agg + the
+    # semi-join probe side) — round-4 fan-out policy; postings are
+    # (doc_id, int64) rows, the same order of bytes the gram shuffle
+    # moves anyway
     shared = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -529,6 +529,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared recall@k instrumentation: one row (k, n_queries, n_exact,
+    n_hit, recall) comparing an ANN result to the exact baseline — the
+    single definition behind every knn_*_recall query (four copies had
+    drifted here before round 4's review pass). Guarded against an empty
+    exact set (recall 0, not a divide-by-zero null)."""
+    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    agg = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    return agg.select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.greatest("n_exact", F.lit(1)), 4
+        ).alias("recall"),
+    )
+
+
 @query("knn_lsh_recall")  # rows-only: measures the approximate path itself
 def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH-ANN against the exact baseline, as a QUERY —
@@ -537,18 +559,7 @@ def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row: (k, n_queries, n_exact, n_hit, recall)."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    agg = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count_distinct("query_id").alias("n_queries"),
-    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-    return agg.select(
-        F.lit(_TOP_K).cast("long").alias("k"),
-        "n_queries",
-        "n_exact",
-        "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
-    )
+    return _recall_vs_exact(exact, ann)
 
 
 @query("knn_ivf_recall")  # rows-only: instruments the IVF approximate path
@@ -557,18 +568,7 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells-probed/recall trade (nprobe) made measurable per round."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    agg = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count_distinct("query_id").alias("n_queries"),
-    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-    return agg.select(
-        F.lit(_TOP_K).cast("long").alias("k"),
-        "n_queries",
-        "n_exact",
-        "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
-    )
+    return _recall_vs_exact(exact, ann)
 
 
 def kmeans_assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -947,18 +947,7 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the residual gap IS the quantization cost."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_pq_adc(spark, sf_dir).select("query_id", "neighbor_id")
-    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    agg = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count_distinct("query_id").alias("n_queries"),
-    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-    return agg.select(
-        F.lit(_TOP_K).cast("long").alias("k"),
-        "n_queries",
-        "n_exact",
-        "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
-    )
+    return _recall_vs_exact(exact, ann)
 
 
 _PCA_TOP = 4
@@ -1096,15 +1085,4 @@ def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     that product, the residual training or the cell-key join broke."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_ivfpq_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    agg = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count_distinct("query_id").alias("n_queries"),
-    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-    return agg.select(
-        F.lit(_TOP_K).cast("long").alias("k"),
-        "n_queries",
-        "n_exact",
-        "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
-    )
+    return _recall_vs_exact(exact, ann)

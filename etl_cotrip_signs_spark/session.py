@@ -91,11 +91,24 @@ def scratch_dir(tag: str, sf_dir: str) -> str:
     shared prefix would let another local user pre-create or symlink the
     target (deletion-through-symlink)."""
     import hashlib
+    import stat
     import tempfile
 
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    # exist_ok=True does NOT apply the mode to (or validate) a pre-existing
+    # directory — another user could have pre-created the predictable path
+    # in sticky /tmp. Refuse to use a root we don't own or that others can
+    # write; chmod closes the group/other bits if our own umask widened them.
+    st = os.lstat(root)
+    if not stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"scratch root {root} exists but is not a directory owned by "
+            f"uid {os.getuid()} — refusing to use it"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(root, 0o700)
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return os.path.join(root, h, tag)

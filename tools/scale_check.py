@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -66,8 +67,12 @@ ID_COLS = {
 def build_10x(spark) -> str:
     """Replicate fact/doc tables 10x with offset ids; keep dimension keys
     intact (region/nation stay as-is; customer/supplier/part replicate so
-    fact FKs resolve — original FK rows land in replica 0)."""
-    out = "/tmp/spark_graft_scale10x"
+    fact FKs resolve — original FK rows land in replica 0). Staged under
+    the per-user 0o700 scratch root (session.scratch_dir), not a fixed
+    world-writable /tmp path."""
+    from etl_cotrip_signs_spark.session import scratch_dir
+
+    out = scratch_dir("scale10x", BASE)
     reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
     for table, ids in ID_COLS.items():
         src = spark.read.parquet(f"{BASE}/{table}.parquet")
@@ -119,6 +124,7 @@ def main() -> None:
               file=sys.stderr, flush=True)
     print(json.dumps({"queries": results, "calibration": calib()}))
     spark.stop()
+    shutil.rmtree(big, ignore_errors=True)  # ~sf1 of parquet; don't leak it
 
 
 if __name__ == "__main__":
