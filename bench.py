@@ -52,6 +52,9 @@ HEADLINE = [
     "join_salted_skew",
     "q13_customer_distribution",
     "select_token_budget",
+    # round-4 additions: exact-substring dedup, weighted sampling
+    "dedup_substring_spans",
+    "sample_weighted_reservoir",
 ]
 
 
