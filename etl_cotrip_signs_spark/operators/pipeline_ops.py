@@ -475,3 +475,101 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(_WRS_K)
     )
+
+
+_V2_SAMPLE_K = 100
+_V2_DUP_FRAC_MAX = 0.5
+
+
+@query(
+    "pipeline_training_corpus_v2",
+    # The whole pipeline re-expressed in SQL: substring-span dup fractions
+    # (same CTE skeleton as dedup_substring_spans' oracle, k=10 grams),
+    # survivors gate, exponential-key weighted sample, per-lang totals.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i : i + 9], ' ') AS g
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t) - 10 + 2)) AS i) r
+        WHERE len(t) >= 10
+    ),
+    shared AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    frac AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS dup_frac
+        FROM grams GROUP BY doc_id
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM toks d LEFT JOIN frac USING (doc_id)
+        WHERE coalesce(frac.dup_frac, 0) < {_V2_DUP_FRAC_MAX}
+    ),
+    sampled AS (
+        SELECT doc_id, lang, n_chars
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   round(
+                       -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13))
+                                 AS BIGINT) + 0.5) / 4503599627370496.0)
+                       / n_chars, 12) AS k
+            FROM survivors
+        ) ORDER BY k, doc_id LIMIT {_V2_SAMPLE_K}
+    )
+    SELECT lang,
+           count(*)                      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars
+    FROM sampled GROUP BY lang
+    """,
+)
+def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build composing the round-4 operators: (1) gate
+    out documents whose cross-document verbatim-span fraction
+    (dedup_substring_spans) reaches _V2_DUP_FRAC_MAX (0.5) — the memorization-
+    risk cut that set-similarity dedup misses, (2) length-weighted
+    exponential-key sampling down to a fixed reservoir
+    (sample_weighted_reservoir's math over the survivor set), (3) per-lang
+    doc/char totals — the numbers a mixture spec consumes.
+
+    Everything reuses the registered operators' own building blocks, so
+    this row is compositional evidence: the pieces interoperate as
+    DataFrames, and the whole chain stays oracle-checkable (one SQL
+    statement reproduces it end to end). Scale profile = the max of its
+    parts: gram postings aggregation (linear), one projection for keys,
+    TakeOrderedAndProject for the reservoir, one final tiny agg."""
+    from .dedup import dedup_substring_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    frac = dedup_substring_spans(spark, sf_dir).select("doc_id", "dup_frac")
+    survivors = (
+        d.join(frac, "doc_id", "left")
+        .filter(F.coalesce("dup_frac", F.lit(0.0)) < _V2_DUP_FRAC_MAX)
+        .select("doc_id", "lang", "n_chars")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    key = F.round(-F.log(u) / F.col("n_chars"), 12)
+    sampled = (
+        survivors.withColumn("k", key)
+        .orderBy("k", "doc_id")
+        .limit(_V2_SAMPLE_K)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -220,6 +220,7 @@ DRIVER_ORDER: list[str] = [
     "layout_zorder_locality",        # r4: z-curve layout, files-touched demo (rows)
     "knn_ivfpq_ann",                 # r4: composed IVF + residual-PQ index (rows)
     "knn_ivfpq_recall",              # r4: IVF-PQ recall instrumentation (rows)
+    "pipeline_training_corpus_v2",   # r4: substring-gate + weighted-sample pipeline (oracle)
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",
