@@ -1,6 +1,6 @@
 """Deduplication operators over the `documents` table [EXT].
 
-Four tiers, each the Spark-idiomatic shape for its scale profile:
+Five tiers, each the Spark-idiomatic shape for its scale profile:
 
 - exact:      hash-groupBy — one shuffle on a 128-bit digest; at 100 TB the
               digest shuffle is ~32 bytes/doc regardless of doc size.
@@ -10,6 +10,10 @@ Four tiers, each the Spark-idiomatic shape for its scale profile:
               verified by hamming distance (bit_count of xor).
 - n-gram Jaccard: exact verify step, candidate-restricted (same lang +
               ±30% length band) so the join never goes quadratic.
+- substring spans: rolling k-token-gram postings → per-doc verbatim-span
+              fraction; finds copied PASSAGES inside otherwise-distinct
+              docs, linear in corpus size (per-gram aggregation, no pair
+              join).
 
 All hashing is xxhash64/md5 with fixed seeds — deterministic across runs
 and cluster sizes.

