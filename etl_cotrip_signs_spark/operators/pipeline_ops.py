@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
 from ..registry import query
+from .dedup import SUBSTR_GRAM_K
 
 # Target mixture for mix_domain_weights: upweight curated-looking sources,
 # downweight the rest. Keys are the fixture's source ids (src0..src19);
@@ -424,16 +425,37 @@ def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WRS_DENOM = float(1 << 52)
 _WRS_K = 50
 
+# THE weighted-sampling key, defined once in each language (review-pass
+# fix: the v2 pipeline had copy-pasted both forms; any future tweak to
+# salt/precision/denominator now edits exactly these two definitions).
+WRS_KEY_SQL = f"""round(
+                   -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13))
+                             AS BIGINT) + 0.5) / {_WRS_DENOM!r})
+                   / n_chars, 12)"""
+
+
+def wrs_key_expr() -> F.Column:
+    """Efraimidis-Spirakis exponential key -ln(u)/n_chars with the 52-bit
+    md5 uniform; bottom-k by (key, doc_id) is the weighted sample."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_WRS_DENOM)
+    return F.round(-F.log(u) / F.col("n_chars"), 12)
+
 
 @query(
     "sample_weighted_reservoir",
     oracle=f"""
     WITH keyed AS (
         SELECT doc_id, lang, n_chars,
-               round(
-                   -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13))
-                             AS BIGINT) + 0.5) / {_WRS_DENOM!r})
-                   / n_chars, 12) AS sample_key
+               {WRS_KEY_SQL} AS sample_key
         FROM documents
     )
     SELECT doc_id, lang, n_chars, sample_key
@@ -461,17 +483,8 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB cannot flip the selection (same discipline as the
     rounded-cosine ranking queries)."""
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(_WRS_DENOM)
-    key = F.round(-F.log(u) / F.col("n_chars"), 12)
     return (
-        d.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        d.select("doc_id", "lang", "n_chars", wrs_key_expr().alias("sample_key"))
         .orderBy("sample_key", "doc_id")
         .limit(_WRS_K)
     )
@@ -493,18 +506,21 @@ _V2_DUP_FRAC_MAX = 0.5
         FROM documents
     ),
     grams AS (
-        SELECT doc_id, array_to_string(t[i : i + 9], ' ') AS g
+        SELECT doc_id, array_to_string(t[i : i + {SUBSTR_GRAM_K - 1}], ' ') AS g
         FROM toks,
-             LATERAL (SELECT unnest(range(1, len(t) - 10 + 2)) AS i) r
-        WHERE len(t) >= 10
+             LATERAL (SELECT unnest(range(1, len(t) - {SUBSTR_GRAM_K} + 2)) AS i) r
+        WHERE len(t) >= {SUBSTR_GRAM_K}
     ),
     shared AS (
         SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
     ),
     frac AS (
+        -- rounded to 4dp because the OPERATOR consumes
+        -- dedup_substring_spans' rounded dup_frac; an unrounded oracle
+        -- would diverge for true fractions in [0.49995, 0.5)
         SELECT doc_id,
-               CAST(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
-                    AS DOUBLE) / count(*) AS dup_frac
+               round(CAST(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 4) AS dup_frac
         FROM grams GROUP BY doc_id
     ),
     survivors AS (
@@ -516,10 +532,7 @@ _V2_DUP_FRAC_MAX = 0.5
         SELECT doc_id, lang, n_chars
         FROM (
             SELECT doc_id, lang, n_chars,
-                   round(
-                       -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13))
-                                 AS BIGINT) + 0.5) / 4503599627370496.0)
-                       / n_chars, 12) AS k
+                   {WRS_KEY_SQL} AS k
             FROM survivors
         ) ORDER BY k, doc_id LIMIT {_V2_SAMPLE_K}
     )
@@ -553,19 +566,8 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.coalesce("dup_frac", F.lit(0.0)) < _V2_DUP_FRAC_MAX)
         .select("doc_id", "lang", "n_chars")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 52))
-    key = F.round(-F.log(u) / F.col("n_chars"), 12)
     sampled = (
-        survivors.withColumn("k", key)
+        survivors.withColumn("k", wrs_key_expr())
         .orderBy("k", "doc_id")
         .limit(_V2_SAMPLE_K)
     )

@@ -28,15 +28,21 @@ _N_QUERIES = 20  # vec_id < 20 are the kNN probe set
 _TOP_K = 5
 
 
+def _spread(e: DataFrame) -> DataFrame:
+    """Repartition on vec_id to the session's shuffle width: small parquet
+    scans arrive as ONE partition, which would serialize per-row-heavy
+    compute (cosine×cells, PQ encode, rotation matmul) onto a single core.
+    One definition — this three-line idiom had drifted into four copies."""
+    n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return e.repartition(n_part, "vec_id")
+
+
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # the corpus side does all the cosine math; a small parquet file scans
-    # as ONE partition, so spread it before the per-row-heavy compute
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
     )
-    c = e.repartition(n_part, "vec_id").select(
+    c = _spread(e).select(
         F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("cv")
     )
     return (
@@ -96,8 +102,7 @@ def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_threshold_pairs_lsh, whose (label, bucket) key keeps
     candidates bucket-local.
     """
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = load_table(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
         to_double(F.col("embedding")).alias("va"),
@@ -168,8 +173,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, one shuffle per join. Scale default:
     dedup_embedding_cosine_lsh.
     """
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = load_table(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
         to_double(F.col("embedding")).alias("va"),
@@ -340,10 +344,7 @@ def _ivf_assigned(e: DataFrame) -> DataFrame:
     """Centroid build + nearest-cell ranking per vector — the expensive
     shared stage, factored out so the recall curve assigns ONCE and probes
     at several nprobe values."""
-    # small parquet scans arrive as ONE partition; spread before the
-    # per-row cosine×n_cells compute (same lesson as _pairs)
-    n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = e.repartition(n_part, "vec_id")
+    e = _spread(e)
     cents = (
         e.select("label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "v"))
         .groupBy("label", "pos")
@@ -762,19 +763,43 @@ def _pq_sq_dist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-# Trained codebooks memoized per (corpus dir, variant): codebook training
-# is offline index BUILD work — at 100 TB it runs once and the artifact is
-# reused by every query — and the training is fully deterministic
-# (hash-free init by vec_id, fixed iteration count), so per-process reuse
-# can never change a result. Keyed by sf_dir, not session: the derivation
-# depends only on the data.
+# Trained codebooks memoized per (corpus fingerprint, variant): codebook
+# training is offline index BUILD work — at 100 TB it runs once and the
+# artifact is reused by every query — and the training is fully
+# deterministic (hash-free init by vec_id, fixed iteration count), so
+# reuse can never change a result. The key carries the embeddings
+# parquet's (mtime, size) fingerprint, NOT just the path: parquet
+# regenerated in place (driver fixture refresh, a rebuilt scratch dir)
+# must retrain, not silently reuse stale artifacts (review-pass fix).
 _PQ_CODEBOOK_CACHE: dict[tuple[str, str], dict[tuple[int, int], list[float]]] = {}
+
+
+def _corpus_cache_key(sf_dir: str) -> str:
+    """sf_dir plus a content fingerprint of its embeddings parquet (sum of
+    file sizes + max mtime_ns). Non-path keys (tests passing synthetic
+    DataFrames) pass through unchanged — there is no file to go stale."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return sf_dir
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if not f.startswith(("_", "."))
+        ]
+    )
+    stats = [os.stat(f) for f in files]
+    return f"{sf_dir}@{sum(s.st_size for s in stats)}:{max((s.st_mtime_ns for s in stats), default=0)}"
 
 
 def pq_codebooks_for(
     sf_dir: str, variant: str, e: DataFrame
 ) -> dict[tuple[int, int], list[float]]:
-    key = (sf_dir, variant)
+    key = (_corpus_cache_key(sf_dir), variant)
     if key not in _PQ_CODEBOOK_CACHE:
         _PQ_CODEBOOK_CACHE[key] = pq_train_codebooks(e)
     return _PQ_CODEBOOK_CACHE[key]
@@ -849,10 +874,14 @@ def pq_train_codebooks(e: DataFrame) -> dict[tuple[int, int], list[float]]:
     return cents
 
 
-def pq_encode(e: DataFrame, cents) -> DataFrame:
-    """(vec_id, codes array<int> of length m): map-side argmin per
+def pq_encode(e: DataFrame, cents, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, codes array<int> of length m, *carry): map-side argmin per
     subspace over the literal codebook — encoding is a projection, no
-    shuffle, exactly what runs over the full corpus at 100 TB."""
+    shuffle, exactly what runs over the full corpus at 100 TB. ``carry``
+    passes extra columns (e.g. the IVF cell key) through the projection so
+    callers never re-join the corpus just to restore a column they
+    already had (review-pass fix: the first IVF-PQ cut paid a corpus-wide
+    shuffle join for exactly that)."""
     lit = _pq_cents_lit(cents)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
@@ -866,7 +895,7 @@ def pq_encode(e: DataFrame, cents) -> DataFrame:
             )
         ).getField("cluster"),
     )
-    return e.select("vec_id", codes.alias("codes"))
+    return e.select("vec_id", codes.alias("codes"), *carry)
 
 
 @query("knn_pq_adc")  # rows-only: quantized distances have no SQL oracle
@@ -889,8 +918,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring a code vector is m array lookups + adds. That is both what
     makes real ADC fast and what keeps the Spark plan small: the distance
     expression carries no codebook literals at all."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = load_table(spark, sf_dir, "embeddings").repartition(n_part, "vec_id").select(
+    e = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     cents = pq_codebooks_for(sf_dir, "raw", e)
@@ -1040,11 +1068,10 @@ def knn_ivfpq_ann(spark: SparkSession, sf_dir: str, nprobe: int = 4) -> DataFram
     residuals = corpus.select(
         "vec_id",
         F.zip_with(F.col("raw"), F.col("centroid"), lambda a, b: a - b).alias("v"),
+        "cell",
     )
-    cents = pq_codebooks_for(sf_dir, "ivf_residual", residuals)
-    codes = pq_encode(residuals, cents).join(
-        corpus.select("vec_id", "cell"), "vec_id"
-    )
+    cents = pq_codebooks_for(sf_dir, "ivf_residual", residuals.drop("cell"))
+    codes = pq_encode(residuals, cents, carry=("cell",))
     # Per-(query, probed-cell) residual lookup tables, precomputed driver-
     # side over the broadcast-small probe set (nprobe × |Q| rows) — same
     # precomputed-table ADC as knn_pq_adc, with the query residual taken
@@ -1098,8 +1125,9 @@ def pca_rotation_for(sf_dir: str, e: DataFrame) -> "np.ndarray":
     same Gram-partial machinery as embedding_pca_top_components: one
     mapInPandas scan → driver eigh. Sign-fixed per column (largest-|.|
     component made positive) so the rotation is fully deterministic."""
-    if sf_dir in _PCA_ROTATION_CACHE:
-        return _PCA_ROTATION_CACHE[sf_dir]
+    cache_key = _corpus_cache_key(sf_dir)
+    if cache_key in _PCA_ROTATION_CACHE:
+        return _PCA_ROTATION_CACHE[cache_key]
 
     def gram_partials(pdf_iter):
         for pdf in pdf_iter:
@@ -1146,8 +1174,8 @@ def pca_rotation_for(sf_dir: str, e: DataFrame) -> "np.ndarray":
         buckets[b].append(int(dim))
         sums[b] += float(np.log(ev[dim]))
     perm = [dim for b in buckets for dim in b]
-    _PCA_ROTATION_CACHE[sf_dir] = r[:, perm]
-    return _PCA_ROTATION_CACHE[sf_dir]
+    _PCA_ROTATION_CACHE[cache_key] = r[:, perm]
+    return _PCA_ROTATION_CACHE[cache_key]
 
 
 def _rotate_udf(rotation: "np.ndarray"):
@@ -1181,8 +1209,7 @@ def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: identical to knn_pq_adc except one Arrow-batched matmul
     projection on the scan (the rotation is a 64×64 driver artifact,
     memoized like the codebooks)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    raw = load_table(spark, sf_dir, "embeddings").repartition(n_part, "vec_id").select(
+    raw = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     rotation = pca_rotation_for(sf_dir, raw)

@@ -450,10 +450,9 @@ def test_opq_eigenvalue_allocation_beats_plain_pq_on_anisotropic_data(spark):
     )
     d2 = ((x[:20, None, :] - x[None, :, :]) ** 2).sum(-1)
     exact = {
-        q: set(j for j in np.argsort(d2[q], kind="stable") if j != q)
+        q: {j for _, j in sorted((d2[q][j], j) for j in range(600) if j != q)[:5]}
         for q in range(20)
     }
-    exact = {q: set(list(sorted(exact[q], key=lambda j: (d2[q][j], j)))[:5]) for q in exact}
 
     def recall(e_in):
         cents = sim.pq_train_codebooks(e_in)

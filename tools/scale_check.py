@@ -111,20 +111,23 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    results = {}
-    for name in QUERIES:
-        x1 = run(name, BASE)
-        x10 = run(name, big)
-        results[name] = {
-            "x1": x1,
-            "x10": x10,
-            "ratio": round(x10 / x1, 2) if x1 else None,
-        }
-        print(f"# {name}: x1={x1}s x10={x10}s ratio={results[name]['ratio']}",
-              file=sys.stderr, flush=True)
-    print(json.dumps({"queries": results, "calibration": calib()}))
-    spark.stop()
-    shutil.rmtree(big, ignore_errors=True)  # ~sf1 of parquet; don't leak it
+    try:
+        results = {}
+        for name in QUERIES:
+            x1 = run(name, BASE)
+            x10 = run(name, big)
+            results[name] = {
+                "x1": x1,
+                "x10": x10,
+                "ratio": round(x10 / x1, 2) if x1 else None,
+            }
+            print(f"# {name}: x1={x1}s x10={x10}s ratio={results[name]['ratio']}",
+                  file=sys.stderr, flush=True)
+        print(json.dumps({"queries": results, "calibration": calib()}))
+        spark.stop()
+    finally:
+        # ~sf1 of parquet; don't leak it even when a timed query throws
+        shutil.rmtree(big, ignore_errors=True)
 
 
 if __name__ == "__main__":
