@@ -90,9 +90,15 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # best-of-two per query: one local JVM shares GC/compilation with
-    # whatever ran before, so a single sample is noisy
+    # whatever ran before, so a single sample is noisy. The same
+    # session-state hygiene the probes get applies here (untimed):
+    # earlier queries leave localCheckpoint RDD blocks whose release waits
+    # on Python GC + the JVM ContextCleaner, and later heavy queries pay
+    # for the dead blocks (observed: dedup_components_ngram 8.6-14.6 s
+    # in-bench vs 4.0-4.4 s for its own 10x-density probe after hygiene).
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        _release_session_state(spark)
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     probes, probe_rows = run_density_probes(spark)

@@ -272,6 +272,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         relational,
         tpch_extra,
+        tpch_final,
         relational2,
         relational3,
         scalars,

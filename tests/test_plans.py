@@ -331,3 +331,41 @@ def test_kmeans_assign_is_shuffle_free(spark):
     # same argmin semantics as the window form: d2 asc, cluster tie-break
     rows = df.limit(5).collect()
     assert all(r["cluster"] in (0, 1, 2) for r in rows)
+
+
+def test_q8_dimension_hops_broadcast(spark):
+    """Q8's 8-relation tree: every dimension hop (part, supplier,
+    customer-region semi, nation x2) broadcasts; only lineitem⋈orders may
+    shuffle. 5+ BroadcastHashJoins, at most one shuffle join."""
+    import re
+
+    df = registry.QUERIES["q8_market_share"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    shuffle_joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+    assert shuffle_joins <= 1, plan
+
+
+def test_q9_composite_key_join_and_broadcast_dims(spark):
+    """Q9 joins lineitem to the derived partsupp on the COMPOSITE
+    (partkey, suppkey) key; part/supplier/nation stay broadcast."""
+    df = registry.QUERIES["q9_product_profit"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    """The NOT IN supplier exclusion must compile to a broadcast LEFT
+    ANTI join, never a shuffled NOT-IN subquery plan."""
+    df = registry.QUERIES["q16_supplier_part_counts"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_decorrelated_semi(spark):
+    """Q20's correlated availqty subquery decorrelates to agg + join; the
+    final supplier membership check stays a LEFT SEMI."""
+    df = registry.QUERIES["q20_excess_availability"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
