@@ -411,3 +411,69 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "layout string, n_files_total int, n_files_touched int, n_rows_matched int"
     )
+
+
+def _parquet_files(path: str) -> list[tuple[str, int]]:
+    """(name, bytes) for data files in a parquet directory. Driver-side
+    metadata listing — at cluster scale this is the same O(#files) catalog
+    listing a table-format manifest read performs; no data is read."""
+    import os as _os
+
+    return sorted(
+        (e.name, e.stat().st_size)
+        for e in _os.scandir(path)
+        if e.name.endswith(".parquet") and e.is_file()
+    )
+
+
+@query("layout_compaction")  # rows-only: a filesystem-layout property —
+# pytest pins row preservation + the shuffle-free coalesce plan
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the nightly job every streaming landing zone
+    needs. Stage `documents` as 64 tiny files (what per-micro-batch
+    writes produce), then rewrite toward a target file size with
+    `coalesce` — a NARROW dependency that merges input splits per output
+    task with NO shuffle, which is exactly right for compaction because
+    row order/clustering within the zone doesn't matter, only file count.
+
+    Why this is a 100 TB operator: at scale the killer isn't data volume
+    but file count — 10M 1 MB files mean 10M scan tasks and an
+    O(#files) planning step per query. Compaction bounds #files by
+    total_bytes / target_file_bytes. The audit row reports before/after
+    file counts + bytes and row preservation; at production scale the
+    same job runs per partition (date=...) so compaction parallelism is
+    the partition count, and target_file_bytes aligns with
+    spark.sql.files.maxPartitionBytes (one task per compacted file).
+    """
+    import math
+
+    ensure_confs(spark)
+    base = _scratch(sf_dir, "compaction")
+    docs = load_table(spark, sf_dir, "documents")
+    small = f"{base}/small"
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+
+    before = _parquet_files(small)
+    bytes_before = sum(b for _, b in before)
+    target_file_bytes = 1 << 20  # 1 MiB at fixture scale (128-512 MiB in prod)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+
+    compacted = f"{base}/compacted"
+    src = spark.read.parquet(small)
+    src.coalesce(n_out).write.mode("overwrite").parquet(compacted)
+
+    after = _parquet_files(compacted)
+    row = (
+        len(before),
+        len(after),
+        int(bytes_before),
+        int(sum(b for _, b in after)),
+        int(src.count()),
+        int(spark.read.parquet(compacted).count()),
+        int(max(b for _, b in after)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "files_before int, files_after int, bytes_before long, bytes_after long,"
+        " rows_before long, rows_after long, max_file_bytes long",
+    )

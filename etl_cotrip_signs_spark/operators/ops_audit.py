@@ -1,0 +1,329 @@
+"""Operational analytics + reconciliation operators [EXT beyond task.ts —
+the data-management surface a production lakehouse pipeline needs]:
+hierarchical time rollup, equi-width histogram, key-skew diagnostics,
+snapshot diff audit, full CDC merge (insert/update/delete).
+
+All five are oracle-checked. The two reconciliation queries derive BOTH of
+their input snapshots/changelogs deterministically from the orders fixture
+with pure key arithmetic, identically in Spark and the DuckDB oracle — no
+synthetic data is written anywhere.
+
+Scale notes (100 TB):
+- the rollup aggregates day totals FROM hour partials (sum/count carry,
+  avg derived at the end) — the hypertable pattern: at production scale
+  the hour level is a materialized incremental table and the day level
+  reads partials, never raw events;
+- the histogram is one map-side-combined shuffle over <=nbins keys;
+- skew diagnostics are the pre-flight tool for choosing salting factors:
+  one count-per-key shuffle, then a single-row reduce;
+- the diff and the merge shuffle on the primary key only, carrying a
+  fixed-width digest/payload — at 100 TB both would run per partition of
+  a date-partitioned table, not globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.money import sql_sum_fixed, sum_fixed
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "events_rollup_two_level",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events,
+           {sql_sum_fixed('value', 2)} AS sum_value,
+           CAST((CAST(sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT)
+                 * 100) // count(*) AS BIGINT) AS avg_value_e4
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: hour-level partial
+    aggregates first, then the day level computed FROM the partials —
+    counts and DECIMAL sums re-aggregate losslessly; avg is derived from
+    the carried sum/count at the end, never averaged-of-averages. The avg
+    is emitted as exact integer 1e-4 units (cents*100 DIV count): a
+    rounded-double avg can land on a .xxxx5 tie that Spark and DuckDB
+    break differently, while integer floor division is bit-identical
+    (value > 0 in this table, so floor == truncate).
+
+    The oracle groups the raw events by day directly, so the hash match
+    *is* the proof that the two-level rollup is exact. At 100 TB the hour
+    table is the incrementally-maintained materialization (see
+    stream_foreach_batch_upsert) and day/week/month levels all fold the
+    same partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.round(F.col("value"), 2).cast("decimal(18,2)") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "hour").alias("day")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(F.col("sum_cents").cast("double") / 100.0, 2).alias(
+                "sum_value"
+            ),
+            F.expr("sum_cents * 100 DIV n_events").alias("avg_value_e4"),
+        )
+    )
+
+
+@query(
+    "agg_histogram_orders",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 x 50k buckets over o_totalprice, top
+    bucket open). Both engines compute the identical IEEE floor(x/width),
+    so bucket assignment is bit-deterministic — no width_bucket builtin
+    needed. One map-side-combined shuffle with <=10 keys; the profiling
+    primitive behind range-partition boundary choices.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint"), F.lit(9)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           max(n) AS max_per_key,
+           round(quantile_cont(n, 0.5), 4) AS p50_per_key,
+           round(quantile_cont(n, 0.99), 4) AS p99_per_key,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top1_share
+    FROM per_key
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profile for orders.o_custkey: per-key counts,
+    their exact p50/p99, the hottest key's row share. This is the
+    pre-flight diagnostic that decides whether a key needs salting
+    (functions/skew.py) or AQE skew-join handling — measured, not guessed.
+    Shape: one count-per-key shuffle (map-side combined), then a
+    single-row reduce over |keys| counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_per_key"),
+        F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_per_key"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top1_share"),
+    )
+
+
+# Deterministic snapshot derivations shared by the Spark and oracle sides
+# of table_diff_audit (documented once here):
+#   snapshot A = orders with o_orderkey % 10 <> 9
+#   snapshot B = orders with o_orderkey % 10 <> 0, where rows with
+#                o_orderkey % 7 = 0 carry an "updated" price.
+# The update is ADDITION of a small key-derived constant, never a rounded
+# multiplication: round(x * 1.05, 2) lands on .xx5 ties that Spark
+# (HALF_UP on the shortest decimal repr) and DuckDB (exact binary) break
+# differently, while x + (k + 0.25) is one exact-order IEEE add in both.
+_DIFF_B_PRICE_SQL = (
+    "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + (o_orderkey % 100 + 0.25) "
+    "ELSE o_totalprice END"
+)
+
+
+@query(
+    "table_diff_audit",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_totalprice AS va FROM orders
+        WHERE o_orderkey % 10 <> 9
+    ),
+    b AS (
+        SELECT o_orderkey AS k, {_DIFF_B_PRICE_SQL} AS vb FROM orders
+        WHERE o_orderkey % 10 <> 0
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN va <> vb THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n,
+           {sql_sum_fixed('coalesce(vb, 0) - coalesce(va, 0)', 2)} AS value_delta
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two table versions on the
+    primary key and classify every row added / removed / changed /
+    unchanged, with the exact net value drift per class. The audit every
+    migration and every backfill needs before a swap.
+
+    Shape: both sides shuffle once on the key carrying only (key, value);
+    at 100 TB with date-partitioned snapshots the join runs
+    partition-by-partition, and storing a per-row digest column instead of
+    raw values makes 'changed' detection one comparison wide regardless of
+    schema width.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 10 != 9).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("va")
+    )
+    b = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("o_totalprice") + (F.col("o_orderkey") % 100 + 0.25),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("vb"),
+    )
+    joined = a.join(b, a.ka == b.kb, "full_outer")
+    status = (
+        F.when(F.col("ka").isNull(), F.lit("added"))
+        .when(F.col("kb").isNull(), F.lit("removed"))
+        .when(F.col("va") != F.col("vb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("vb"), F.lit(0.0)) - F.coalesce(F.col("va"), F.lit(0.0))
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_fixed(delta, scale=2).alias("value_delta"),
+    )
+
+
+@query(
+    "cdc_merge_full",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 9
+    ),
+    changelog AS (
+        SELECT CASE o_orderkey % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'U'
+                                   ELSE 'I' END AS op,
+               CASE WHEN o_orderkey % 5 IN (0, 1) THEN o_orderkey
+                    ELSE o_orderkey + 10000000 END AS k,
+               o_orderstatus,
+               o_totalprice + (o_orderkey % 500 + 0.75) AS new_price
+        FROM orders
+        WHERE o_orderkey % 5 IN (0, 1, 2)
+    ),
+    survivors AS (
+        SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+        FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM changelog c
+            WHERE c.k = b.o_orderkey AND c.op IN ('D', 'U')
+        )
+    ),
+    merged AS (
+        SELECT * FROM survivors
+        UNION ALL
+        SELECT c.k, c.o_orderstatus, c.new_price
+        FROM changelog c
+        WHERE c.op = 'U' AND c.k IN (SELECT o_orderkey FROM base)
+        UNION ALL
+        SELECT c.k, c.o_orderstatus, c.new_price
+        FROM changelog c WHERE c.op = 'I'
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           {sql_sum_fixed('o_totalprice', 2)} AS total_value
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC MERGE with all three op types: deletes remove base rows,
+    updates replace them (only if the key exists — ANSI MERGE WHEN MATCHED
+    semantics), inserts append new keys. The changelog is derived
+    deterministically from orders (op = key % 5; inserts get key+10M so
+    they genuinely don't exist in base); the final state is aggregated per
+    status so the output stays driver-flat.
+
+    Shape: one ANTI join (base vs D∪U keys), one SEMI-gated update join,
+    one union — all shuffling on the primary key only. This is the exact
+    plan a foreachBatch MERGE executes per micro-batch
+    (streaming/queries.py), expressed as its batch equivalent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 9).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ch = (
+        o.filter((F.col("o_orderkey") % 5).isin([0, 1, 2]))
+        .select(
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 5 == 1, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            F.when(
+                (F.col("o_orderkey") % 5).isin([0, 1]), F.col("o_orderkey")
+            )
+            .otherwise(F.col("o_orderkey") + 10_000_000)
+            .alias("k"),
+            "o_orderstatus",
+            # exact addition, not rounded multiplication — see
+            # _DIFF_B_PRICE_SQL's tie-rounding note
+            (F.col("o_totalprice") + (F.col("o_orderkey") % 500 + 0.75)).alias(
+                "new_price"
+            ),
+        )
+    )
+    du_keys = ch.filter(F.col("op").isin(["D", "U"])).select("k")
+    survivors = base.join(
+        du_keys, base.o_orderkey == du_keys.k, "left_anti"
+    )
+    updates = (
+        ch.filter(F.col("op") == "U")
+        .join(base.select("o_orderkey"), ch.k == base.o_orderkey, "left_semi")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("new_price").alias("o_totalprice"),
+        )
+    )
+    inserts = ch.filter(F.col("op") == "I").select(
+        F.col("k").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("new_price").alias("o_totalprice"),
+    )
+    merged = survivors.unionByName(updates).unionByName(inserts)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_fixed(F.col("o_totalprice"), scale=2).alias("total_value"),
+    )

@@ -602,3 +602,96 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n") == 1).cast("int")).cast("long").alias("n_hapax"),
         F.round(F.count(F.lit(1)) / F.sum("n"), 4).alias("type_token_ratio"),
     )
+
+
+def bpe_apply_word(word: str, ranks: dict[str, int]) -> list[str]:
+    """Classic BPE inference on one word: start from characters, repeatedly
+    merge the adjacent pair with the best (lowest) learned rank until no
+    learned pair remains. Pure function so pytest can pin it against a
+    hand-computed reference (tests/test_llm_ops.py)."""
+    toks = list(word)
+    while len(toks) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(toks) - 1):
+            r = ranks.get(toks[i] + toks[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        merged = toks[best_i] + toks[best_i + 1]
+        # merge every occurrence of the chosen pair in one pass
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] + toks[i + 1] == merged:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@query("text_bpe_apply")  # rows-only by nature: the iterative merge loop
+# is not SQL-expressible; correctness pinned by pytest against a pure-python
+# reference and by the invariant n_bpe_tokens <= n_chars of each word
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference, the second half of BPE (bpe_merge_candidates
+    is the training half): learn the top-32 adjacent-pair merges from the
+    corpus (one pair-count aggregation, collected — merge tables are
+    vocabulary-sized driver state, same legitimacy class as k-means
+    centroids), then tokenize every document with the learned table in a
+    mapInPandas stage.
+
+    Scale shape: the merge table is O(vocab) and ships to executors inside
+    the UDF closure (broadcast-sized); tokenization is embarrassingly
+    parallel over documents in Arrow batches with a per-batch word memo —
+    zipfian word distributions make the memo hit rate ~95%+, so the python
+    loop runs once per DISTINCT word per batch, not per token. At 100 TB
+    this is the exact architecture of production tokenizer jobs (fixed
+    merges file + stateless map).
+    """
+    import pandas as pd  # noqa: F401 (type context for mapInPandas)
+
+    d = load_table(spark, sf_dir, "documents")
+    top_pairs = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(32)
+        .collect()
+    )
+    ranks = {r["pair"]: i for i, r in enumerate(top_pairs)}
+
+    def tokenize_batches(batches):
+        for pdf in batches:
+            memo: dict[str, int] = {}
+
+            def n_toks(text: str) -> int:
+                total = 0
+                for w in text.split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = len(bpe_apply_word(w, ranks))
+                        memo[w] = got
+                    total += got
+                return total
+
+            yield pdf.assign(
+                n_bpe_tokens=pdf["text"].map(n_toks),
+                n_words=pdf["text"].map(lambda t: len(t.split())),
+            )[["doc_id", "n_bpe_tokens", "n_words"]]
+
+    return d.select("doc_id", "text").mapInPandas(
+        tokenize_batches, "doc_id long, n_bpe_tokens long, n_words long"
+    )

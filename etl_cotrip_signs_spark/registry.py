@@ -287,6 +287,7 @@ def load_all() -> None:
         training,
         io_queries,
         pipeline_ops,
+        ops_audit,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -85,3 +85,27 @@ def test_zorder_layout_clusters_box_queries(spark):
     rnd, zo = rows["random"], rows["zorder"]
     assert rnd["n_rows_matched"] == zo["n_rows_matched"] > 0
     assert zo["n_files_touched"] * 2 <= rnd["n_files_touched"], (dict(rnd.asDict()), dict(zo.asDict()))
+
+
+def test_layout_compaction_preserves_rows_and_cuts_files(spark):
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["layout_compaction"](spark, SF_SMALL).first()
+    assert row["rows_after"] == row["rows_before"]
+    assert row["files_after"] < row["files_before"]
+    assert row["files_before"] == 64
+    # compaction must not inflate storage (merging parquet files only
+    # removes per-file overhead)
+    assert row["bytes_after"] <= row["bytes_before"]
+
+
+def test_compaction_coalesce_is_shuffle_free(spark):
+    """The compaction rewrite must be a narrow Coalesce, never an
+    Exchange — a shuffle would move every byte of the zone twice."""
+    from etl_cotrip_signs_spark.plans.explain import formatted_plan
+
+    df = spark.range(1000, numPartitions=16).coalesce(2)
+    plan = formatted_plan(df)
+    assert "Coalesce" in plan, plan
+    assert "Exchange" not in plan, plan

@@ -480,3 +480,33 @@ def test_opq_eigenvalue_allocation_beats_plain_pq_on_anisotropic_data(spark):
     ).localCheckpoint(eager=True)
     r_opq = recall(er)
     assert r_opq > r_pq + 0.05, (r_pq, r_opq)
+
+
+def test_bpe_apply_word_reference():
+    """Pin the BPE inference loop against hand-computed merges."""
+    from etl_cotrip_signs_spark.operators.text import bpe_apply_word
+
+    # ranks: 'ab' merges first, then 'abc' ('ab'+'c'), then 'de'
+    ranks = {"ab": 0, "abc": 1, "de": 2}
+    assert bpe_apply_word("ababc", ranks) == ["ab", "abc"]
+    assert bpe_apply_word("abcdef", ranks) == ["abc", "de", "f"]
+    assert bpe_apply_word("xyz", ranks) == ["x", "y", "z"]
+    assert bpe_apply_word("", ranks) == []
+    assert bpe_apply_word("a", ranks) == ["a"]
+    # every-occurrence merge in one round: 'abab' -> ab ab
+    assert bpe_apply_word("abab", ranks) == ["ab", "ab"]
+
+
+def test_text_bpe_apply_invariants(spark):
+    from etl_cotrip_signs_spark import registry
+
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    pdf = (
+        registry.QUERIES["text_bpe_apply"](spark, SF_SMALL)
+        .limit(200)
+        .toPandas()
+    )
+    assert (pdf["n_bpe_tokens"] >= pdf["n_words"]).all()  # merges never cross words
+    assert (pdf["n_bpe_tokens"] > 0).all()
