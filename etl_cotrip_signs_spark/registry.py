@@ -94,13 +94,15 @@ DRIVER_ORDER: list[str] = [
     "agg_approx_distinct",
     "agg_grouping_sets",
     "agg_collect_first_last",
-    "agg_exact_percentile",
+    "events_rollup_two_level",      # r4b rotation in (was agg_exact_percentile)
     "join_outer_customers_orders",
     "q21_waiting_orders",           # r4 rotation in (was q3_shipping_priority)
     "join_broadcast_brand_revenue",
     "q2_min_cost_supplier",         # r4 rotation in (was join_semi_customers)
     "scd2_temporal_join",           # r4 rotation in (was join_anti_customers)
-    "join_theta_price_band",
+    "q9_product_profit",            # r4b rotation in (was join_theta_price_band);
+    # the composite-key fact-to-partsupp join — the one join form with no
+    # prior driver evidence
     "join_asof_latest_order",
     "window_topk_via_agg",          # r4 rotation in (was window_rank_customers)
     "graph_triangle_count",         # r4 rotation in (was q6_forecast_revenue)
@@ -123,16 +125,19 @@ DRIVER_ORDER: list[str] = [
     "stream_session_windows",        # r3 rotation in (was array_funcs_embeddings)
     "sample_stratified",             # r3 rotation in (was map_funcs_events)
     "json_schema_roundtrip",
-    "dedup_exact_docs",
+    "table_diff_audit",             # r4b rotation in (was dedup_exact_docs;
+    # dedup keeps minhash/ngram/components slots below)
     "dedup_minhash_docs",
     "dedup_ngram_jaccard",
     "dedup_components_ngram",
-    "knn_exact_cosine",
+    "q8_market_share",              # r4b rotation in (was knn_exact_cosine;
+    # similarity keeps lsh_ann/threshold_pairs/centroids/recall slots)
     "knn_lsh_ann",
     "similarity_threshold_pairs",
     "dedup_embedding_cosine",
     "embedding_centroids",
-    "text_token_stats",
+    "cdc_merge_full",               # r4b rotation in (was text_token_stats;
+    # text keeps text_quality_score as its green-historied rep)
     "text_quality_score",
     "multimodal_metadata",
     "split_train_test",
@@ -140,6 +145,18 @@ DRIVER_ORDER: list[str] = [
     "pipeline_training_corpus",
     "stream_tumbling_events",
     # -- per-area variants (driver coverage best-effort past the cap) --
+    "agg_exact_percentile",          # r4b rotation out (green r3)
+    "join_theta_price_band",         # r4b rotation out (green r1+r2+r3)
+    "dedup_exact_docs",              # r4b rotation out (green r1+r2+r3)
+    "knn_exact_cosine",              # r4b rotation out (green r1+r2+r3)
+    "text_token_stats",              # r4b rotation out (green r1+r2+r3)
+    # -- round-4b additions --
+    "q16_supplier_part_counts",      # r4b: partsupp distinct-supplier counts (oracle)
+    "q20_excess_availability",       # r4b: decorrelated availqty semi (oracle)
+    "diag_key_skew",                 # r4b: key-skew pre-flight profile (oracle)
+    "agg_histogram_orders",          # r4b: equi-width histogram (oracle)
+    "layout_compaction",             # r4b: small-file compaction audit (rows)
+    "text_bpe_apply",                # r4b: BPE inference w/ learned merges (rows)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)
