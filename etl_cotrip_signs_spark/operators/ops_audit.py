@@ -1,9 +1,10 @@
 """Operational analytics + reconciliation operators [EXT beyond task.ts —
 the data-management surface a production lakehouse pipeline needs]:
 hierarchical time rollup, equi-width histogram, key-skew diagnostics,
-snapshot diff audit, full CDC merge (insert/update/delete).
+snapshot diff audit, full CDC merge (insert/update/delete), declarative
+data-quality constraint report.
 
-All five are oracle-checked. The two reconciliation queries derive BOTH of
+All are oracle-checked. The two reconciliation queries derive BOTH of
 their input snapshots/changelogs deterministically from the orders fixture
 with pure key arithmetic, identically in Spark and the DuckDB oracle — no
 synthetic data is written anywhere.
@@ -326,4 +327,108 @@ def cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         sum_fixed(F.col("o_totalprice"), scale=2).alias("total_value"),
+    )
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_fk_customer' AS constraint_name,
+           (SELECT count(*) FROM orders) AS n_checked,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           (SELECT count(*) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT)
+                   - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'orders_orderdate_not_null',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: one row per constraint with checked
+    and violation counts — referential integrity (FK anti join),
+    primary-key uniqueness (count vs count-distinct, composite keys via
+    struct), range and not-null checks. The report every ingest job runs
+    before promoting a partition; 0 violations on the fixture is itself
+    the assertion.
+
+    Scale shape: each constraint is one scan-side aggregate or one
+    key-only anti join; constraints over the same table share its scan in
+    practice (at 100 TB you'd fuse them into a single pass — here they
+    stay separate rows for readability, and Catalyst still prunes to the
+    referenced columns).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def report(name: str, checked, violations) -> DataFrame:
+        return checked.crossJoin(violations).select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n_checked"),
+            F.col("n_violations"),
+        )
+
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_checked"))
+    n_cust = c.agg(F.count(F.lit(1)).alias("n_checked"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_checked"))
+
+    fk_viol = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    price_viol = o.agg(
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0))
+            .cast("long")
+        ).alias("n_violations")
+    )
+    cust_pk_viol = c.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations")
+    )
+    li_pk_viol = li.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("n_violations")
+    )
+    disc_viol = li.agg(
+        F.sum(
+            (
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1)
+            ).cast("long")
+        ).alias("n_violations")
+    )
+    date_viol = o.agg(
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("n_violations")
+    )
+    return (
+        report("orders_fk_customer", n_orders, fk_viol)
+        .unionByName(report("orders_totalprice_positive", n_orders, price_viol))
+        .unionByName(report("customer_pk_unique", n_cust, cust_pk_viol))
+        .unionByName(report("lineitem_pk_unique", n_li, li_pk_viol))
+        .unionByName(report("lineitem_discount_range", n_li, disc_viol))
+        .unionByName(report("orders_orderdate_not_null", n_orders, date_viol))
     )

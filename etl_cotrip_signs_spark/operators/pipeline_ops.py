@@ -575,3 +575,46 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "events_transition_counts",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, count (event_type → next_event_type)
+    transitions — the Markov-chain counts behind funnel drop-off and
+    next-action models. Ordering tie-broken by event_id so the pairing is
+    deterministic across engines and partitionings.
+
+    Shape: one window (partitioned by user — the same single shuffle
+    sessionization uses) + one tiny |types|² count aggregation. At 100 TB
+    the window shuffle is the cost; it's the minimal one since transitions
+    are inherently per-user sequential.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

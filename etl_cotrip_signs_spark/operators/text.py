@@ -695,3 +695,61 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         tokenize_batches, "doc_id long, n_bpe_tokens long, n_words long"
     )
+
+
+@query(
+    "fuzzy_join_del1",
+    oracle="""
+    WITH names(n) AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.n AS name_a, b.n AS name_b
+    FROM names a JOIN names b ON a.n < b.n
+    WHERE levenshtein(a.n, b.n) <= 1
+    """,
+)
+def fuzzy_join_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity JOIN at scale: the FastSS
+    deletion-neighborhood algorithm. Two strings are within edit distance
+    1 iff they share a key in {s} ∪ del1(s) (equal → s itself; one
+    deletion → the shorter string is a del1 variant of the longer; one
+    substitution → both have the same del1 variant at that position), so
+    an EQUI JOIN on generated variant keys finds every candidate — the
+    exact-levenshtein verify then removes false positives (distance-2
+    strings can share a variant, e.g. 'ab'/'ba').
+
+    Scale contrast with text_edit_distance_pairs (the quadratic baseline
+    on a 25-brand domain): this never forms the n² candidate space —
+    candidates = pairs sharing a variant key, O(n · len) keys total, an
+    ordinary shuffled equi join. That's the difference between joining
+    1.5k names and joining 100M user handles. Verify cost is bounded by
+    true-ish candidates, not by n².
+    """
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("n"))
+        .distinct()
+    )
+    # {s} ∪ del1(s): position-i deletion via substring splice
+    variants = names.select(
+        "n",
+        F.explode(
+            F.array_union(
+                F.array(F.col("n")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("n")),
+                    lambda i: F.concat(
+                        F.col("n").substr(F.lit(1), i - 1),
+                        F.col("n").substr(i + 1, F.length("n")),
+                    ),
+                ),
+            )
+        ).alias("key"),
+    )
+    a = variants.select(F.col("n").alias("name_a"), "key")
+    b = variants.select(F.col("n").alias("name_b"), "key")
+    return (
+        a.join(b, ["key"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    )

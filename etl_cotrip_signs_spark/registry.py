@@ -157,6 +157,9 @@ DRIVER_ORDER: list[str] = [
     "agg_histogram_orders",          # r4b: equi-width histogram (oracle)
     "layout_compaction",             # r4b: small-file compaction audit (rows)
     "text_bpe_apply",                # r4b: BPE inference w/ learned merges (rows)
+    "fuzzy_join_del1",               # r4b: FastSS deletion-neighborhood join (oracle)
+    "dq_constraint_report",          # r4b: declarative DQ gate (oracle)
+    "events_transition_counts",      # r4b: Markov transition matrix (oracle)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)
