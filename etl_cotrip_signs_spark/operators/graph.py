@@ -474,3 +474,82 @@ def pagerank_ranks(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def kcore_nodes(
+    edges: DataFrame, k: int, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """Iterative k-core peeling: repeatedly drop nodes with degree < k
+    (and their edges) until a fixpoint. Returns the surviving nodes with
+    their within-core degree.
+
+    Scale shape mirrors connected_components: every round is one degree
+    aggregation (map-side combined) + one broadcast-able anti join of the
+    edge list against the just-peeled nodes; the working set only ever
+    SHRINKS, and each round's result is eagerly checkpointed so the plan
+    stays O(1) deep instead of O(rounds). Rounds are bounded by the
+    peeling depth (tiny in practice: most nodes fall in round one).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.filter(F.col("deg") < k).select("s").localCheckpoint(eager=True)
+        if weak.isEmpty():
+            return deg.select(F.col("s").alias("node"), F.col("deg").alias("core_degree"))
+        sym = (
+            sym.join(F.broadcast(weak), ["s"], "left_anti")
+            .join(
+                F.broadcast(weak.select(F.col("s").alias("d"))), ["d"], "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+@query("graph_kcore")  # rows-only: iterative peeling has no SQL oracle;
+# pytest pins a planted triangle+tail graph and the monotone-profile invariant
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition PROFILE of the edit-distance-1 name graph
+    (fuzzy_join_del1's oracle-checked pair set): for k = 2, 4, 6, ... run
+    the peeling loop and report how many names survive each core, until
+    the core empties. The profile is the standard robustness fingerprint
+    of a similarity graph — where it collapses tells you the natural
+    cluster density (for entity resolution: how aggressive a blocking key
+    can get before real clusters fragment).
+
+    The ngram near-dup graph was the first candidate source, but on this
+    fixture it is a perfect matching (max degree 1, every k>=2 core
+    honestly empty); the name graph has degree ~14-27 and a profile that
+    actually collapses in-range. Survivor COUNTS (not per-node rows) keep
+    the output driver-flat and sf-stable in shape.
+
+    Scale: each k reuses the same eagerly-checkpointed symmetric edge
+    list; per-k cost is the peeling loop (shrinking anti joins). Profile
+    ks are a geometric-ish ladder, bounded by max degree, so the total
+    round count stays small regardless of graph size."""
+    from .text import fuzzy_join_del1
+
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .localCheckpoint(eager=True)  # every k's peeling descends from it
+    )
+    out: list[tuple[int, int, int]] = []
+    k = 2
+    while True:
+        core = kcore_nodes(pairs, k=k, src_col="name_a", dst_col="name_b")
+        stats = core.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max("core_degree"), F.lit(0)).alias("max_deg"),
+        ).first()
+        n = int(stats["n"])
+        out.append((k, n, int(stats["max_deg"])))
+        if n == 0 or k > 256:  # max-degree bound; 256 = runaway guard
+            break
+        k += 2
+    return spark.createDataFrame(
+        out, "k int, n_nodes long, max_core_degree int"
+    )

@@ -160,6 +160,9 @@ DRIVER_ORDER: list[str] = [
     "fuzzy_join_del1",               # r4b: FastSS deletion-neighborhood join (oracle)
     "dq_constraint_report",          # r4b: declarative DQ gate (oracle)
     "events_transition_counts",      # r4b: Markov transition matrix (oracle)
+    "ivm_join_delta",                # r4b: incremental join-view maintenance (oracle)
+    "graph_kcore",                   # r4b: k-core decomposition profile (rows)
+    "stream_stream_left_join",       # r4b: watermark-evicted outer join (rows)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)

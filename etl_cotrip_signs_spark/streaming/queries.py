@@ -861,3 +861,59 @@ def run_incremental_dedup(doc_stream: DataFrame, base: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+@query("stream_stream_left_join")  # rows-only by nature: LEFT OUTER
+# emission interleaves watermark eviction with data batches, so the exact
+# unmatched set near the stream tail depends on the state-watermark
+# boundary; pytest pins (a) matched rows == the inner join's rows exactly
+# and (b) every emitted null-signup purchase is old enough that no future
+# match was possible
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits — with
+    its same-user signup from the preceding hour when one exists, or with
+    NULLs once the watermark proves no matching signup can still arrive.
+    The outer side is the part inner joins don't exercise: rows are held
+    in state and RELEASED BY WATERMARK, not by a match, so correctness
+    depends on the state-eviction machinery (and Spark's no-data batches
+    flushing evictions after the last file).
+
+    100 TB note: both sides are watermarked, so join state is bounded by
+    (watermark delay + join interval) x arrival rate regardless of stream
+    length — the same state-boundedness contract as the inner variant.
+    """
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_s"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return run_to_completion(joined, "mem_stream_stream_left_join", "append")

@@ -115,3 +115,51 @@ def test_pagerank_mass_conservation_and_hub(spark):
     a = ranks.sort_values("node").reset_index(drop=True)
     b = again.sort_values("node").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_kcore_planted_triangle_and_tail(spark):
+    """Triangle (1,2,3) + tail 3-4-5: the 2-core keeps exactly the
+    triangle (all degree 2); the tail peels in two rounds (5 first, then
+    4 becomes degree-1 and peels too)."""
+    from etl_cotrip_signs_spark.operators.graph import kcore_nodes
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["core_degree"])
+        for r in kcore_nodes(edges, k=2).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_empty_when_forest(spark):
+    """A pure tree has no 2-core — the loop must terminate at empty."""
+    from etl_cotrip_signs_spark.operators.graph import kcore_nodes
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    assert kcore_nodes(edges, k=2).count() == 0
+
+
+def test_graph_kcore_profile_invariants(spark):
+    """The decomposition profile must be monotone (k-cores nest), end at
+    an empty core, and every nonempty core's max degree must be >= its k."""
+    from etl_cotrip_signs_spark import registry
+
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    pdf = (
+        registry.QUERIES["graph_kcore"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) >= 2
+    assert (pdf["n_nodes"].diff().dropna() <= 0).all()  # cores nest
+    assert pdf["n_nodes"].iloc[-1] == 0  # ran until collapse
+    assert pdf["n_nodes"].iloc[0] > 0  # fixture graph has a 2-core
+    nonempty = pdf[pdf["n_nodes"] > 0]
+    assert (nonempty["max_core_degree"] >= nonempty["k"]).all()

@@ -222,3 +222,37 @@ def test_versioned_state_gc_keeps_current_plus_predecessor(spark, tmp_path):
     assert read_ptr() == {"batch": 4, "dir": f"{base}/state_b4"}
     # the referenced (current) version must still be fully readable
     assert spark.read.parquet(read_ptr()["dir"]).count() == 5
+
+
+def test_stream_left_join_supersets_inner(spark):
+    """The LEFT OUTER stream-stream join must (a) contain exactly the
+    inner join's rows as its matched subset and (b) only emit a
+    null-signup row when the watermark proved no match could arrive —
+    i.e. the purchase is older than (max ts - watermark delay - join
+    interval)."""
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.io import load_table
+
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    left = registry.QUERIES["stream_stream_left_join"](spark, SF_SMALL).toPandas()
+    inner = registry.QUERIES["stream_stream_join"](spark, SF_SMALL).toPandas()
+
+    key = ["purchase_id", "signup_id", "user_id", "purchase_s", "purchase_value"]
+    matched = left[left["signup_id"].notna()].copy()
+    matched["signup_id"] = matched["signup_id"].astype("int64")
+    assert (
+        sorted(map(tuple, matched[key].itertuples(index=False, name=None)))
+        == sorted(map(tuple, inner[key].itertuples(index=False, name=None)))
+    )
+
+    import pandas as pd
+
+    ev = load_table(spark, SF_SMALL, "events")
+    max_s = ev.agg(F.unix_timestamp(F.max("ts"))).first()[0]
+    unmatched = left[left["signup_id"].isna()]
+    # eviction boundary: watermark (max ts - 30 min) minus the 1 h interval
+    assert (unmatched["purchase_s"] <= max_s - 1800 - 3600 + 1).all()
+    # and no purchase may appear both matched and unmatched
+    assert not set(matched["purchase_id"]) & set(unmatched["purchase_id"])
