@@ -1,0 +1,239 @@
+"""Product/marketplace analytics + distributed-indexing primitives [EXT
+beyond task.ts — engine surface breadth]: two-pass global row numbering,
+market-basket co-occurrence, RFM segmentation, deterministic A/B lift.
+
+All four are oracle-checked. The headline scale story here is
+``global_row_number_two_pass``: a global ``row_number() OVER (ORDER BY …)``
+compiles to a SINGLE-partition Window — the one-reducer bottleneck that
+kills global indexing at 100 TB. The two-pass construction (range
+repartition → per-partition counts → broadcast offsets → map-side local
+index) produces the identical numbering with full parallelism; the oracle
+IS the single-reducer definition, so the hash match proves equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.money import sql_sum_fixed, sum_fixed
+from ..io import load_table
+from ..registry import query
+from .training import _md5_bucket
+
+
+@query(
+    "global_row_number_two_pass",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS global_rank
+    FROM orders
+    """,
+)
+def global_row_number_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense row numbering WITHOUT the single-reducer Window.
+
+    Pass structure: (1) `repartitionByRange` on the sort key — the range
+    exchange guarantees partition i holds strictly earlier keys than
+    partition i+1; (2) sort within partitions (parallel, no merge);
+    (3) count rows per partition (a 32-row aggregate), prefix-sum the
+    counts on the driver (cluster-width state, same legitimacy class as
+    k-means centroids); (4) one mapInPandas pass adds offset + local
+    index. Total: ONE full shuffle + one metadata-sized agg, every stage
+    parallel — vs the oracle's definition, which funnels all rows through
+    one task. This is how zipWithIndex-style global ids are built at
+    100 TB.
+
+    The repartitioned+sorted base is checkpointed eagerly: both the count
+    pass and the numbering pass consume it, and partition boundaries must
+    be IDENTICAL in both (a re-executed range exchange re-samples its
+    boundaries nondeterministically).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        o.repartitionByRange(
+            n_part, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in base.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def number_partition(batches):
+        local = 0
+        for pdf in batches:
+            start = offsets[int(pdf["pid"].iloc[0])] + local
+            yield pdf.assign(
+                global_rank=range(start + 1, start + 1 + len(pdf))
+            )[["o_orderkey", "global_rank"]]
+            local += len(pdf)
+
+    return base.mapInPandas(
+        number_partition, "o_orderkey long, global_rank long"
+    )
+
+
+@query(
+    "basket_pair_counts",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs appearing in the same
+    order — the support-counting primitive behind association rules.
+
+    Scale shape: the self-join key is the ORDER, so the pair space is
+    sum over orders of C(items, 2) — bounded by the per-basket item count
+    (~7 here), never |parts|². The distinct() first collapses repeated
+    part lines so a part counted twice in one order can't inflate
+    support. Top-k compiles to TakeOrderedAndProject. For web-scale
+    baskets you'd pre-filter to frequent items (apriori pruning) before
+    pairing; the fixture's baskets are small enough to pair directly.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, ["k"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_q,
+               ntile(4) OVER (ORDER BY frequency, o_custkey)  AS f_q,
+               ntile(4) OVER (ORDER BY monetary, o_custkey)   AS m_q
+        FROM rfm
+    )
+    SELECT r_q, f_q, m_q, count(*) AS n_customers
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quartile scores on each dimension, then segment sizes. Every ntile
+    ORDER BY carries the custkey tie-break — quartile assignment at a tie
+    is otherwise order-dependent and would diverge across engines AND
+    across partitionings. Monetary sums in DECIMAL per the money
+    discipline.
+
+    Scale note: the three ntiles are global windows — fine at customer
+    cardinality (dimension-sized), and the 100 TB variant replaces them
+    with precomputed quantile boundaries (agg_exact_percentile /
+    approx_percentile) joined as literals, keeping the scoring map-side.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "events_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 50
+                    THEN 'control' ELSE 'treatment' END AS variant
+        FROM events
+    ),
+    converted AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT variant,
+           count(*) AS n_users,
+           count(c.user_id) AS n_converted,
+           CAST(count(c.user_id) AS BIGINT) * 1000000 // count(*)
+               AS conversion_ppm
+    FROM assigned a LEFT JOIN converted c USING (user_id)
+    GROUP BY variant
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic md5-bucket variant assignment
+    (the same hash-split discipline as split_train_test — a user lands in
+    the same arm on every run, engine, and cluster size), conversion =
+    any purchase event, rate emitted as exact integer parts-per-million
+    (floor division; a rounded-double rate can land on a tie).
+
+    Shape: two distinct-user aggregates + one broadcast-able left join on
+    user_id + a 2-key count. At 100 TB the assignment is a map-side
+    expression — no experiment-assignment table to join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(_md5_bucket(F.col("user_id")) < 50, "control").otherwise(
+        "treatment"
+    )
+    assigned = ev.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        assigned.join(converted, ["user_id"], "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr("n_converted * 1000000 DIV n_users").alias("conversion_ppm"),
+        )
+    )

@@ -163,6 +163,10 @@ DRIVER_ORDER: list[str] = [
     "ivm_join_delta",                # r4b: incremental join-view maintenance (oracle)
     "graph_kcore",                   # r4b: k-core decomposition profile (rows)
     "stream_stream_left_join",       # r4b: watermark-evicted outer join (rows)
+    "global_row_number_two_pass",    # r4b: windowless global numbering (oracle)
+    "basket_pair_counts",            # r4b: market-basket co-occurrence (oracle)
+    "orders_rfm_segments",           # r4b: RFM quartile segmentation (oracle)
+    "events_ab_test_lift",           # r4b: md5-arm A/B readout, exact ppm (oracle)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)
@@ -311,6 +315,7 @@ def load_all() -> None:
         io_queries,
         pipeline_ops,
         ops_audit,
+        analytics,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

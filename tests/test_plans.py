@@ -369,3 +369,12 @@ def test_q20_decorrelated_semi(spark):
     df = registry.QUERIES["q20_excess_availability"](spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_global_row_number_avoids_single_reducer_window(spark):
+    """The two-pass global numbering must contain NO Window node — the
+    whole point is replacing the one-partition Window sort with a range
+    exchange + map-side indexing. (The oracle IS the Window form.)"""
+    df = registry.QUERIES["global_row_number_two_pass"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
