@@ -55,6 +55,12 @@ HEADLINE = [
     # round-4 additions: exact-substring dedup, weighted sampling
     "dedup_substring_spans",
     "sample_weighted_reservoir",
+    # round-4b additions: TPC-H completion (deep tree + composite-key
+    # partsupp join), snapshot reconciliation, windowless global numbering
+    "q8_market_share",
+    "q9_product_profit",
+    "table_diff_audit",
+    "global_row_number_two_pass",
 ]
 
 

@@ -77,3 +77,51 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_composite_key_bucketed_partsupp_join_no_exchange(spark, tmp_path_factory):
+    """q9's scale claim, proven on the real plan: bucketing the derived
+    partsupp AND lineitem by the COMPOSITE (partkey, suppkey) key makes
+    their two-column equi join exchange-free on both sides. (The live q9
+    reads plain parquet and shuffles; this is the materialized-layout
+    variant a production deployment would run.)"""
+    from etl_cotrip_signs_spark.operators.tpch_final import derived_partsupp
+
+    warehouse = str(tmp_path_factory.mktemp("warehouse_ps"))
+    ps = derived_partsupp(spark, SF_SMALL)
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS ps_bucketed")
+    spark.sql("DROP TABLE IF EXISTS li2_bucketed")
+    (
+        ps.write.bucketBy(8, "ps_partkey", "ps_suppkey")
+        .sortBy("ps_partkey", "ps_suppkey")
+        .option("path", f"{warehouse}/ps_bucketed")
+        .mode("overwrite")
+        .saveAsTable("ps_bucketed")
+    )
+    (
+        li.write.bucketBy(8, "l_partkey", "l_suppkey")
+        .sortBy("l_partkey", "l_suppkey")
+        .option("path", f"{warehouse}/li2_bucketed")
+        .mode("overwrite")
+        .saveAsTable("li2_bucketed")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li2_bucketed").join(
+            spark.table("ps_bucketed"),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        ).select(
+            (F.col("l_extendedprice") - F.col("ps_supplycost") * F.col("l_quantity"))
+            .alias("margin")
+        )
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()  # every lineitem pair exists in ps
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ps_bucketed")
+        spark.sql("DROP TABLE IF EXISTS li2_bucketed")
