@@ -167,6 +167,8 @@ DRIVER_ORDER: list[str] = [
     "basket_pair_counts",            # r4b: market-basket co-occurrence (oracle)
     "orders_rfm_segments",           # r4b: RFM quartile segmentation (oracle)
     "events_ab_test_lift",           # r4b: md5-arm A/B readout, exact ppm (oracle)
+    "geo_distance_join",             # r4b: grid-cell spatial self-join (oracle)
+    "geo_cell_density",              # r4b: heatmap tile binning (oracle)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)
@@ -316,6 +318,7 @@ def load_all() -> None:
         pipeline_ops,
         ops_audit,
         analytics,
+        geo_ops,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
