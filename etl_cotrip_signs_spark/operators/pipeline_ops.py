@@ -618,3 +618,65 @@ def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_funnel_duration",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    durations AS (
+        SELECT epoch_us(first_purchase) - epoch_us(first_view) AS d_us
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(d_us, 0.5), 4) AS p50_micros,
+           round(quantile_cont(d_us, 0.9), 4) AS p90_micros,
+           max(d_us) AS max_micros
+    FROM durations
+    """,
+)
+def events_funnel_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, seconds from first view to first
+    purchase (ordered — users whose purchase precedes any view are not
+    conversions), then exact duration percentiles. Durations are integer
+    MICROSECONDS on both sides: truncating each timestamp to seconds
+    before subtracting (unix_timestamp) disagrees with truncating the
+    difference (epoch arithmetic) by ±1s per row — micros arithmetic is
+    exact and identical. Completes the funnel
+    family: events_funnel_conversion counts WHO converts, this measures
+    HOW LONG conversion takes — the latency SLA of a growth funnel.
+
+    Shape: one conditional-min aggregate per user (single shuffle, the
+    same one sessionization pays), then a single-row exact-percentile
+    reduce over integer second durations (exact: no float ties).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    durations = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp"))
+        ).alias("d_us")
+    )
+    return durations.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("d_us", F.lit(0.5)), 4).alias("p50_micros"),
+        F.round(F.percentile("d_us", F.lit(0.9)), 4).alias("p90_micros"),
+        F.max("d_us").alias("max_micros"),
+    )

@@ -169,6 +169,8 @@ DRIVER_ORDER: list[str] = [
     "events_ab_test_lift",           # r4b: md5-arm A/B readout, exact ppm (oracle)
     "geo_distance_join",             # r4b: grid-cell spatial self-join (oracle)
     "geo_cell_density",              # r4b: heatmap tile binning (oracle)
+    "stream_update_mode_counts",     # r4b: UPDATE output mode, max-fold oracle
+    "events_funnel_duration",        # r4b: time-to-convert percentiles (oracle)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)

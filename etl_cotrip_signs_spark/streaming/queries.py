@@ -917,3 +917,32 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value", 2).alias("purchase_value"),
     )
     return run_to_completion(joined, "mem_stream_stream_left_join", "append")
+
+
+@query(
+    "stream_update_mode_counts",
+    # Update mode re-emits a key every micro-batch that changes it; counts
+    # are monotone per key, so the FINAL value per key is the max across
+    # emissions — which must equal the plain batch GROUP BY. The oracle is
+    # that batch aggregate; the query reduces its own update log the same
+    # way. Emission cadence (how many updates per key) is batch-boundary
+    # dependent and deliberately NOT part of the checked output.
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third output mode, exercised explicitly
+    (append: most queries here; complete: stream_tumbling_events). An
+    unwindowed running count per user emits only CHANGED keys each
+    micro-batch; the memory sink therefore holds an update LOG, and the
+    final state is the per-key max (counts are monotone). At 100 TB
+    update mode is what keeps unwindowed aggregations emittable at all —
+    complete mode would rewrite the entire result table every batch.
+    """
+    e = read_events_stream(spark, sf_dir)
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    log = run_to_completion(counts, "mem_stream_update_counts", "update")
+    return log.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
