@@ -1,0 +1,364 @@
+"""Time-series operators [EXT beyond task.ts — engine surface breadth]:
+EWMA smoothing, time-weighted average, CUSUM drift detection, and
+gaps-and-islands interval merging.
+
+All four are oracle-checked. The recurring determinism discipline:
+time-series math is float-heavy, and parallel double summation is
+order-nondeterministic — so every operator here converts to exact
+integer units first (cents, epoch micros), does ALL accumulation in
+integers (order-independent, engine-independent), and only divides at
+the very end with integer division on non-negative operands (Spark
+`div` truncates, DuckDB `//` floors — identical when non-negative).
+round() is avoided for the double->cent conversion: Spark rounds
+half-up, DuckDB half-away; floor() of the identical product is
+tie-free.
+
+The common scale shape: ONE hash exchange on the series key
+(user_id / o_custkey) followed by partition-local window work — the
+layout a 100 TB time-series table would already be bucketed in, making
+every operator here exchange-free on a bucketed source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+# EWMA with alpha=1/2 truncated to the last EWMA_TERMS observations.
+# Weights 2^(EWMA_TERMS-1-l) for lag l are exact integers; the
+# (numerator, denominator) pair is an exact rational — no float anywhere.
+EWMA_TERMS = 8
+
+_W = 2 ** (EWMA_TERMS - 1)
+_EWMA_LAG_SQL = ", ".join(
+    f"lag(v_cents, {l}) OVER w AS l{l}" for l in range(1, EWMA_TERMS)
+)
+_EWMA_NUM_SQL = " ".join(
+    f"+ coalesce(l{l}, 0) * {2 ** (EWMA_TERMS - 1 - l)}"
+    for l in range(1, EWMA_TERMS)
+)
+_EWMA_DEN_SQL = " ".join(
+    f"+ CASE WHEN l{l} IS NULL THEN 0 ELSE {2 ** (EWMA_TERMS - 1 - l)} END"
+    for l in range(1, EWMA_TERMS)
+)
+
+_V_CENTS_SQL = "CAST(floor(value * 100) AS BIGINT)"
+
+
+@query(
+    "events_ewma_dyadic",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id, {_V_CENTS_SQL} AS v_cents
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, v_cents, {_EWMA_LAG_SQL},
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn_desc,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, n_events,
+           ((v_cents * {_W} {_EWMA_NUM_SQL}) * 1000000)
+               // ({_W} {_EWMA_DEN_SQL}) AS ewma_e6
+    FROM lagged
+    WHERE rn_desc = 1
+    """,
+)
+def events_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=1/2, 8-term), exact.
+
+    The recursive EWMA s_i = a*x_i + (1-a)*s_{i-1} is the canonical
+    "not a plain window function" — but its truncated form IS one: with
+    alpha=1/2 the 8-term tail sum(x_{i-l} * 2^(7-l)) / sum(2^(7-l))
+    captures all but 2^-8 of the mass and unrolls into lag() columns
+    over a single (user_id, ts) window — one shuffle, one
+    partition-local sort, no iteration, no Python. All eight lags share
+    one WindowSpec, so they compile into ONE Window node. Numerator and
+    denominator are exact BIGINTs (weights are powers of two, values
+    are cents), so the oracle hash match is exact, not a float
+    coincidence.
+
+    Output: the final smoothed value per user (the last event's EWMA,
+    scaled 1e6) — the "current state" a monitoring pipeline publishes.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("v_cents") * _W
+    den = F.lit(_W).cast("long")
+    for l in range(1, EWMA_TERMS):
+        lv = F.lag("v_cents", l).over(w)
+        num = num + F.coalesce(lv, F.lit(0)) * (2 ** (EWMA_TERMS - 1 - l))
+        den = den + F.when(lv.isNull(), 0).otherwise(2 ** (EWMA_TERMS - 1 - l))
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        v.select(
+            "user_id",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+            F.row_number().over(wd).alias("rn_desc"),
+            (num * 1000000).alias("_num"),
+            den.alias("_den"),
+        )
+        .filter(F.col("rn_desc") == 1)
+        .select("user_id", "n_events", F.expr("_num div _den").alias("ewma_e6"))
+    )
+
+
+@query(
+    "events_twap",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS day,
+               {_V_CENTS_SQL} AS v_cents,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS dur_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           CAST(sum(v_cents * dur_us) AS BIGINT) // CAST(sum(dur_us) AS BIGINT)
+               AS twap_e2,
+           CAST(sum(dur_us) AS BIGINT) AS held_us,
+           count(*) AS n_held
+    FROM v
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id, day
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user per day.
+
+    The telemetry/finance staple: each observation holds until the next
+    one, so the day's average weights each value by its holding
+    duration — a plain avg() over irregular samples is wrong. Shape:
+    lead() over (user, day) to get the holding interval, then an
+    ordinary partial+final aggregate of BIGINT products — exact
+    epoch-microsecond weights, exact cent values, integer division
+    last. Zero-duration observations (same-timestamp ticks) carry no
+    time mass and are excluded on both sides; the day's final
+    observation has no successor and likewise carries none.
+
+    DuckDB's sum(BIGINT) widens to HUGEINT — the oracle casts back to
+    BIGINT so schemas agree (cross-engine rule learned round 3).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    v = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        .withColumn(
+            "dur_us",
+            (
+                F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).cast("long"),
+        )
+        .filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    )
+    return v.groupBy("user_id", "day").agg(
+        F.expr("sum(v_cents * dur_us) div sum(dur_us)").alias("twap_e2"),
+        F.sum("dur_us").alias("held_us"),
+        F.count(F.lit(1)).alias("n_held"),
+    )
+
+
+# CUSUM reference level: deviations are measured against a fixed target
+# (150.00 in value units). A per-series mean would also work but makes the
+# statistic two-pass; monitoring CUSUMs use a fixed target by design.
+CUSUM_TARGET_CENTS = 15000
+
+
+@query(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               {_V_CENTS_SQL} - {CUSUM_TARGET_CENTS} AS dev
+        FROM events
+    ),
+    pre AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(dev) OVER w AS BIGINT) AS prefix
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    drift AS (
+        SELECT user_id,
+               prefix
+                   - min(prefix) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS drift
+        FROM pre
+    )
+    SELECT user_id,
+           CAST(max(drift) AS BIGINT) AS max_drift_e2,
+           count(*) AS n_events,
+           CAST(count(CASE WHEN drift >= 100000 THEN 1 END) AS BIGINT)
+               AS n_alarms
+    FROM drift
+    GROUP BY user_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per user, exact integers.
+
+    The textbook CUSUM s_i = max(0, s_{i-1} + (x_i - target)) is a
+    recursion — but its value is algebraically prefix_i - min(prefix_j,
+    j<=i) of the running deviation sum, which IS a plain composition of
+    two same-spec windows (running sum, then running min of it). That
+    identity turns an apparently-stateful scan into two partition-local
+    window passes over one exchange — the same trick a 100 TB
+    changepoint sweep needs, because a sequential stateful scan cannot
+    parallelize but prefix windows can.
+
+    Output per user: the maximum drift ever reached (scaled cents), the
+    event count, and how many observations sat above a 1000.00-unit
+    alarm threshold.
+    """
+    dev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - CUSUM_TARGET_CENTS).alias(
+            "dev"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.select(
+        "user_id", "ts", "event_id", F.sum("dev").over(w).alias("prefix")
+    )
+    drift = pre.select(
+        "user_id", (F.col("prefix") - F.min("prefix").over(w)).alias("drift")
+    )
+    return drift.groupBy("user_id").agg(
+        F.max("drift").alias("max_drift_e2"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("drift") >= 100000, 1)).alias("n_alarms"),
+    )
+
+
+@query(
+    "orders_interval_islands",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL 30 DAY AS e,
+               o_orderkey
+        FROM orders
+    ),
+    flagged AS (
+        SELECT o_custkey, s, e, o_orderkey,
+               CASE WHEN s > max(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT o_custkey, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY o_custkey ORDER BY s, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT o_custkey, island_id,
+               min(s) AS island_start, max(e) AS island_end, count(*) AS n_orders
+        FROM islands
+        GROUP BY o_custkey, island_id
+    )
+    SELECT o_custkey,
+           count(*) AS n_islands,
+           CAST(max(n_orders) AS BIGINT) AS max_orders_in_island,
+           CAST(sum(date_diff('day', island_start, island_end)) AS BIGINT)
+               AS covered_days
+    FROM merged
+    GROUP BY o_custkey
+    """,
+)
+def orders_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge overlapping 30-day activity intervals.
+
+    Each order opens a [orderdate, orderdate+30d] activity interval;
+    overlapping intervals per customer merge into "islands" of
+    continuous engagement. The classic SQL formulation — running
+    max(end) over preceding rows flags island starts, a running sum of
+    flags numbers the islands — is two same-partition windows plus two
+    aggregations, all after a single exchange on o_custkey. No
+    self-join: the naive interval-overlap self-join is O(n²) per
+    customer and this is the standard linear replacement.
+
+    The first interval of each customer has an empty preceding frame:
+    max(e) is NULL, `s > NULL` is NULL, and BOTH engines' CASE treat
+    the non-true condition as 0 — island ids therefore start at 0 in
+    each engine consistently (ids are internal; only per-customer
+    rollups are emitted).
+
+    Output per customer: island count, the busiest island's order
+    count, and total covered days.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+        "o_orderkey",
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = o.select(
+        "o_custkey",
+        "s",
+        "e",
+        "o_orderkey",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "o_custkey", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    merged = islands.groupBy("o_custkey", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return merged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("n_orders").alias("max_orders_in_island"),
+        F.sum(
+            F.datediff(F.col("island_end"), F.col("island_start")).cast("long")
+        ).alias("covered_days"),
+    )

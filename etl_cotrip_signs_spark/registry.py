@@ -321,6 +321,7 @@ def load_all() -> None:
         ops_audit,
         analytics,
         geo_ops,
+        timeseries,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
