@@ -1,0 +1,283 @@
+"""Advanced relational operators, batch 4 [EXT beyond task.ts — engine
+surface breadth]: recursive-CTE-equivalent hierarchy traversal via
+pointer doubling, windowed COUNT(DISTINCT) (which Spark's Window does
+not support natively), deterministic per-group mode, and exact-moment
+correlation.
+
+All oracle-checked. Two of these exist precisely because Spark LACKS
+the direct construct and the scalable re-expression is the operator:
+
+- `hierarchy_closure_doubling`: Spark has no WITH RECURSIVE. The
+  parent-chase recursion is O(depth) sequential joins; pointer doubling
+  (path halving from the union-find literature) reaches the root in
+  O(log depth) self-joins — 4 shuffles instead of 12 at depth ~4000 for
+  a 100 TB org/BOM table. The DuckDB oracle IS the recursive CTE, so
+  the hash match proves the doubling algebra.
+- `window_count_distinct_running`: `count(DISTINCT x) OVER w` raises
+  AnalysisException in Spark. The standard re-expression — flag each
+  (partition, value)'s first occurrence with row_number()==1, then
+  prefix-sum the flags — is two window passes over ONE exchange. The
+  DuckDB oracle uses its native DISTINCT window aggregate, so the two
+  formulations are genuinely independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "hierarchy_closure_doubling",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT p_partkey AS v, p_partkey AS cur,
+               CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+        FROM part
+        UNION ALL
+        SELECT v, cur // 2, s + cur // 2, d + 1
+        FROM chain WHERE cur > 0
+    )
+    SELECT v AS p_partkey, d AS depth, s + v AS path_sum
+    FROM chain WHERE cur = 0
+    """,
+)
+def hierarchy_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root/depth/path-sum for every node of a tree, in O(log d) joins.
+
+    The tree is materialized as a DATA edge table (node -> parent =
+    node div 2, root 0 self-looping) and the algorithm touches only the
+    edges — the arithmetic derivation is never consulted again, exactly
+    as if the edges came off disk. State per node: (v, anc, s, d) =
+    (node, ancestor reached so far, key-sum of the ancestors strictly
+    above v up to and including anc, steps taken). One doubling round
+    self-joins state on a.anc = b.v to compose two jumps; the root's
+    (0, 0, 0, 0) self-loop makes composition idempotent after
+    convergence, so converged rows pass through unchanged.
+
+    Each round is ONE shuffle join of the n-row state with itself —
+    log2(max_depth) rounds total (convergence-checked with a count
+    action, cluster-metadata cost). The naive parent-chase is
+    max_depth shuffles. Eager localCheckpoint per round: the next
+    round's join reads the state TWICE (both sides), the round-3 lesson
+    on lazy fan-out recomputation.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    edges = part.select(
+        F.col("p_partkey").alias("v"),
+        F.when(F.col("p_partkey") > 0, F.expr("p_partkey div 2"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("parent"),
+    )
+    state = edges.select(
+        "v",
+        F.col("parent").alias("anc"),
+        F.when(F.col("v") > 0, F.col("parent")).otherwise(0).cast("long").alias("s"),
+        F.when(F.col("v") > 0, 1).otherwise(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+
+    while state.filter(F.col("anc") != 0).count() > 0:
+        jump = state.select(
+            F.col("v").alias("j_v"),
+            F.col("anc").alias("j_anc"),
+            F.col("s").alias("j_s"),
+            F.col("d").alias("j_d"),
+        )
+        state = (
+            state.join(jump, state["anc"] == jump["j_v"])
+            .select(
+                "v",
+                F.col("j_anc").alias("anc"),
+                (F.col("s") + F.col("j_s")).alias("s"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("v").alias("p_partkey"),
+        F.col("d").alias("depth"),
+        (F.col("s") + F.col("v")).alias("path_sum"),
+    )
+
+
+@query(
+    "window_count_distinct_running",
+    oracle="""
+    WITH running AS (
+        SELECT user_id,
+               count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS n_distinct,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS row_idx
+        FROM events
+    )
+    SELECT user_id,
+           CAST(max(n_distinct) AS BIGINT) AS total_distinct_types,
+           CAST(min(CASE WHEN n_distinct >= 3 THEN row_idx END) AS BIGINT)
+               AS rows_to_3_types
+    FROM running
+    GROUP BY user_id
+    """,
+)
+def window_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — Spark-lacking.
+
+    Direct `count(DISTINCT) OVER` is unsupported by Spark's Window; the
+    scalable identity: a value is "new" on its first occurrence within
+    the partition (row_number() over (partition, value) == 1), and the
+    running distinct count is the prefix sum of new-flags. Both windows
+    hash-partition on the same key, so the whole query is one exchange
+    plus two partition-local sorts. The business readout — "how many
+    events until a user has touched 3 distinct features" — is the
+    engagement-depth metric this window pattern usually feeds.
+
+    The DuckDB oracle uses its NATIVE DISTINCT window aggregate — an
+    independent formulation, so the hash match validates the identity
+    itself. Users never reaching 3 types yield NULL in both engines
+    (min over an empty CASE set).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number().over(w_idx).alias("row_idx"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_new"),
+    ).select(
+        "user_id",
+        "row_idx",
+        F.sum("is_new").over(w_run).alias("n_distinct"),
+    )
+    return running.groupBy("user_id").agg(
+        F.max("n_distinct").alias("total_distinct_types"),
+        F.min(F.when(F.col("n_distinct") >= 3, F.col("row_idx"))).alias(
+            "rows_to_3_types"
+        ),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority,
+           cnt AS modal_count
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority DESC
+    ) = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a total tie-break order.
+
+    mode() builtins (Spark 3.4+, DuckDB) leave ties
+    implementation-defined — a cross-engine (and cross-run, under AQE
+    partition reshuffling) determinism hazard. The portable form: count
+    per (group, value), keep the (count, value) maximum via max_by over
+    a struct — two map-side-combinable aggregates, no window, no sort.
+    The oracle spells the same semantics as QUALIFY row_number() = 1,
+    a different physical formulation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("o_orderstatus").agg(
+        F.max_by(
+            F.col("o_orderpriority"), F.struct("cnt", "o_orderpriority")
+        ).alias("modal_priority"),
+        F.max(F.struct("cnt", "o_orderpriority"))["cnt"].alias("modal_count"),
+    )
+
+
+@query(
+    "stat_corr_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+        FROM (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sy AS VARCHAR) AS sum_y_cents,
+           CAST(sy2 AS VARCHAR) AS sum_y2_cents,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                      * CAST(n * sy2 - sy * sy AS DOUBLE)) AS corr_qty_price
+    FROM m
+    """,
+)
+def stat_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments.
+
+    corr() builtins accumulate doubles in partition order —
+    nondeterministic low bits across runs and engines. The mergeable
+    path: five integer moments (sums of x, y, xy, x2, y2) accumulated
+    exactly — per-row products fit BIGINT, sums go to DECIMAL(38,0) in
+    Spark (DuckDB widens to HUGEINT natively, 128-bit exact either
+    way) — then ONE cast of each exact difference to double and a
+    sqrt/divide. Both engines evaluate the identical final expression
+    on identical inputs: bit-identical IEEE results, hashable by the
+    driver. This is also the 100 TB shape: moments are
+    map-side-combinable partial aggregates (corr over a shuffle of 5
+    numbers per group), where a naive two-pass mean-then-deviation
+    implementation reads the data twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sx2"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("sy2"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        # The exact sums exceed BIGINT at sf>=0.1 and DuckDB's HUGEINT
+        # maps to float64 in pandas — string is the lossless common type.
+        F.col("sy").cast("decimal(38,0)").cast("string").alias("sum_y_cents"),
+        F.col("sy2").cast("decimal(38,0)").cast("string").alias("sum_y2_cents"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("corr_qty_price"),
+    )

@@ -49,3 +49,13 @@ def assert_wholestage_codegen(df: DataFrame) -> None:
         df.explain("codegen")
     plan = buf.getvalue()
     assert "WholeStageCodegen" in plan, "expected WholeStageCodegen spans in:\n" + plan
+
+
+def node_count(df: DataFrame, op: str) -> int:
+    """Number of physical-plan NODES of a given operator name.
+
+    `formatted_plan(...).count(op)` over-counts: each node appears both in
+    the tree sketch ("+- Window (9)") and as a detail header ("(9) Window").
+    Count the detail headers only — exactly one per node.
+    """
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}\b", formatted_plan(df)))

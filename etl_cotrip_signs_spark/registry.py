@@ -92,10 +92,10 @@ DRIVER_ORDER: list[str] = [
     "signs_rest_pipeline",
     "agg_stats_orders",
     "agg_approx_distinct",
-    "agg_grouping_sets",
+    "stat_corr_moments",            # r4c rotation in (was agg_grouping_sets)
     "agg_collect_first_last",
     "events_rollup_two_level",      # r4b rotation in (was agg_exact_percentile)
-    "join_outer_customers_orders",
+    "hierarchy_closure_doubling",   # r4c rotation in (was join_outer_customers_orders)
     "q21_waiting_orders",           # r4 rotation in (was q3_shipping_priority)
     "join_broadcast_brand_revenue",
     "q2_min_cost_supplier",         # r4 rotation in (was join_semi_customers)
@@ -107,12 +107,12 @@ DRIVER_ORDER: list[str] = [
     "window_topk_via_agg",          # r4 rotation in (was window_rank_customers)
     "graph_triangle_count",         # r4 rotation in (was q6_forecast_revenue)
     "events_anomaly_iqr",           # r4 rotation in (was q7_volume_shipping)
-    "sort_topk_orders",
+    "orders_interval_islands",      # r4c rotation in (was sort_topk_orders)
     "setops_all_variants",
     "select_token_budget",          # r4 rotation in (was q18_large_volume_customer)
     "split_group_preserving",       # r4 rotation in (was agg_salted_skew)
     "partitioned_sink_roundtrip",
-    "sessionize_events_batch",
+    "events_ewma_dyadic",           # r4c rotation in (was sessionize_events_batch)
     "stream_foreach_batch_upsert",  # r4 rotation in (was subquery_max_acctbal)
     "filter_predicate_family",
     "cdc_scd2_history",             # r4 rotation in (was orc_scan_roundtrip)
@@ -171,6 +171,15 @@ DRIVER_ORDER: list[str] = [
     "geo_cell_density",              # r4b: heatmap tile binning (oracle)
     "stream_update_mode_counts",     # r4b: UPDATE output mode, max-fold oracle
     "events_funnel_duration",        # r4b: time-to-convert percentiles (oracle)
+    # -- round-4c additions (continuation session 3) --
+    "events_twap",                   # r4c: time-weighted average, exact micros (oracle)
+    "events_cusum_drift",            # r4c: CUSUM via prefix-minus-running-min (oracle)
+    "agg_mode_deterministic",        # r4c: tie-broken per-group mode (oracle)
+    "window_count_distinct_running", # r4c: running COUNT(DISTINCT) trick (oracle)
+    "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
+    "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
+    "sessionize_events_batch",       # r4c rotation out (green r2+r3)
+    "sort_topk_orders",              # r4c rotation out (green r1+r2+r3)
     "q3_shipping_priority",          # r4 rotation out (green r3)
     "q6_forecast_revenue",           # r4 rotation out (green r3)
     "q7_volume_shipping",            # r4 rotation out (green r3)
@@ -322,6 +331,7 @@ def load_all() -> None:
         analytics,
         geo_ops,
         timeseries,
+        relational4,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

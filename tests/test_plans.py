@@ -16,6 +16,7 @@ from etl_cotrip_signs_spark.plans.explain import (
     assert_pushed_filters,
     assert_wholestage_codegen,
     formatted_plan,
+    node_count,
     plan_has,
 )
 
@@ -378,3 +379,46 @@ def test_global_row_number_avoids_single_reducer_window(spark):
     df = registry.QUERIES["global_row_number_two_pass"](spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "Window" not in plan, plan
+
+
+def test_ewma_lags_compile_to_single_window_node(spark):
+    """All 8 EWMA lag columns share one WindowSpec — they must land in a
+    single Window node (the other two are the n_events count and the
+    desc-ordered last-row picker), not eight; and the whole query is
+    served by ONE exchange on user_id."""
+    df = registry.QUERIES["events_ewma_dyadic"](spark, SF_SMALL)
+    assert node_count(df, "Window") <= 3, formatted_plan(df)
+    assert node_count(df, "Exchange") <= 1, formatted_plan(df)
+
+
+def test_running_distinct_single_exchange(spark):
+    """Both windows + the final agg of the running-distinct trick hash on
+    user_id — Catalyst must reuse one exchange, not stack three."""
+    df = registry.QUERIES["window_count_distinct_running"](spark, SF_SMALL)
+    assert node_count(df, "Exchange") <= 1, formatted_plan(df)
+
+
+def test_mode_is_two_aggs_no_window(spark):
+    """Deterministic mode is max_by over counts: two hash aggregates with
+    map-side partials, zero Window/sort nodes."""
+    df = registry.QUERIES["agg_mode_deterministic"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_corr_moments_partial_aggregation(spark):
+    """The five exact moments must aggregate map-side (partial+final
+    HashAggregate pair) — the property that makes exact corr a
+    5-numbers-per-group shuffle at 100 TB."""
+    df = registry.QUERIES["stat_corr_moments"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_islands_single_exchange_for_both_windows(spark):
+    """Interval-islands runs two windows + two aggs all keyed on
+    o_custkey: one exchange must serve the chain."""
+    df = registry.QUERIES["orders_interval_islands"](spark, SF_SMALL)
+    assert node_count(df, "Exchange") <= 1, formatted_plan(df)
