@@ -176,6 +176,9 @@ DRIVER_ORDER: list[str] = [
     "events_cusum_drift",            # r4c: CUSUM via prefix-minus-running-min (oracle)
     "agg_mode_deterministic",        # r4c: tie-broken per-group mode (oracle)
     "window_count_distinct_running", # r4c: running COUNT(DISTINCT) trick (oracle)
+    "sketch_quantile_mergeable",     # r4c: log-bucket mergeable quantile sketch (oracle)
+    "sketch_cms_heavy_hitters",      # r4c: count-min sketch, exact cross-engine (oracle)
+    "stream_static_join",            # r4c: broadcast dim enrichment per micro-batch (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
@@ -332,6 +335,7 @@ def load_all() -> None:
         geo_ops,
         timeseries,
         relational4,
+        sketches2,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

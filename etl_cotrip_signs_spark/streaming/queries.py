@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..io import load_table
 from ..registry import query
 from ..session import ensure_confs
 
@@ -946,3 +947,44 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     log = run_to_completion(counts, "mem_stream_update_counts", "update")
     return log.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: micro-batches enriched against a batch dim.
+
+    The third join topology (after stream-stream inner and left-outer):
+    each micro-batch joins the STATIC customer dimension — no watermark
+    and no join state, because the static side is complete by
+    definition. This is the 100 TB enrichment workhorse (facts stream,
+    dimensions don't): the static side is broadcast per micro-batch, so
+    the stream side never shuffles on the join key; only the post-join
+    aggregate exchanges, and only segment-sized state persists.
+
+    The aggregate sums exact cents (floor, not round — engines differ
+    on ties); the oracle is the identical batch join+aggregate.
+    """
+    e = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = e.join(F.broadcast(cust), e["user_id"] == cust["c_custkey"])
+    # count(DISTINCT) is rejected on streaming aggregates (unbounded
+    # per-group state); the distinct-user readout lives in the batch twin.
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+    return run_to_completion(agg, "mem_stream_static_join", "complete")

@@ -422,3 +422,20 @@ def test_islands_single_exchange_for_both_windows(spark):
     o_custkey: one exchange must serve the chain."""
     df = registry.QUERIES["orders_interval_islands"](spark, SF_SMALL)
     assert node_count(df, "Exchange") <= 1, formatted_plan(df)
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    """The 1024-cell CMS table must broadcast to the probe side — the
+    sketch is cluster-constant state, never a shuffle partner."""
+    df = registry.QUERIES["sketch_cms_heavy_hitters"](spark, SF_SMALL)
+    assert_broadcast_join(df)
+
+
+def test_quantile_sketch_readout_stays_metadata_scale(spark):
+    """The quantile walk runs over the ~40-row histogram; the only
+    full-data operators are the bucket aggregate and the below-estimate
+    count — both partial+final HashAggregates, no global Sort of data."""
+    df = registry.QUERIES["sketch_quantile_mergeable"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan, plan
+    assert node_count(df, "TakeOrderedAndProject") == 0, plan
