@@ -1,0 +1,258 @@
+"""Distributed selection & dominance operators [EXT — engine surface
+breadth]: exact k-th order statistics without a global sort, a 2D
+skyline (Pareto frontier), incremental aggregate-view maintenance, and
+a file-manifest data-skipping primitive.
+
+The first three are oracle-checked; the manifest is rows-only (its
+output names scratch file paths the oracle cannot see) with pytest
+invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+_KS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+_NBUCKETS = 1024
+
+
+@query(
+    "kth_statistic_iterative",
+    oracle=f"""
+    WITH x AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    qs AS (
+        {" UNION ALL ".join(f"SELECT '{label}' AS k_label, {q} AS q" for label, q in _KS)}
+    ),
+    ks AS (
+        SELECT k_label,
+               CAST(ceil(q * (SELECT count(*) FROM x)) AS BIGINT) AS k
+        FROM qs
+    ),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM x
+    )
+    SELECT ks.k_label, ks.k, r.cents AS kth_value
+    FROM ks JOIN ranked r ON r.rn = ks.k
+    """,
+)
+def kth_statistic_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-th order statistic with no global sort — the two-pass
+    bucket-selection algorithm.
+
+    A global `ORDER BY ... OFFSET k` funnels every row through one task
+    (the oracle is exactly that definition). The distributed shape:
+    (1) one aggregate pass histograms values into 1024 equi-width
+    buckets — map-side-combinable counts, metadata-sized result;
+    (2) the driver prefix-sums 1024 numbers to locate each k's bucket
+    (cluster-constant state, k-means-centroid legitimacy class);
+    (3) a filtered TakeOrdered over ONLY the target bucket's rows
+    (n/1024 expected) yields the exact value. Two data passes + a
+    bucket-sized sort for any number of ks at once — this is how exact
+    percentiles are computed at 100 TB when approx_percentile's error
+    bound isn't acceptable.
+
+    All arithmetic is integer (cents, floor-div bucket ids);
+    ceil(q*n) is one double product both engines round identically.
+    """
+    x = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    lo, hi, n = x.agg(
+        F.min("cents"), F.max("cents"), F.count(F.lit(1))
+    ).first()
+    width = max(1, (hi - lo) // _NBUCKETS + 1)
+    hist = {
+        r["b"]: r["cnt"]
+        for r in x.groupBy(F.expr(f"(cents - {lo}) div {width}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    import math
+
+    out = []
+    for label, q in _KS:
+        k = math.ceil(q * n)
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= k:
+                remaining = k - cum
+                lo_b, hi_b = lo + b * width, lo + (b + 1) * width
+                kth = (
+                    x.filter((F.col("cents") >= lo_b) & (F.col("cents") < hi_b))
+                    .orderBy("cents")
+                    .limit(remaining)
+                    .agg(F.max("cents").alias("v"))
+                    .first()["v"]
+                )
+                out.append((label, k, kth))
+                break
+            cum += hist[b]
+    return spark.createDataFrame(out, "k_label string, k long, kth_value long")
+
+
+@query(
+    "skyline_price_size",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_size
+        FROM part
+    )
+    SELECT p_partkey, price_cents, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE (b.price_cents < a.price_cents AND b.p_size >= a.p_size)
+           OR (b.price_cents <= a.price_cents AND b.p_size > a.p_size)
+    )
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier): cheapest-and-largest parts.
+
+    A part is dominated if another is no worse on both axes and
+    strictly better on one. The oracle is the O(n²) NOT EXISTS
+    definition; the operator is the LINEAR window identity for 2D:
+    after ordering by price, a row is dominated iff some
+    strictly-cheaper row has size >= its size (RANGE frame ending 1
+    below the current price) or some price-tied-or-cheaper row has
+    size strictly greater (RANGE frame through the current price).
+    Running max(size) over the two RANGE frames answers both in one
+    sort — a single-axis global range partitioning at scale (skylines
+    of 100 TB catalogs run exactly this shape per range partition,
+    then a 2nd pass over per-partition frontiers).
+
+    The two formulations being genuinely different algorithms, the
+    hash match is strong evidence for both.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    w_lt = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_leq = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = p.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_lt).alias("max_size_cheaper"),
+        F.max("p_size").over(w_leq).alias("max_size_leq"),
+    )
+    return flagged.filter(
+        (
+            F.col("max_size_cheaper").isNull()
+            | (F.col("max_size_cheaper") < F.col("p_size"))
+        )
+        & (F.col("max_size_leq") <= F.col("p_size"))
+    ).select("p_partkey", "price_cents", "p_size")
+
+
+@query(
+    "ivm_agg_delta",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
+    GROUP BY o_custkey
+    """,
+)
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE-view maintenance under inserts + deletes.
+
+    Companion to ivm_join_delta (join views): a grouped count/sum view
+    V0 = agg(base) is maintained to V1 by merging signed delta
+    aggregates — +agg(inserts), -agg(deletes) — and summing per key,
+    dropping keys whose count reaches zero. The maintenance cost is
+    O(|delta| + |touched keys|), never a rescan of base: at 100 TB
+    this is the difference between an hourly full refresh and a
+    seconds-long merge. count and sum are self-maintainable under
+    deletion (unlike min/max, which need the deletion-aware rescan —
+    noted here deliberately).
+
+    Fixture partition: base = orderkey%10!=0, inserts = %10==0,
+    deletes = base rows with %7==0. The oracle computes the FINAL
+    state directly from the equivalent predicate, so the hash match
+    proves the delta algebra, not the partitioning.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    ins = o.filter(F.col("o_orderkey") % 10 == 0)
+    dels = base.filter(F.col("o_orderkey") % 7 == 0)
+
+    def signed_agg(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            (F.count(F.lit(1)) * sign).alias("dn"),
+            (F.sum("cents") * sign).alias("dsum"),
+        )
+
+    v0 = signed_agg(base, 1)
+    merged = (
+        v0.unionByName(signed_agg(ins, 1))
+        .unionByName(signed_agg(dels, -1))
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dsum").alias("sum_cents"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged
+
+
+@query("file_manifest_stats")  # rows-only: output names run-local scratch files
+def file_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE min/max/count manifest via the `_metadata` column — the
+    data-skipping index a lakehouse table format maintains.
+
+    Writes a partitioned copy of lineitem to scratch, then reads it
+    back collecting (file, row count, min/max shipdate) per physical
+    file from the hidden `_metadata` struct — the exact stats a query
+    planner consults to skip files whose [min,max] cannot satisfy a
+    predicate. Rows-only by nature (file paths are run-local); pytest
+    pins the invariants: every file's count sums to the table count
+    and per-partition min/max agree with the table-level aggregate.
+    """
+    from ..session import scratch_dir
+
+    out = scratch_dir("file_manifest_stats", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_shipdate"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            "l_returnflag",
+            "l_shipdate",
+            # partition-dir/basename: one writer task reuses its basename
+            # across partition directories, so the basename alone is not
+            # unique — the last two path segments are.
+            F.concat_ws(
+                "/",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).alias("file_name"),
+        )
+        .groupBy("l_returnflag", "file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+    )

@@ -179,6 +179,10 @@ DRIVER_ORDER: list[str] = [
     "sketch_quantile_mergeable",     # r4c: log-bucket mergeable quantile sketch (oracle)
     "sketch_cms_heavy_hitters",      # r4c: count-min sketch, exact cross-engine (oracle)
     "stream_static_join",            # r4c: broadcast dim enrichment per micro-batch (oracle)
+    "kth_statistic_iterative",       # r4c: exact kth order stat, no global sort (oracle)
+    "skyline_price_size",            # r4c: 2D Pareto frontier, window vs NOT-EXISTS (oracle)
+    "ivm_agg_delta",                 # r4c: incremental agg-view maintenance (oracle)
+    "file_manifest_stats",           # r4c: per-file _metadata manifest (rows)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
@@ -336,6 +340,7 @@ def load_all() -> None:
         timeseries,
         relational4,
         sketches2,
+        selection,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -51,3 +51,23 @@ def test_udtf_rest_matches_serial(spark):
     df = read_signs_udtf(spark, PAGES_DIR, [None, "4", "7"])
     serial_ids = sorted(f["id"] for f in fetch_all_features(file_fetcher(PAGES_DIR)))
     assert sorted(r["id"] for r in df.collect()) == serial_ids
+
+
+def test_file_manifest_covers_table_exactly(spark):
+    """Every physical file appears once; counts sum to the table count and
+    per-partition min/max equal the table-level aggregate (the invariant a
+    planner relies on when skipping files by [min,max])."""
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.io import load_table
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    m = registry.QUERIES["file_manifest_stats"](spark, SF_SMALL).toPandas()
+    li = load_table(spark, SF_SMALL, "lineitem").toPandas()
+    assert m["n_rows"].sum() == len(li)
+    assert m["file_name"].is_unique
+    for flag, grp in m.groupby("l_returnflag"):
+        part = li[li["l_returnflag"] == flag]
+        assert grp["min_shipdate"].min() == part["l_shipdate"].min()
+        assert grp["max_shipdate"].max() == part["l_shipdate"].max()
+        assert grp["n_rows"].sum() == len(part)
