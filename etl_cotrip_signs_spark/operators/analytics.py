@@ -237,3 +237,119 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_converted * 1000000 DIV n_users").alias("conversion_ppm"),
         )
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT g.dim - 1 AS dim,
+           count(*) AS n,
+           CAST(min(CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * 1000000)
+               AS BIGINT)) AS BIGINT) AS min_e6,
+           CAST(max(CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * 1000000)
+               AS BIGINT)) AS BIGINT) AS max_e6,
+           CAST(sum(CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * 1000000)
+               AS BIGINT)) AS BIGINT) AS sum_e6
+    FROM embeddings, generate_series(1, 64) g(dim)
+    GROUP BY g.dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION statistics of the embedding column — the
+    feature-scaling pre-flight (detect dead dims, range drift, needed
+    normalization) every vector pipeline runs before indexing.
+
+    Shape: posexplode turns the 64-float arrays into long form
+    (Generate — a map-side operator, no shuffle), then one
+    partial+final aggregate keyed on the 64 dims. At 100 TB the
+    long-form explode never materializes to disk — it lives inside the
+    scan stage, and the shuffle carries exactly 64×partials rows.
+
+    Determinism: float32 -> double widening is exact, the single
+    double multiply is IEEE-identical in both engines, floor ends all
+    tie risk; sums stay in BIGINT (DuckDB HUGEINT cast back).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    long = e.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000).cast("long").alias("v_e6"),
+    )
+    return long.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v_e6").alias("min_e6"),
+        F.max("v_e6").alias("max_e6"),
+        F.sum("v_e6").alias("sum_e6"),
+    )
+
+
+@query(
+    "trend_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT c.c_mktsegment,
+               date_diff('day', DATE '1970-01-01', o.o_orderdate) AS day_x,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(sum(day_x) AS BIGINT) AS sx,
+               CAST(sum(rev_y) AS BIGINT) AS sy,
+               CAST(sum(day_x * rev_y) AS BIGINT) AS sxy,
+               CAST(sum(day_x * day_x) AS BIGINT) AS sx2
+        FROM daily
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sx2 - sx * sx AS DOUBLE)
+               AS slope_cents_per_day
+    FROM m
+    """,
+)
+def trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend per market segment, exact moments.
+
+    Two-level aggregate: daily revenue per segment (exact cents), then
+    the regression slope from four integer moments — the same
+    exact-moment discipline as stat_corr_moments: every sum is integer,
+    the single final double division is IEEE-identical across engines.
+    Both levels are map-side-combinable; the second aggregates a
+    days×segments-sized input, so the trend over a 100 TB fact table
+    costs one shuffle of daily partials plus arithmetic on a handful of
+    rows. The broadcast dim join attaches the segment before the first
+    aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day_x"
+        ),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "day_x")
+        .agg(F.sum("cents").alias("rev_y"))
+    )
+    m = daily.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day_x").alias("sx"),
+        F.sum("rev_y").alias("sy"),
+        F.sum(F.col("day_x") * F.col("rev_y")).alias("sxy"),
+        F.sum(F.col("day_x") * F.col("day_x")).alias("sx2"),
+    )
+    return m.select(
+        "c_mktsegment",
+        F.col("n").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_cents_per_day"),
+    )

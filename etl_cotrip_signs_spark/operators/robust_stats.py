@@ -1,0 +1,182 @@
+"""Robust / order-statistic operators [EXT — engine surface breadth]:
+rolling median, weighted median, and an equi-depth histogram. All
+oracle-checked, all exact-integer (cents), because order statistics are
+where float ties and engine-specific interpolation rules bite hardest:
+every median here is the LOWER median (quantile_disc semantics), never
+an interpolated average two engines might round apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+ROLL_FRAME = 7  # rolling median over the last 7 observations
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(quantile_disc(v_cents, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_median_cents
+    FROM v
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 7 observations per user.
+
+    Spark has NO median window function — the re-expression:
+    collect_list over the ROWS frame, array_sort, pick the lower-middle
+    element. The intermediate is a bounded 7-element array per row
+    (frame-sized, not partition-sized — memory is O(frame), safe at any
+    scale), sorted JVM-side inside whole-stage codegen; one exchange on
+    user_id serves everything. The DuckDB oracle uses its native
+    quantile_disc window aggregate — an independent engine path.
+
+    Lower median (discrete), not interpolated: for even-length frames
+    engines disagree on interpolation rounding; element k = (n+1) div 2
+    of the sorted frame is tie-free.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_FRAME - 1), Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("v_cents").over(w))
+    return v.select(
+        "user_id",
+        "event_id",
+        F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int")).alias(
+            "rolling_median_cents"
+        ),
+    )
+
+
+@query(
+    "weighted_median_lineitem",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, cents, w,
+               sum(w) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM v
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cw >= total_w THEN cents END) AS BIGINT)
+               AS weighted_median_cents,
+           CAST(max(total_w) AS BIGINT) AS total_weight
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: the price at which half the QUANTITY mass
+    sits at-or-below — the robust aggregate behind fair-price and
+    capacity-planning readouts, un-skewable by outlier rows.
+
+    Shape: one window pass builds the cumulative weight in value order,
+    the answer is the first value whose doubled cumulative weight
+    reaches the total — a min over a CASE, not a second sort. All
+    integers (cents × quantity units); both engines run the same
+    formulation with a fully tie-broken ORDER BY so the cumulative sums
+    are identical row-for-row.
+    """
+    v = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = v.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("total_w"), F.col("cents"))).alias(
+            "weighted_median_cents"
+        ),
+        F.max("total_w").alias("total_weight"),
+    )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        FROM orders
+    ),
+    tiled AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket
+        FROM v
+    )
+    SELECT bucket,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           count(*) AS n
+    FROM tiled
+    GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count) — the
+    optimizer-statistics twin of the equi-width `agg_histogram_orders`.
+
+    Equi-depth bounds are what a CBO keeps for selectivity estimation
+    (equal-width buckets collapse under skew). ntile over a fully
+    tie-broken total order makes bucket assignment deterministic in
+    both engines. The fixture path uses the direct ntile window; at
+    100 TB the bounds come from `kth_statistic_iterative`'s two-pass
+    bucket selection at the 10 decile ks — same output, no global
+    window (documented trade, same readout).
+    """
+    v = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    tiled = v.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_orderkey")).alias("bucket"),
+    )
+    return tiled.groupBy("bucket").agg(
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

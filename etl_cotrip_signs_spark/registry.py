@@ -183,6 +183,12 @@ DRIVER_ORDER: list[str] = [
     "skyline_price_size",            # r4c: 2D Pareto frontier, window vs NOT-EXISTS (oracle)
     "ivm_agg_delta",                 # r4c: incremental agg-view maintenance (oracle)
     "file_manifest_stats",           # r4c: per-file _metadata manifest (rows)
+    "window_rolling_median",         # r4c: trailing-7 lower median, bounded frame (oracle)
+    "weighted_median_lineitem",      # r4c: weight-mass median via cumulative walk (oracle)
+    "agg_histogram_equidepth",       # r4c: CBO-style equi-depth bounds via ntile (oracle)
+    "stream_observed_counts",        # r4c: streaming observe() metrics vs batch agg (oracle)
+    "embedding_dim_stats",           # r4c: per-dimension vector stats, exact e6 ints (oracle)
+    "trend_daily_revenue",           # r4c: least-squares slope from exact moments (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
@@ -341,6 +347,7 @@ def load_all() -> None:
         relational4,
         sketches2,
         selection,
+        robust_stats,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -988,3 +988,56 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_completion(agg, "mem_stream_static_join", "complete")
+
+
+@query(
+    "stream_observed_counts",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    """,
+)
+def stream_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY: named `observe()` metrics on a stream.
+
+    The streaming twin of the batch Observation API used by
+    signs_pipeline_observed_counts: metrics piggyback on the micro-batch
+    (zero extra pass, computed inside the existing stage) and surface
+    per-batch in StreamingQueryProgress.observedMetrics. This is how a
+    100 TB pipeline gets row/byte/quality counters without a second
+    aggregation job over the stream.
+
+    Per-batch metrics are read from `query.recentProgress` AFTER the
+    run completes — the listener bus is asynchronous, so a
+    listener-based collector can miss trailing events; recentProgress
+    is the deterministic record. Batch totals sum to the exact batch
+    aggregate, which is the oracle.
+    """
+    e = read_events_stream(spark, sf_dir)
+    obs = e.observe(
+        "pipe_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+    agg = obs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mem_stream_observed_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    n_rows, sum_cents = 0, 0
+    for p in q.recentProgress:
+        om = (p.get("observedMetrics") or {}).get("pipe_metrics")
+        if om:
+            n_rows += om["n_rows"] or 0
+            sum_cents += om["sum_cents"] or 0
+    return spark.createDataFrame(
+        [(n_rows, sum_cents)], "n_rows long, sum_cents long"
+    )

@@ -439,3 +439,19 @@ def test_quantile_sketch_readout_stays_metadata_scale(spark):
     plan = formatted_plan(df)
     assert "HashAggregate" in plan, plan
     assert node_count(df, "TakeOrderedAndProject") == 0, plan
+
+
+def test_rolling_median_single_exchange_bounded_frame(spark):
+    """The rolling-median frame array must stay inside one user_id
+    exchange; no second shuffle, no partition-wide collect."""
+    df = registry.QUERIES["window_rolling_median"](spark, SF_SMALL)
+    assert node_count(df, "Exchange") <= 1, formatted_plan(df)
+
+
+def test_embedding_dim_stats_generate_is_mapside(spark):
+    """posexplode compiles to Generate BEFORE the aggregate's exchange —
+    the long form never shuffles row-per-element unaggregated."""
+    df = registry.QUERIES["embedding_dim_stats"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
+    assert node_count(df, "HashAggregate") >= 2, plan  # partial + final
