@@ -61,6 +61,14 @@ HEADLINE = [
     "q9_product_profit",
     "table_diff_audit",
     "global_row_number_two_pass",
+    # round-4c additions: time-series windows, recursive closure, exact
+    # selection, CMS sketch, rolling median
+    "events_ewma_dyadic",
+    "orders_interval_islands",
+    "hierarchy_closure_doubling",
+    "kth_statistic_iterative",
+    "sketch_cms_heavy_hitters",
+    "window_rolling_median",
 ]
 
 
