@@ -189,6 +189,7 @@ DRIVER_ORDER: list[str] = [
     "stream_observed_counts",        # r4c: streaming observe() metrics vs batch agg (oracle)
     "embedding_dim_stats",           # r4c: per-dimension vector stats, exact e6 ints (oracle)
     "trend_daily_revenue",           # r4c: least-squares slope from exact moments (oracle)
+    "arrow_vector_norms",            # r4c: mapInArrow zero-copy list kernel (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
@@ -348,6 +349,7 @@ def load_all() -> None:
         sketches2,
         selection,
         robust_stats,
+        arrow_ops,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

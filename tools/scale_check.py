@@ -48,6 +48,14 @@ QUERIES = [
     "text_token_stats",
     "sample_weighted_reservoir",
     "dedup_substring_spans",
+    # round-4c families: per-key window chains, pointer-doubling closure,
+    # bucket selection, sketch build+probe, bounded-frame median
+    "events_ewma_dyadic",
+    "events_cusum_drift",
+    "hierarchy_closure_doubling",
+    "kth_statistic_iterative",
+    "sketch_cms_heavy_hitters",
+    "window_rolling_median",
 ]
 
 ID_COLS = {
