@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.money import sql_sum_fixed, sum_fixed
 from ..io import load_table
@@ -489,4 +489,142 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_rows"),
         sum_fixed(F.col("o_totalprice"), scale=2).alias("revenue"),
+    )
+
+
+@query(
+    "diag_join_size_estimate",
+    oracle="""
+    WITH fa AS (
+        SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1
+    ),
+    fb AS (
+        SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1
+    ),
+    est AS (
+        SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows
+        FROM fa JOIN fb USING (k)
+    ),
+    act AS (
+        SELECT count(*) AS actual_rows
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT 'orders_x_customer' AS join_name, est_rows, actual_rows
+    FROM est, act
+    """,
+)
+def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight: |A ⋈ B| = Σ_k f_A(k)·f_B(k).
+
+    The planner-side estimator behind shuffle sizing, broadcast
+    decisions and skew pre-flights (diag_key_skew's companion): build
+    both key-frequency vectors (map-side-combinable counts — at 100 TB
+    these are the sketchable part; CMS rows serve when exact vectors
+    are too wide), join the VECTORS (|keys| rows, not |rows|), and sum
+    the products. The actual join runs beside it so the output shows
+    estimate == actual — exact on full frequency vectors by the
+    identity, which is precisely why frequency sketches are the right
+    compression of it.
+    """
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    fa = o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    fb = c.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    est = fa.join(fb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("est_rows")
+    )
+    act = o.join(c, "k").agg(F.count(F.lit(1)).alias("actual_rows"))
+    return est.crossJoin(act).select(
+        F.lit("orders_x_customer").alias("join_name"),
+        "est_rows",
+        "actual_rows",
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(quantile_disc(v_cents, 0.5) AS BIGINT) AS median_cents
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.v_cents, m.median_cents,
+               abs(v.v_cents - m.median_cents) AS d
+        FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad_cents
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           max(d.median_cents) AS median_cents,
+           max(a.mad_cents) AS mad_cents,
+           count(*) AS n,
+           CAST(count(CASE WHEN d.d > 3 * a.mad_cents THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation (MAD).
+
+    The IQR detector's (events_anomaly_iqr) heavier-tailed sibling —
+    MAD has a 50% breakdown point, so even a half-poisoned series
+    can't move the threshold. Spark has no exact grouped median
+    builtin with discrete semantics, so the LOWER median comes from
+    the row_number identity (rn == (n+1) div 2 in value order) — two
+    window passes (value median, then deviation median) + a broadcast
+    join of the group-sized medians back to the rows. The DuckDB
+    oracle uses native quantile_disc at both levels: independent
+    formulations, exact integers everywhere (abs of int, 3*MAD in
+    int), no interpolation anywhere.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(v, "v_cents", "median_cents")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "median_cents",
+        F.abs(F.col("v_cents") - F.col("median_cents")).alias("d"),
+    )
+    mad = lower_median(dev, "d", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("median_cents").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("d") > 3 * F.col("mad_cents"), 1)).alias(
+                "n_outliers"
+            ),
+        )
     )

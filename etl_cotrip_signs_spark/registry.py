@@ -190,6 +190,8 @@ DRIVER_ORDER: list[str] = [
     "embedding_dim_stats",           # r4c: per-dimension vector stats, exact e6 ints (oracle)
     "trend_daily_revenue",           # r4c: least-squares slope from exact moments (oracle)
     "arrow_vector_norms",            # r4c: mapInArrow zero-copy list kernel (oracle)
+    "diag_join_size_estimate",       # r4c: frequency-vector join cardinality (oracle)
+    "events_anomaly_mad",            # r4c: MAD robust outliers, lower-median identity (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
