@@ -180,3 +180,75 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("hi_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "winsorized_mean_events",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               CAST(quantile_disc(v_cents, 0.1) AS BIGINT) AS p10,
+               CAST(quantile_disc(v_cents, 0.9) AS BIGINT) AS p90
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           max(b.p10) AS p10_cents,
+           max(b.p90) AS p90_cents,
+           count(*) AS n,
+           CAST(sum(greatest(b.p10, least(b.p90, v.v_cents))) AS BIGINT)
+               // count(*) AS winsorized_mean_cents
+    FROM v JOIN bounds b USING (event_type)
+    GROUP BY v.event_type
+    """,
+)
+def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clip to [p10, p90], then average — the robust
+    location estimate that keeps sample size (unlike trimming, which
+    drops the tails; the trimmed twin is udaf_trimmed_mean).
+
+    The discrete quantile bounds come from the same row_number identity
+    as the MAD medians, generalized: the lower q-quantile is the value
+    at rank ceil(q*n) — the inverse-CDF definition, verified to match
+    DuckDB's quantile_disc positioning (rank 182 at n=202, q=0.9; a
+    floor((n-1)q)+1 formulation differs exactly there). One window
+    pass for ranks, a broadcast of the 5-row bounds table back, one
+    exact-integer aggregate with the final integer division.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "v_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") * 0.1))
+            | (F.col("rn") == F.ceil(F.col("n") * 0.9))
+        )
+        .groupBy("event_type")
+        .agg(F.min("v_cents").alias("p10"), F.max("v_cents").alias("p90"))
+    )
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("p10").alias("p10_cents"),
+            F.max("p90").alias("p90_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "sum(greatest(p10, least(p90, v_cents))) div count(1)"
+            ).alias("winsorized_mean_cents"),
+        )
+    )

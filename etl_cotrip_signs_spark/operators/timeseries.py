@@ -362,3 +362,88 @@ def orders_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("island_end"), F.col("island_start")).cast("long")
         ).alias("covered_days"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_us
+        FROM events
+    ),
+    purchases AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN last_click_us IS NOT NULL
+                         AND epoch_us(ts) - last_click_us
+                             <= 604800000000
+                    THEN epoch_us(ts) - last_click_us END AS gap_us
+        FROM tagged
+        WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           count(*) AS n_purchases,
+           CAST(count(gap_us) AS BIGINT) AS n_attributed,
+           CAST(coalesce(CAST(sum(gap_us) AS BIGINT), 0) AS BIGINT)
+               AS total_gap_us
+    FROM purchases
+    GROUP BY day
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 7-day lookback window.
+
+    Each purchase is attributed to the user's most recent PRIOR click
+    within 7 days. The single-pass shape: a conditional running max of
+    click timestamps over the (user, time) window — the same
+    union-and-carry-forward trick as the as-of join
+    (relational.py:422), here with a CASE instead of a union — then a
+    per-day aggregate of the attribution gaps. One exchange on
+    user_id, exact epoch-microsecond arithmetic throughout (monotone
+    epoch micros make max() the correct "latest"; the 1-PRECEDING
+    frame excludes a same-row self-match by construction).
+
+    A purchase with no prior click, or one outside the lookback, counts
+    in n_purchases but not n_attributed — the unattributed remainder
+    is the metric marketing actually argues about.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.max(
+            F.when(
+                F.col("event_type") == "click",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        )
+        .over(w_prev)
+        .alias("last_click_us"),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        F.when(
+            F.col("last_click_us").isNotNull()
+            & (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.col("last_click_us")
+                <= 7 * 86400 * 1000000
+            ),
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.col("last_click_us"),
+        ).alias("gap_us"),
+    )
+    return purchases.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("gap_us").alias("n_attributed"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).cast("long").alias("total_gap_us"),
+    )

@@ -192,6 +192,8 @@ DRIVER_ORDER: list[str] = [
     "arrow_vector_norms",            # r4c: mapInArrow zero-copy list kernel (oracle)
     "diag_join_size_estimate",       # r4c: frequency-vector join cardinality (oracle)
     "events_anomaly_mad",            # r4c: MAD robust outliers, lower-median identity (oracle)
+    "events_attribution_last_touch", # r4c: 7-day lookback last-touch attribution (oracle)
+    "winsorized_mean_events",        # r4c: clip-at-quantiles robust mean (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
