@@ -194,6 +194,7 @@ DRIVER_ORDER: list[str] = [
     "events_anomaly_mad",            # r4c: MAD robust outliers, lower-median identity (oracle)
     "events_attribution_last_touch", # r4c: 7-day lookback last-touch attribution (oracle)
     "winsorized_mean_events",        # r4c: clip-at-quantiles robust mean (oracle)
+    "entity_resolution_names",       # r4c capstone: block->fuzzy->CC->survivor (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
