@@ -195,6 +195,7 @@ DRIVER_ORDER: list[str] = [
     "events_attribution_last_touch", # r4c: 7-day lookback last-touch attribution (oracle)
     "winsorized_mean_events",        # r4c: clip-at-quantiles robust mean (oracle)
     "entity_resolution_names",       # r4c capstone: block->fuzzy->CC->survivor (oracle)
+    "stream_pipeline_sessions",      # r4c capstone: dedup->enrich->session->rollup (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)

@@ -1041,3 +1041,102 @@ def stream_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, sum_cents)], "n_rows long, sum_cents long"
     )
+
+
+@query(
+    "stream_pipeline_sessions",
+    # End-to-end oracle: the batch equivalent of the whole pipeline —
+    # idempotent-ingest dedup (no-op on the clean fixture, semantics
+    # identical), broadcast dim enrichment, 30-minute gaps-and-islands
+    # sessionization (>= boundary: session_window merges only while the
+    # next event is STRICTLY inside the gap), per-segment rollup with
+    # exact integer-microsecond active spans (no second-truncation:
+    # session_window start/end carry full micros; active = max-min).
+    oracle="""
+    WITH deduped AS (
+        SELECT DISTINCT ON (event_id) event_id, user_id, ts
+        FROM events
+    ),
+    enriched AS (
+        SELECT d.user_id, d.ts, d.event_id, c.c_mktsegment
+        FROM deduped d JOIN customer c ON d.user_id = c.c_custkey
+    ),
+    marked AS (
+        SELECT c_mktsegment, user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM enriched
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+        SELECT c_mktsegment, user_id,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id,
+               ts
+        FROM marked
+    ),
+    folded AS (
+        SELECT c_mktsegment, user_id, session_id,
+               count(*) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS active_us
+        FROM sessions
+        GROUP BY c_mktsegment, user_id, session_id
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(active_us) AS BIGINT) AS total_active_us
+    FROM folded
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_pipeline_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CAPSTONE: ingest-dedup → broadcast enrich → session
+    windows → segment rollup — the four-stage shape of a production
+    clickstream pipeline, each stage individually oracle-checked
+    elsewhere (stream_dedup_watermark, stream_static_join,
+    stream_session_windows), composed here into ONE streaming query
+    plus a deterministic batch fold.
+
+    Stage notes: dropDuplicatesWithinWatermark(event_id) makes
+    ingestion idempotent (bounded state — the watermark evicts old
+    keys); the static customer dim broadcasts per micro-batch (no join
+    state); session_window is the single stateful aggregation
+    (multiple stateful aggs in one streaming query are unsupported —
+    the per-segment rollup therefore folds the sink BATCH-side, the
+    same split stream_update_mode_counts uses). Session active span =
+    max(ts)-min(ts) in second-truncated micros (session_window
+    timestamps keep full microsecond precision here — the
+    second-truncation seen with unix_timestamp() readouts is the
+    readout's, not the window's), summed exactly.
+    """
+    e = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    piped = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "c_mktsegment",
+            "n_events",
+            (
+                F.unix_micros(F.col("session_window.end").cast("timestamp"))
+                - F.unix_micros(F.col("session_window.start").cast("timestamp"))
+                - 1800 * 1000000
+            ).alias("active_us"),
+        )
+    )
+    sink = run_to_completion(piped, "mem_stream_pipeline_sessions", "complete")
+    return sink.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("active_us").cast("long").alias("total_active_us"),
+    )
