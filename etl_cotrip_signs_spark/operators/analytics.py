@@ -13,7 +13,7 @@ IS the single-reducer definition, so the hash match proves equivalence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.money import sql_sum_fixed, sum_fixed
 from ..io import load_table
@@ -352,4 +352,85 @@ def trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("slope_cents_per_day"),
+    )
+
+
+@query(
+    "orders_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk_desc,
+               row_number() OVER (ORDER BY rev ASC, o_custkey DESC) AS rnk_asc,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS total
+        FROM per_cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN 5 * cum_rev >= 4 * total THEN rnk_desc END)
+               AS BIGINT) AS n_for_80pct,
+           CAST(2 * sum(rnk_asc * rev) - (max(n) + 1) * max(total) AS DOUBLE)
+               / CAST(max(n) * max(total) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how top-heavy is the customer base.
+
+    Two classic readouts from one ranked pass: (a) the smallest number
+    of customers covering 80% of revenue — first descending rank whose
+    cumulative share crosses 4/5, tested as the integer inequality
+    5·cum >= 4·total (no float shares, no rounding boundary); (b) the
+    exact Gini coefficient via the rank formulation
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending ranks — all
+    moments exact BIGINTs, one final double division (the
+    stat_corr_moments discipline). The global windows run over the
+    per-customer aggregate (|customers| rows, already reduced), not the
+    fact table — at 100 TB that table is the small output of a
+    map-side-combinable groupBy, and the two-pass bucket-selection
+    path (kth_statistic_iterative) replaces the global sort if even
+    that is too wide.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w_desc = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    w_asc = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").desc())
+    w_cum = w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w_desc).alias("rnk_desc"),
+        F.row_number().over(w_asc).alias("rnk_asc"),
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.min(
+            F.when(5 * F.col("cum_rev") >= 4 * F.col("total"), F.col("rnk_desc"))
+        ).alias("n_for_80pct"),
+        (
+            (
+                2 * F.sum(F.col("rnk_asc") * F.col("rev"))
+                - (F.max("n") + 1) * F.max("total")
+            ).cast("double")
+            / (F.max("n") * F.max("total")).cast("double")
+        ).alias("gini"),
     )

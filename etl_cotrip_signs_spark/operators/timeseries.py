@@ -447,3 +447,75 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("gap_us").alias("n_attributed"),
         F.coalesce(F.sum("gap_us"), F.lit(0)).cast("long").alias("total_gap_us"),
     )
+
+
+@query(
+    "events_cep_click_purchase",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER w AS last_click_us,
+               max(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+                   OVER w AS last_error_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_purchases,
+           CAST(count(CASE WHEN last_click_us IS NOT NULL
+                      AND epoch_us(ts) - last_click_us <= 3600000000
+                      AND (last_error_us IS NULL
+                           OR last_error_us < last_click_us)
+                      THEN 1 END) AS BIGINT) AS n_clean_conversions
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def events_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence pattern: click → purchase within 1 hour with NO
+    intervening error — the MATCH_RECOGNIZE shape (A then B within T,
+    no C between) that Spark lacks as a construct.
+
+    The single-pass re-expression: carry conditional running maxima of
+    the last click and last error epochs over the (user, time) window;
+    a purchase is a clean conversion iff the click is within the hour
+    AND the last error (if any) predates that click — "no C between A
+    and B" reduces to comparing two running maxima, no self-join, no
+    per-row pattern automaton. One exchange on user_id; both maxima
+    share one Window node (same spec). Exact epoch-micros arithmetic;
+    the 1h literal is written as 3600000000 (DuckDB evaluates int
+    literal products in INT32).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    tagged = e.select(
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "click", us(F.col("ts"))))
+        .over(w_prev)
+        .alias("last_click_us"),
+        F.max(F.when(F.col("event_type") == "error", us(F.col("ts"))))
+        .over(w_prev)
+        .alias("last_error_us"),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase")
+    clean = (
+        F.col("last_click_us").isNotNull()
+        & (us(F.col("ts")) - F.col("last_click_us") <= 3600000000)
+        & (
+            F.col("last_error_us").isNull()
+            | (F.col("last_error_us") < F.col("last_click_us"))
+        )
+    )
+    return purchases.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(clean, 1)).alias("n_clean_conversions"),
+    )

@@ -196,6 +196,8 @@ DRIVER_ORDER: list[str] = [
     "winsorized_mean_events",        # r4c: clip-at-quantiles robust mean (oracle)
     "entity_resolution_names",       # r4c capstone: block->fuzzy->CC->survivor (oracle)
     "stream_pipeline_sessions",      # r4c capstone: dedup->enrich->session->rollup (oracle)
+    "events_cep_click_purchase",     # r4c: MATCH_RECOGNIZE-shape pattern via running maxima (oracle)
+    "orders_revenue_concentration",  # r4c: 80pct coverage count + exact-moment Gini (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
