@@ -53,24 +53,43 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             emb = batch.column(batch.schema.get_field_index("embedding"))
-            # flatten() also drops the (absent here) list-level validity;
-            # offsets are int32 positions into the flat values buffer
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            vec_id = batch.column(batch.schema.get_field_index("vec_id"))
+            # Fast path preconditions for raw-buffer math: a zero-offset,
+            # null-free ListArray whose every row is non-empty. Sliced
+            # batches (offsets not rebased vs flatten()'d values), null
+            # entries (flatten drops their values, offsets keep them) and
+            # empty lists (reduceat leaks the next segment) all corrupt
+            # the segment arithmetic — route them to the boxed path
+            # (review finding; the fixture always takes the fast path).
             offsets = emb.offsets.to_numpy(zero_copy_only=False)
-            q = np.floor(flat.astype(np.float64) * 1000.0).astype(np.int64)
-            sq = q * q
-            starts = offsets[:-1]
-            ssq = np.add.reduceat(sq, starts) if len(sq) else np.array([], np.int64)
-            # reduceat with a zero-length segment (empty list) would leak the
-            # next segment's value; fixture vectors are fixed 64-dim, assert it
-            n_dims = (offsets[1:] - starts).astype(np.int32)
-            assert (n_dims > 0).all()
+            starts, ends = offsets[:-1], offsets[1:]
+            fast = (
+                emb.offset == 0
+                and emb.null_count == 0
+                and (ends > starts).all()
+            )
+            if fast:
+                flat = emb.flatten().to_numpy(zero_copy_only=False)
+                q = np.floor(flat.astype(np.float64) * 1000.0).astype(np.int64)
+                sq = q * q
+                ssq = (
+                    np.add.reduceat(sq, starts)
+                    if len(sq)
+                    else np.array([], np.int64)
+                )
+                n_dims = (ends - starts).astype(np.int32)
+            else:
+                rows = emb.to_pylist()
+                ssq = np.array(
+                    [
+                        sum(int(np.floor(float(x) * 1000.0)) ** 2 for x in (r or []))
+                        for r in rows
+                    ],
+                    np.int64,
+                )
+                n_dims = np.array([len(r or []) for r in rows], np.int32)
             yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(batch.schema.get_field_index("vec_id")),
-                    pa.array(ssq, pa.int64()),
-                    pa.array(n_dims, pa.int32()),
-                ],
+                [vec_id, pa.array(ssq, pa.int64()), pa.array(n_dims, pa.int32())],
                 ["vec_id", "ssq_e6", "n_dims"],
             )
 

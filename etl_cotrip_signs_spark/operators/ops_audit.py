@@ -594,18 +594,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
     )
 
+    from .robust_stats import grouped_discrete_quantiles
+
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(col, "event_id")
-        wn = Window.partitionBy("event_type")
-        return (
-            df.select(
-                "event_type",
-                F.col(col),
-                F.row_number().over(w).alias("rn"),
-                F.count(F.lit(1)).over(wn).alias("n"),
-            )
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col(col).alias(out))
+        # ceil(0.5*n) == (n+1) div 2 — the shared helper's rank formula
+        # at q=0.5 (one definition for all discrete quantiles, review
+        # finding: this identity previously lived in two drifting copies)
+        return grouped_discrete_quantiles(
+            df, "event_type", col, ["event_id"], {out: 0.5}
         )
 
     med = lower_median(v, "v_cents", "median_cents")

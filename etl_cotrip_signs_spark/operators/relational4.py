@@ -86,13 +86,18 @@ def hierarchy_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").alias("j_s"),
             F.col("d").alias("j_d"),
         )
+        # LEFT join + coalesce: a converged row whose ancestor has no
+        # state partner must pass through unchanged, not vanish — an
+        # inner join only works when the root row itself is in the data
+        # (review finding: on a 1-based key space the converged rows
+        # would silently drop and empty the state).
         state = (
-            state.join(jump, state["anc"] == jump["j_v"])
+            state.join(jump, state["anc"] == jump["j_v"], "left")
             .select(
                 "v",
-                F.col("j_anc").alias("anc"),
-                (F.col("s") + F.col("j_s")).alias("s"),
-                (F.col("d") + F.col("j_d")).alias("d"),
+                F.coalesce("j_anc", "anc").alias("anc"),
+                (F.col("s") + F.coalesce("j_s", F.lit(0))).alias("s"),
+                (F.col("d") + F.coalesce("j_d", F.lit(0))).alias("d"),
             )
             .localCheckpoint(eager=True)
         )

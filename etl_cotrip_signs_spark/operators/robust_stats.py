@@ -16,6 +16,42 @@ from ..registry import query
 ROLL_FRAME = 7  # rolling median over the last 7 observations
 
 
+def grouped_discrete_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_cols: list[str],
+    qmap: dict[str, float],
+) -> DataFrame:
+    """Per-group discrete (lower) quantiles: one wide row per group with a
+    column per requested q, each the value at rank ceil(q*n) in
+    (value, *tie_cols) order — DuckDB quantile_disc positioning, probed
+    at the discriminating n=202/q=0.9 boundary. ONE window pass serves
+    every q. Shared by winsorized_mean_events and ops_audit's MAD
+    medians (review finding: the subtle rank formula + tie-break lived
+    in two drifting copies)."""
+    w = Window.partitionBy(group_col).orderBy(value_col, *tie_cols)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        value_col,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy(group_col).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(q)),
+                    F.col(value_col),
+                )
+            ).alias(name)
+            for name, q in qmap.items()
+        ]
+    )
+
+
+
 @query(
     "window_rolling_median",
     oracle=f"""
@@ -224,21 +260,8 @@ def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = v.select(
-        "event_type",
-        "v_cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    bounds = (
-        ranked.filter(
-            (F.col("rn") == F.ceil(F.col("n") * 0.1))
-            | (F.col("rn") == F.ceil(F.col("n") * 0.9))
-        )
-        .groupBy("event_type")
-        .agg(F.min("v_cents").alias("p10"), F.max("v_cents").alias("p90"))
+    bounds = grouped_discrete_quantiles(
+        v, "event_type", "v_cents", ["event_id"], {"p10": 0.1, "p90": 0.9}
     )
     return (
         v.join(F.broadcast(bounds), "event_type")

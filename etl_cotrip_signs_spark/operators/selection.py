@@ -51,16 +51,22 @@ def kth_statistic_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2) the driver prefix-sums 1024 numbers to locate each k's bucket
     (cluster-constant state, k-means-centroid legitimacy class);
     (3) a filtered TakeOrdered over ONLY the target bucket's rows
-    (n/1024 expected) yields the exact value. Two data passes + a
-    bucket-sized sort for any number of ks at once — this is how exact
-    percentiles are computed at 100 TB when approx_percentile's error
-    bound isn't acceptable.
+    (n/1024 expected) yields the exact value. One materialized scan,
+    checkpoint-local probe passes, and a bucket-sized sort for any
+    number of ks at once — this is how exact percentiles are computed
+    at 100 TB when approx_percentile's error bound isn't acceptable.
+    The source is eagerly checkpointed: min/max/count, the histogram
+    and every per-k probe re-read it, which without materialization is
+    2 + len(ks) full scans (review finding — the round-3 fan-out
+    lesson applies to ACTION fan-out, not just plan fan-out).
 
     All arithmetic is integer (cents, floor-div bucket ids);
     ceil(q*n) is one double product both engines round identically.
     """
-    x = load_table(spark, sf_dir, "orders").select(
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .localCheckpoint(eager=True)
     )
     lo, hi, n = x.agg(
         F.min("cents"), F.max("cents"), F.count(F.lit(1))

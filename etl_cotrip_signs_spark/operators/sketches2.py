@@ -95,10 +95,17 @@ def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     xs = x.withColumn("s", F.col("cents").cast("string"))
-    hist = xs.groupBy(
-        F.length("s").alias("digits"),
-        F.substring("s", 1, 1).cast("long").alias("first_digit"),
-    ).agg(F.count(F.lit(1)).alias("bucket_n"))
+    # The 40-row sketch is checkpointed: the walk, n_total and the final
+    # join all consume it, and n_total comes from the sketch itself — a
+    # separate x.count() would be a third full scan (review finding).
+    hist = (
+        xs.groupBy(
+            F.length("s").alias("digits"),
+            F.substring("s", 1, 1).cast("long").alias("first_digit"),
+        )
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .localCheckpoint(eager=True)
+    )
     w_cum = Window.orderBy("digits", "first_digit").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -119,7 +126,7 @@ def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_lower")
         )
     )
-    n_total = x.count()
+    n_total = sum(r["bucket_n"] for r in hist.select("bucket_n").collect())
     below = (
         x.join(F.broadcast(est), F.col("cents") < F.col("est_lower"))
         .groupBy("q_label")

@@ -851,8 +851,12 @@ def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .localCheckpoint(eager=True)
     )
+    # Node list is distinct NAMES — `names` is distinct on (n, blk), so a
+    # name present in two blocks would otherwise enter CC twice and
+    # double-count in n_members (review finding; unique-by-construction
+    # TPC-H names masked it).
     labels = connected_components(
-        names.select(F.col("n").alias("name")),
+        names.select(F.col("n").alias("name")).distinct(),
         pairs,
         node_col="name",
         src_col="name_a",

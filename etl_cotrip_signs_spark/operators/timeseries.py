@@ -203,10 +203,10 @@ CUSUM_TARGET_CENTS = 15000
     drift AS (
         SELECT user_id,
                prefix
-                   - min(prefix) OVER (
+                   - least(0, min(prefix) OVER (
                          PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS drift
+                     )) AS drift
         FROM pre
     )
     SELECT user_id,
@@ -222,8 +222,12 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift statistic per user, exact integers.
 
     The textbook CUSUM s_i = max(0, s_{i-1} + (x_i - target)) is a
-    recursion — but its value is algebraically prefix_i - min(prefix_j,
-    j<=i) of the running deviation sum, which IS a plain composition of
+    recursion — but its value is algebraically
+    prefix_i - min(0, min(prefix_j, j<=i)): the 0 term is the EMPTY
+    prefix (s_0 = 0), without which a series whose deviations are
+    positive from the very first event reports drift 0 at that event
+    (caught in review; the buggy identity was mirrored in the oracle,
+    so only re-derivation caught it). A plain composition of
     two same-spec windows (running sum, then running min of it). That
     identity turns an apparently-stateful scan into two partition-local
     window passes over one exchange — the same trick a 100 TB
@@ -251,7 +255,10 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.sum("dev").over(w).alias("prefix")
     )
     drift = pre.select(
-        "user_id", (F.col("prefix") - F.min("prefix").over(w)).alias("drift")
+        "user_id",
+        (
+            F.col("prefix") - F.least(F.lit(0), F.min("prefix").over(w))
+        ).alias("drift"),
     )
     return drift.groupBy("user_id").agg(
         F.max("drift").alias("max_drift_e2"),

@@ -1012,9 +1012,14 @@ def stream_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-batch metrics are read from `query.recentProgress` AFTER the
     run completes — the listener bus is asynchronous, so a
     listener-based collector can miss trailing events; recentProgress
-    is the deterministic record. Batch totals sum to the exact batch
-    aggregate, which is the oracle.
+    is the deterministic record. It is a RING BUFFER capped by
+    spark.sql.streaming.numRecentProgressUpdates (default 100), so this
+    query raises the cap for its run and de-duplicates by batchId —
+    a >cap batch count would otherwise silently undercount (review
+    finding). Batch totals sum to the exact batch aggregate, which is
+    the oracle.
     """
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     e = read_events_stream(spark, sf_dir)
     obs = e.observe(
         "pipe_metrics",
@@ -1032,8 +1037,11 @@ def stream_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    n_rows, sum_cents = 0, 0
+    n_rows, sum_cents, seen = 0, 0, set()
     for p in q.recentProgress:
+        if p["batchId"] in seen:
+            continue
+        seen.add(p["batchId"])
         om = (p.get("observedMetrics") or {}).get("pipe_metrics")
         if om:
             n_rows += om["n_rows"] or 0

@@ -71,3 +71,79 @@ def test_file_manifest_covers_table_exactly(spark):
         assert grp["min_shipdate"].min() == part["l_shipdate"].min()
         assert grp["max_shipdate"].max() == part["l_shipdate"].max()
         assert grp["n_rows"].sum() == len(part)
+
+
+def test_hierarchy_doubling_survives_one_based_keys(spark, tmp_path):
+    """Review-finding regression: on a 1-based key space (no partkey-0 row)
+    converged rows have no join partner — the LEFT join must pass them
+    through, and results must still match the recursive definition."""
+    import duckdb
+
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(k, f"p{k}", "B", "T", k, float(k)) for k in range(1, 8)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(f"{d}/part.parquet")
+    got = {
+        r["p_partkey"]: (r["depth"], r["path_sum"])
+        for r in registry.QUERIES["hierarchy_closure_doubling"](spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{d}/part.parquet/*.parquet'")
+    want = {
+        v: (dd, ps)
+        for v, dd, ps in con.sql(
+            registry.ORACLES["hierarchy_closure_doubling"]
+        ).fetchall()
+    }
+    assert got == want and len(got) == 7
+
+
+def test_cusum_drift_counts_first_event(spark, tmp_path):
+    """Review-finding regression: a series whose deviations are positive
+    from the FIRST event must report that drift (the empty-prefix 0 term
+    of s_i = prefix_i - min(0, min prefix))."""
+    import datetime
+
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    d = str(tmp_path)
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "view", 300.0, "{}")
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    row = registry.QUERIES["events_cusum_drift"](spark, d).collect()[0]
+    # dev per event = 30000 - 15000 = +15000; textbook s_3 = 45000
+    assert row["max_drift_e2"] == 45000, row
+
+
+def test_arrow_norms_null_and_empty_fallback(spark, tmp_path):
+    """Review-finding regression: null/empty embeddings route to the boxed
+    path instead of corrupting reduceat segment arithmetic."""
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, [0.5, -0.5]), (2, None), (3, []), (4, [1.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["ssq_e6"], r["n_dims"])
+        for r in registry.QUERIES["arrow_vector_norms"](spark, d).collect()
+    }
+    # floor(0.5*1000)^2 + floor(-0.5*1000)^2 = 250000 + 250000
+    assert got[1] == (500000, 2), got
+    assert got[2] == (0, 0) and got[3] == (0, 0), got
+    assert got[4] == (1000000, 1), got
