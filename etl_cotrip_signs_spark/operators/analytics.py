@@ -434,3 +434,136 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("total")).cast("double")
         ).alias("gini"),
     )
+
+
+@query(
+    "drift_tvd_events",
+    oracle="""
+    WITH a AS (
+        SELECT length(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+                   AS digits,
+               CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS fd,
+               count(*) AS ca
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT length(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+                   AS digits,
+               CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS fd,
+               count(*) AS cb
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        FROM a FULL OUTER JOIN b USING (digits, fd)
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               count(*) AS n_buckets
+        FROM j
+    )
+    SELECT t.na, t.nb, t.n_buckets,
+           CAST(sum(abs(j.ca * t.nb - j.cb * t.na)) AS BIGINT) AS tvd_num_2x
+    FROM j, tot t
+    GROUP BY t.na, t.nb, t.n_buckets
+    """,
+)
+def drift_tvd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: EXACT total-variation distance
+    between two slices' value distributions (click vs purchase here;
+    yesterday-vs-today in production).
+
+    PSI/KL — the usual drift scores — need ln(), whose last-ulp
+    behavior differs between libm implementations, so cross-engine
+    hashing would flake. Total variation is a pure rational:
+    TVD = ½ Σ_buckets |p_i − q_i| — cross-multiplied to the integer
+    numerator Σ |c_a·N_b − c_b·N_a| over the common denominator
+    2·N_a·N_b, every term a BIGINT. Buckets are the same
+    (digit-count, leading-digit) log histogram as the quantile sketch
+    — mergeable partial counts, so the drift monitor is two 40-row
+    summaries and arithmetic, never a data rescan.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def bucketed(event_type: str, out: str) -> DataFrame:
+        cents = F.floor(F.col("value") * 100).cast("long").cast("string")
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .groupBy(
+                F.length(cents).alias("digits"),
+                F.substring(cents, 1, 1).cast("long").alias("fd"),
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = (
+        bucketed("click", "ca")
+        .join(bucketed("purchase", "cb"), ["digits", "fd"], "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    # The bucket table is ~15 rows (post-aggregation); a full-frame
+    # window attaches the totals without a second scan or a cross join.
+    tot = Window.partitionBy()
+    with_tot = j.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"),
+        F.count(F.lit(1)).over(tot).alias("n_buckets"),
+    )
+    return with_tot.groupBy("na", "nb", "n_buckets").agg(
+        F.sum(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        ).alias("tvd_num_2x")
+    )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id, day + CAST(g.o AS INT) AS report_day
+        FROM ud, generate_series(0, 6) g(o)
+    )
+    SELECT report_day, count(*) AS active_users_7d
+    FROM expanded
+    GROUP BY report_day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the product-metrics
+    staple that a windowed COUNT(DISTINCT) cannot express in Spark and
+    that even engines with DISTINCT window aggregates compute in
+    O(window·n).
+
+    The scalable identity: user u is active on report day d iff u has
+    an event on some day in [d-6, d] — so explode each (user, day)
+    fact into its 7 future report days (Generate, map-side), de-dup
+    (user, report_day), and count per day. Work is 7× the USER-DAY
+    table (already deduped, far smaller than events), all in two
+    combinable aggregates. Trailing days past the data's max date
+    appear with their partial counts in both engines identically.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("report_day"))
+    return (
+        expanded.distinct()
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
