@@ -624,3 +624,88 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "table_merkle_summary",
+    oracle="""
+    WITH rows_h AS (
+        SELECT md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   || '|' ||
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                   o_orderpriority
+               ) AS row_hash
+        FROM orders
+    ),
+    leaves AS (
+        SELECT CAST(('0x' || substr(row_hash, 1, 8)) AS BIGINT) % 64 AS leaf,
+               count(*) AS n_rows,
+               md5(string_agg(row_hash, '' ORDER BY row_hash)) AS leaf_hash
+        FROM rows_h
+        GROUP BY 1
+    )
+    SELECT leaf, n_rows, leaf_hash,
+           (SELECT md5(string_agg(leaf_hash, '' ORDER BY leaf)) FROM leaves)
+               AS root_hash
+    FROM leaves
+    """,
+)
+def table_merkle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle summary of a table: 64 leaf hashes + one root — the
+    anti-entropy primitive behind cross-replica reconciliation.
+
+    table_diff_audit's scale path: two 100 TB replicas compare by
+    exchanging 64 leaf hashes (or just the root); only leaves that
+    DIFFER descend to row-level diffing — O(changed buckets) transfer
+    instead of a full-table FULL OUTER join. Construction is pure plan
+    algebra: a canonical per-row serialization (integer cents, ISO
+    dates — no float formatting) → md5 row hash → md5-bucketed leaves
+    → leaf hash = md5 of the CONCATENATED SORTED row hashes (sorting
+    makes the leaf hash partition-layout-independent) → root over the
+    ordered leaf hashes. Deeper trees (64-ary per level) extend the
+    same two aggregates per level. collect_list here is leaf-sized
+    (n/64 rows); at 100 TB you add levels, never widen a leaf beyond
+    memory.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_hash = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.col("o_orderdate").cast("date").cast("string"),
+            F.col("o_orderpriority"),
+        ).cast("binary")
+    )
+    rows_h = o.select(row_hash.alias("row_hash"))
+    leaves = rows_h.groupBy(
+        (
+            F.conv(F.substring("row_hash", 1, 8), 16, 10).cast("long") % 64
+        ).alias("leaf")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list("row_hash"))).cast(
+                "binary"
+            )
+        ).alias("leaf_hash"),
+    )
+    w_all = Window.orderBy("leaf").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return leaves.select(
+        "leaf",
+        "n_rows",
+        "leaf_hash",
+        F.md5(
+            F.concat_ws("", F.collect_list("leaf_hash").over(w_all)).cast(
+                "binary"
+            )
+        ).alias("root_hash"),
+    )

@@ -200,6 +200,7 @@ DRIVER_ORDER: list[str] = [
     "orders_revenue_concentration",  # r4c: 80pct coverage count + exact-moment Gini (oracle)
     "drift_tvd_events",              # r4c: exact total-variation drift, no ln() floats (oracle)
     "events_rolling_active_users",   # r4c: rolling 7d distinct actives via offset explode (oracle)
+    "table_merkle_summary",          # r4c: anti-entropy Merkle leaves+root (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
