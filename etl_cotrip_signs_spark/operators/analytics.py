@@ -567,3 +567,126 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.count(F.lit(1)).alias("active_users_7d"))
     )
+
+
+@query(
+    "lineitem_abc_classification",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               sum(rev) OVER () AS total
+        FROM per_part
+    ),
+    classed AS (
+        SELECT CASE WHEN 10 * cum <= 8 * total THEN 'A'
+                    WHEN 20 * cum <= 19 * total THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           count(*) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_revenue_cents
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: A = parts inside the first
+    80% of cumulative revenue, B = next 15%, C = tail.
+
+    Same integer-inequality discipline as the concentration query
+    (10·cum ≤ 8·total, 20·cum ≤ 19·total — no float shares, no
+    rounding boundary), over the per-part aggregate (|parts| rows,
+    the small output of a combinable groupBy), with a single ordered
+    cumulative window. Class boundaries are deterministic because the
+    cumulative order is fully tie-broken by (rev DESC, partkey).
+    """
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w_cum = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    classed = per_part.select(
+        "rev",
+        F.when(10 * F.sum("rev").over(w_cum) <= 8 * F.sum("rev").over(w_all), "A")
+        .when(20 * F.sum("rev").over(w_cum) <= 19 * F.sum("rev").over(w_all), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("class_revenue_cents"),
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS gap_us,
+               event_id
+        FROM events
+        QUALIFY gap_us IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
+           CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per user: median and p90 gap between
+    consecutive events — the burstiness fingerprint behind rate
+    limiting, bot detection and session-gap tuning (is 30 minutes the
+    right sessionization gap? compare it to p90).
+
+    lag() builds exact microsecond gaps after one exchange; the
+    discrete quantiles come from the shared ceil(q*n) rank helper
+    (grouped_discrete_quantiles — the same definition DuckDB's
+    quantile_disc uses natively in the oracle).
+    """
+    from .robust_stats import grouped_discrete_quantiles
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            ).cast("long").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    q = grouped_discrete_quantiles(
+        gaps, "user_id", "gap_us", ["event_id"], {"p50_gap_us": 0.5, "p90_gap_us": 0.9}
+    )
+    n = gaps.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_gaps"))
+    return n.join(q, "user_id").select(
+        "user_id", "n_gaps", "p50_gap_us", "p90_gap_us"
+    )

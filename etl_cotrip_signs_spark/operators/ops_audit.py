@@ -709,3 +709,87 @@ def table_merkle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("root_hash"),
     )
+
+
+# Broadcast decision threshold for the advisor (bytes, mirrors the
+# spark.sql.autoBroadcastJoinThreshold default of 10 MB).
+ADVISOR_BROADCAST_BYTES = 10 * 1024 * 1024
+ADVISOR_ROW_BYTES = 32  # modeled bytes/row for the fixture's narrow keys
+
+
+@query(
+    "diag_join_strategy_advice",
+    oracle=f"""
+    WITH sides AS (
+        SELECT 'customer' AS small_side, 'orders' AS big_side,
+               (SELECT count(*) FROM customer) AS small_rows,
+               (SELECT count(*) FROM orders) AS big_rows,
+               (SELECT CAST(sum(ca * cb) AS BIGINT) FROM
+                   (SELECT o_custkey AS k, count(*) AS ca
+                    FROM orders GROUP BY 1) fa
+                   JOIN
+                   (SELECT c_custkey AS k, count(*) AS cb
+                    FROM customer GROUP BY 1) fb
+                   USING (k)) AS est_out_rows
+        UNION ALL
+        SELECT 'orders', 'lineitem',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM lineitem),
+               (SELECT CAST(sum(ca * cb) AS BIGINT) FROM
+                   (SELECT l_orderkey AS k, count(*) AS ca
+                    FROM lineitem GROUP BY 1) fa
+                   JOIN
+                   (SELECT o_orderkey AS k, count(*) AS cb
+                    FROM orders GROUP BY 1) fb
+                   USING (k)) AS est_out_rows
+    )
+    SELECT small_side, big_side, small_rows, big_rows, est_out_rows,
+           CASE WHEN small_rows * {ADVISOR_ROW_BYTES}
+                     <= {ADVISOR_BROADCAST_BYTES}
+                THEN 'broadcast' ELSE 'shuffle' END AS advised_strategy
+    FROM sides
+    """,
+)
+def diag_join_strategy_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-advisor readout: for each candidate join, the measured
+    inputs a CBO weighs (side sizes, estimated output cardinality from
+    the frequency-vector identity) and the strategy the broadcast
+    threshold implies.
+
+    This is the pre-flight a pipeline author runs BEFORE submitting a
+    100 TB join: the stats come from map-side-combinable counts (the
+    sketchable part), the decision is pure arithmetic against the
+    modeled row width and the 10 MB broadcast budget — the same
+    decision AQE makes at runtime, surfaced ahead of time. The oracle
+    recomputes every stat and the rule independently.
+    """
+    def stats(small: DataFrame, big: DataFrame, sk: str, bk: str):
+        fa = big.groupBy(F.col(bk).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        fb = small.groupBy(F.col(sk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        est = fa.join(fb, "k").agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("est")
+        ).first()["est"]
+        return small.count(), big.count(), est
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = []
+    for name_s, name_b, s_df, b_df, sk, bk in [
+        ("customer", "orders", c, o, "c_custkey", "o_custkey"),
+        ("orders", "lineitem", o, li, "o_orderkey", "l_orderkey"),
+    ]:
+        s_rows, b_rows, est = stats(s_df, b_df, sk, bk)
+        strategy = (
+            "broadcast"
+            if s_rows * ADVISOR_ROW_BYTES <= ADVISOR_BROADCAST_BYTES
+            else "shuffle"
+        )
+        rows.append((name_s, name_b, s_rows, b_rows, est, strategy))
+    return spark.createDataFrame(
+        rows,
+        "small_side string, big_side string, small_rows long, big_rows long,"
+        " est_out_rows long, advised_strategy string",
+    )

@@ -201,6 +201,9 @@ DRIVER_ORDER: list[str] = [
     "drift_tvd_events",              # r4c: exact total-variation drift, no ln() floats (oracle)
     "events_rolling_active_users",   # r4c: rolling 7d distinct actives via offset explode (oracle)
     "table_merkle_summary",          # r4c: anti-entropy Merkle leaves+root (oracle)
+    "diag_join_strategy_advice",     # r4c: CBO pre-flight, stats + broadcast rule (oracle)
+    "lineitem_abc_classification",   # r4c: ABC/Pareto classes, integer thresholds (oracle)
+    "events_interarrival_stats",     # r4c: burstiness p50/p90 gaps via shared quantile helper (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
