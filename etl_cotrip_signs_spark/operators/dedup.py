@@ -670,3 +670,96 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_containment_ngram",
+    # Quadratic within-lang definition at oracle scale; the engine path is
+    # the posting join. Shingles are strings here vs xxhash64 ints on the
+    # Spark side — same equivalence precedent as NGRAM_PAIRS_ORACLE.
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+2]
+               )) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS shared,
+           CAST(len(a.shingles) AS BIGINT) AS size_a,
+           CAST(len(b.shingles) AS BIGINT) AS size_b,
+           CAST(100 * len(list_intersect(a.shingles, b.shingles))
+                // len(a.shingles) AS BIGINT) AS cont_a_pct,
+           CAST(100 * len(list_intersect(a.shingles, b.shingles))
+                // len(b.shingles) AS BIGINT) AS cont_b_pct
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE 100 * len(list_intersect(a.shingles, b.shingles))
+              >= 80 * least(len(a.shingles), len(b.shingles))
+      AND len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection: |S_A ∩ S_B| / min(|S_A|, |S_B|)
+    ≥ 0.8 — the asymmetric measure that catches "document A is embedded
+    inside document B", which symmetric Jaccard misses entirely (a
+    200-word doc inside a 10k-word doc has Jaccard ≈ 0.02 but
+    containment 1.0). The de-facto measure for quote/boilerplate/
+    subset dedup in LLM corpora.
+
+    Shape: the same inverted-index posting join as dedup_ngram_jaccard
+    (shared-shingle pairs only, never n²), but the verify divides by
+    the SMALLER set — integer percent with floor division, the
+    threshold applied as the cross-multiplied integer inequality
+    100·shared ≥ 80·min(sizes). Shingle derivation is the shared
+    hashed_shingles pipeline, eagerly checkpointed (round-3/4 fan-out
+    rule: postings a-side, b-side and the size table all consume it).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sh = (
+        hashed_shingles(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "hs")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.select("doc_id", F.size("hs").alias("sz"))
+    posts = sh.select(
+        "doc_id", "lang", F.explode("hs").alias("s")
+    )
+    a = posts.select(
+        F.col("doc_id").alias("doc_a"), "lang", "s"
+    )
+    b = posts.select(
+        F.col("doc_id").alias("doc_b"), "lang", "s"
+    )
+    shared = (
+        a.join(b, ["lang", "s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            100 * F.col("shared")
+            >= 80 * F.least(F.col("size_a"), F.col("size_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "size_a",
+            "size_b",
+            F.expr("100 * shared div size_a").alias("cont_a_pct"),
+            F.expr("100 * shared div size_b").alias("cont_b_pct"),
+        )
+    )

@@ -526,3 +526,52 @@ def events_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.count(F.when(clean, 1)).alias("n_clean_conversions"),
     )
+
+
+@query(
+    "orders_backlog_sweep",
+    oracle="""
+    WITH deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+        UNION ALL
+        SELECT CAST(o_orderdate AS DATE) + 30 AS day, -1 FROM orders
+    ),
+    daily AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS net_change
+        FROM deltas GROUP BY day
+    )
+    SELECT day, net_change,
+           CAST(sum(net_change) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting via the SWEEP-LINE identity: each
+    order opens an interval [orderdate, orderdate+30d); the number open
+    on any day is the running sum of +1/−1 boundary deltas — the
+    room-occupancy / connection-count / backlog primitive.
+
+    The naive form joins every day against every overlapping interval
+    (O(days · open)); the sweep needs ONE union, ONE combinable
+    aggregate to daily deltas (|days| rows — tiny), and ONE ordered
+    prefix sum over that day table. The global window runs on the
+    per-day aggregate, never the fact table — the same
+    "reduce first, window the reduction" shape as the concentration
+    and ABC queries.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    deltas = o.select(F.col("d").alias("day"), F.lit(1).alias("delta")).unionByName(
+        o.select(F.date_add("d", 30).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "net_change", F.sum("net_change").over(w).alias("open_orders")
+    )

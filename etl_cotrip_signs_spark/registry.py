@@ -204,6 +204,8 @@ DRIVER_ORDER: list[str] = [
     "diag_join_strategy_advice",     # r4c: CBO pre-flight, stats + broadcast rule (oracle)
     "lineitem_abc_classification",   # r4c: ABC/Pareto classes, integer thresholds (oracle)
     "events_interarrival_stats",     # r4c: burstiness p50/p90 gaps via shared quantile helper (oracle)
+    "dedup_containment_ngram",       # r4c: asymmetric containment near-dup (oracle)
+    "orders_backlog_sweep",          # r4c: sweep-line concurrent-interval count (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
