@@ -166,6 +166,7 @@ PROBE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_components_ngram",  # 10x replicas → size-10+ clusters: CC rounds under density
     "similarity_threshold_pairs_lsh",
+    "dedup_containment_ngram",  # 10 identical copies/doc → ~C(10,2) containment pairs per doc
 ]
 _PROBE_REPLICAS = 10
 _PROBE_BASE = "/root/testdata/sf0.001"
