@@ -30,6 +30,15 @@ QUERIES = [
     "dedup_components_ngram",
     "sample_weighted_reservoir",
     "agg_salted_skew",
+    # round-4c families: per-key window chains, pointer doubling (range
+    # exchange boundaries re-sample under re-execution), bucket selection
+    # (driver-side prefix sums), the layout-independence-claiming Merkle
+    # summary, and the two-pass global numbering
+    "events_ewma_dyadic",
+    "hierarchy_closure_doubling",
+    "kth_statistic_iterative",
+    "table_merkle_summary",
+    "global_row_number_two_pass",
 ]
 
 HOSTILE = {
