@@ -391,8 +391,10 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share crosses 4/5, tested as the integer inequality
     5·cum >= 4·total (no float shares, no rounding boundary); (b) the
     exact Gini coefficient via the rank formulation
-    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending ranks — all
-    moments exact BIGINTs, one final double division (the
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending ranks — the
+    rank-revenue products sum in DECIMAL(38,0) (int64 wraps silently
+    near SF 10 while DuckDB promotes to HUGEINT — the known
+    cross-engine overflow asymmetry), one final double division (the
     stat_corr_moments discipline). The global windows run over the
     per-customer aggregate (|customers| rows, already reduced), not the
     fact table — at 100 TB that table is the small output of a
@@ -428,10 +430,14 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_for_80pct"),
         (
             (
-                2 * F.sum(F.col("rnk_asc") * F.col("rev"))
-                - (F.max("n") + 1) * F.max("total")
+                2 * F.sum((F.col("rnk_asc") * F.col("rev")).cast("decimal(38,0)"))
+                - (F.max("n") + 1).cast("decimal(38,0)")
+                * F.max("total").cast("decimal(38,0)")
             ).cast("double")
-            / (F.max("n") * F.max("total")).cast("double")
+            / (
+                F.max("n").cast("decimal(38,0)")
+                * F.max("total").cast("decimal(38,0)")
+            ).cast("double")
         ).alias("gini"),
     )
 
@@ -440,24 +446,26 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift_tvd_events",
     oracle="""
     WITH a AS (
-        SELECT length(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+        SELECT CASE WHEN floor(value * 100) < 0 THEN -1 ELSE 1 END AS sgn,
+               length(CAST(CAST(abs(floor(value * 100)) AS BIGINT) AS VARCHAR))
                    AS digits,
-               CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
-                           1, 1) AS BIGINT) AS fd,
+               CAST(substr(CAST(CAST(abs(floor(value * 100)) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS fd,
                count(*) AS ca
-        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3
     ),
     b AS (
-        SELECT length(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+        SELECT CASE WHEN floor(value * 100) < 0 THEN -1 ELSE 1 END AS sgn,
+               length(CAST(CAST(abs(floor(value * 100)) AS BIGINT) AS VARCHAR))
                    AS digits,
-               CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
-                           1, 1) AS BIGINT) AS fd,
+               CAST(substr(CAST(CAST(abs(floor(value * 100)) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS fd,
                count(*) AS cb
-        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3
     ),
     j AS (
         SELECT coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
-        FROM a FULL OUTER JOIN b USING (digits, fd)
+        FROM a FULL OUTER JOIN b USING (sgn, digits, fd)
     ),
     tot AS (
         SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
@@ -488,19 +496,24 @@ def drift_tvd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
     def bucketed(event_type: str, out: str) -> DataFrame:
-        cents = F.floor(F.col("value") * 100).cast("long").cast("string")
+        # abs + explicit sign bucket: a negative value's '-' first char
+        # is a silent NULL in Spark's cast but a hard error in DuckDB's
+        # (review finding) — sign-splitting keeps both engines total.
+        cents = F.floor(F.col("value") * 100).cast("long")
+        mag = F.abs(cents).cast("string")
         return (
             e.filter(F.col("event_type") == event_type)
             .groupBy(
-                F.length(cents).alias("digits"),
-                F.substring(cents, 1, 1).cast("long").alias("fd"),
+                F.when(cents < 0, -1).otherwise(1).alias("sgn"),
+                F.length(mag).alias("digits"),
+                F.substring(mag, 1, 1).cast("long").alias("fd"),
             )
             .agg(F.count(F.lit(1)).alias(out))
         )
 
     j = (
         bucketed("click", "ca")
-        .join(bucketed("purchase", "cb"), ["digits", "fd"], "full_outer")
+        .join(bucketed("purchase", "cb"), ["sgn", "digits", "fd"], "full_outer")
         .select(
             F.coalesce("ca", F.lit(0)).alias("ca"),
             F.coalesce("cb", F.lit(0)).alias("cb"),
@@ -518,8 +531,12 @@ def drift_tvd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_tot.groupBy("na", "nb", "n_buckets").agg(
         F.sum(
-            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
-        ).alias("tvd_num_2x")
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("tvd_num_2x")
     )
 
 
@@ -684,9 +701,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_us").isNotNull())
     )
     q = grouped_discrete_quantiles(
-        gaps, "user_id", "gap_us", ["event_id"], {"p50_gap_us": 0.5, "p90_gap_us": 0.9}
+        gaps,
+        "user_id",
+        "gap_us",
+        ["event_id"],
+        {"p50_gap_us": 0.5, "p90_gap_us": 0.9},
+        count_col="n_gaps",
     )
-    n = gaps.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_gaps"))
-    return n.join(q, "user_id").select(
-        "user_id", "n_gaps", "p50_gap_us", "p90_gap_us"
-    )
+    return q.select("user_id", "n_gaps", "p50_gap_us", "p90_gap_us")

@@ -66,6 +66,7 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             fast = (
                 emb.offset == 0
                 and emb.null_count == 0
+                and emb.values.null_count == 0
                 and (ends > starts).all()
             )
             if fast:
@@ -80,9 +81,18 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_dims = (ends - starts).astype(np.int32)
             else:
                 rows = emb.to_pylist()
+                # Element-level nulls: values.null_count catches them above
+                # (the list-level null_count does NOT — review finding:
+                # floor(NaN).astype(int64) is silent garbage on the fast
+                # path). Boxed semantics mirror DuckDB: list_sum skips
+                # NULLs, len() counts them.
                 ssq = np.array(
                     [
-                        sum(int(np.floor(float(x) * 1000.0)) ** 2 for x in (r or []))
+                        sum(
+                            int(np.floor(float(x) * 1000.0)) ** 2
+                            for x in (r or [])
+                            if x is not None
+                        )
                         for r in rows
                     ],
                     np.int64,

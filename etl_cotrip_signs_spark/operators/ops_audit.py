@@ -763,25 +763,29 @@ def diag_join_strategy_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision AQE makes at runtime, surfaced ahead of time. The oracle
     recomputes every stat and the rule independently.
     """
-    def stats(small: DataFrame, big: DataFrame, sk: str, bk: str):
+    def est_out(small: DataFrame, big: DataFrame, sk: str, bk: str):
         fa = big.groupBy(F.col(bk).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
         fb = small.groupBy(F.col(sk).alias("k")).agg(
             F.count(F.lit(1)).alias("cb")
         )
-        est = fa.join(fb, "k").agg(
+        return fa.join(fb, "k").agg(
             F.sum(F.col("ca") * F.col("cb")).alias("est")
         ).first()["est"]
-        return small.count(), big.count(), est
 
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # one count job per TABLE, not per (pair, side) — orders is both a
+    # big side and a small side and would otherwise count twice (review
+    # finding)
+    n_rows = {"customer": c.count(), "orders": o.count(), "lineitem": li.count()}
     rows = []
     for name_s, name_b, s_df, b_df, sk, bk in [
         ("customer", "orders", c, o, "c_custkey", "o_custkey"),
         ("orders", "lineitem", o, li, "o_orderkey", "l_orderkey"),
     ]:
-        s_rows, b_rows, est = stats(s_df, b_df, sk, bk)
+        s_rows, b_rows = n_rows[name_s], n_rows[name_b]
+        est = est_out(s_df, b_df, sk, bk)
         strategy = (
             "broadcast"
             if s_rows * ADVISOR_ROW_BYTES <= ADVISOR_BROADCAST_BYTES

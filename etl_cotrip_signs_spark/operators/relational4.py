@@ -79,7 +79,22 @@ def hierarchy_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v") > 0, 1).otherwise(0).cast("long").alias("d"),
     ).localCheckpoint(eager=True)
 
-    while state.filter(F.col("anc") != 0).count() > 0:
+    prev_remaining = None
+    while True:
+        remaining = state.filter(F.col("anc") != 0).count()
+        if remaining == 0:
+            break
+        # Progress guard (review finding): on a key space NOT closed under
+        # the parent function, a row's anc can reference a missing key and
+        # never resolve — the LEFT join passes it through unchanged every
+        # round and the loop would spin forever. No progress => fail loudly.
+        if remaining == prev_remaining:
+            raise ValueError(
+                f"hierarchy closure stalled: {remaining} nodes reference "
+                "ancestors absent from the node set (key space not closed "
+                "under the parent function)"
+            )
+        prev_remaining = remaining
         jump = state.select(
             F.col("v").alias("j_v"),
             F.col("anc").alias("j_anc"),

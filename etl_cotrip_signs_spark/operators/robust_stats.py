@@ -22,6 +22,7 @@ def grouped_discrete_quantiles(
     value_col: str,
     tie_cols: list[str],
     qmap: dict[str, float],
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-group discrete (lower) quantiles: one wide row per group with a
     column per requested q, each the value at rank ceil(q*n) in
@@ -38,17 +39,20 @@ def grouped_discrete_quantiles(
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    return ranked.groupBy(group_col).agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("rn") == F.ceil(F.col("n") * F.lit(q)),
-                    F.col(value_col),
-                )
-            ).alias(name)
-            for name, q in qmap.items()
-        ]
-    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(q)),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, q in qmap.items()
+    ]
+    if count_col is not None:
+        # n is constant per group — emit it for free instead of forcing
+        # callers into a second aggregation + join (review finding)
+        aggs.append(F.max("n").alias(count_col))
+    return ranked.groupBy(group_col).agg(*aggs)
 
 
 

@@ -1019,6 +1019,9 @@ def stream_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finding). Batch totals sum to the exact batch aggregate, which is
     the oracle.
     """
+    _prev_cap = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     e = read_events_stream(spark, sf_dir)
     obs = e.observe(
@@ -1034,9 +1037,15 @@ def stream_observed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    try:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        # restore: a 100x progress buffer must not leak into every later
+        # streaming query of the shared bench/driver session (review
+        # finding — session-state hygiene)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", _prev_cap)
     n_rows, sum_cents, seen = 0, 0, set()
     for p in q.recentProgress:
         if p["batchId"] in seen:

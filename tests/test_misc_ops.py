@@ -136,7 +136,7 @@ def test_arrow_norms_null_and_empty_fallback(spark, tmp_path):
     registry.load_all()
     d = str(tmp_path)
     spark.createDataFrame(
-        [(1, [0.5, -0.5]), (2, None), (3, []), (4, [1.0])],
+        [(1, [0.5, -0.5]), (2, None), (3, []), (4, [1.0]), (5, [1.0, None])],
         "vec_id long, embedding array<float>",
     ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
     got = {
@@ -147,3 +147,7 @@ def test_arrow_norms_null_and_empty_fallback(spark, tmp_path):
     assert got[1] == (500000, 2), got
     assert got[2] == (0, 0) and got[3] == (0, 0), got
     assert got[4] == (1000000, 1), got
+    # element-level null: values.null_count (not the list-level count)
+    # must route to the boxed path; DuckDB semantics — sum skips NULLs,
+    # len counts them
+    assert got[5] == (1000000, 2), got
