@@ -709,3 +709,133 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n_gaps",
     )
     return q.select("user_id", "n_gaps", "p50_gap_us", "p90_gap_us")
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH v AS (
+        SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                   AS dow,
+               hour(ts) AS hr,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cells AS (
+        SELECT dow, hr, count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM v GROUP BY dow, hr
+    )
+    SELECT dow, hr, n_events, sum_cents,
+           CAST(n_events * 1000000
+                // (SELECT count(*) FROM v) AS BIGINT) AS share_ppm
+    FROM cells
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour seasonality grid with exact ppm shares.
+
+    Day-of-week is computed ARITHMETICALLY — (epoch_days + 4) mod 7,
+    anchored on 1970-01-01 being a Thursday — because the dayofweek()
+    builtins are an engine-semantics minefield (Spark: Sunday=1;
+    DuckDB dayofweek: Sunday=0; isodow: Monday=1). The same integer
+    formula on both sides removes the convention entirely. Shares are
+    integer ppm with floor division — no float ratios. One combinable
+    aggregate over a 168-cell grid; the total comes from a window/
+    scalar over the cells, not a second data scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        (
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4
+            )
+            % 7
+        ).alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = v.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    w_all = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hr",
+        "n_events",
+        "sum_cents",
+        F.expr(
+            "n_events * 1000000 div sum(n_events) over ()"
+        ).alias("share_ppm"),
+    ).select(
+        "dow", "hr", "n_events", "sum_cents", F.col("share_ppm").cast("long").alias("share_ppm")
+    )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+        SELECT f.cohort_m,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+                   AS age_months,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    cells AS (
+        SELECT cohort_m, age_months,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM facts GROUP BY cohort_m, age_months
+    )
+    SELECT cohort_m, age_months, n_orders, rev_cents,
+           CAST(sum(rev_cents) OVER (
+               PARTITION BY cohort_m ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_cents
+    FROM cells
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: cumulative revenue by (acquisition month,
+    months-since-acquisition) — the LTV curve the retention-cohort
+    query's revenue twin.
+
+    Months are linearized as year*12+month integers — exact month
+    arithmetic with no months_between() float semantics. Shape: first
+    order per customer (combinable min), broadcast-join back, a
+    (cohort, age) cell aggregate, then the cumulative window over the
+    tiny cell table — the "reduce first, window the reduction" shape
+    again.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_m"))
+    facts = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort_m", (F.col("ym") - F.col("cohort_m")).alias("age_months"), "cents"
+    )
+    cells = facts.groupBy("cohort_m", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_m",
+        "age_months",
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )

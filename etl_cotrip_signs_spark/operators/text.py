@@ -873,3 +873,73 @@ def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_entities"),
         F.min("survivor_name").alias("sample_survivor"),
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    doc_buckets AS (
+        SELECT (doc_id // 100) AS bucket,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    vocab_buckets AS (
+        SELECT (first_doc // 100) AS bucket, count(*) AS new_types
+        FROM first_seen GROUP BY 1
+    )
+    SELECT d.bucket,
+           CAST(sum(d.n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(d.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(v.new_types, 0)) OVER w AS BIGINT) AS vocab_size
+    FROM doc_buckets d LEFT JOIN vocab_buckets v USING (bucket)
+    WINDOW w AS (ORDER BY d.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law instrumentation): cumulative
+    distinct token TYPES vs cumulative docs/tokens over the doc_id-ordered
+    corpus — the readout that sizes tokenizer vocabularies and detects
+    corpus-composition shifts (a kink in the curve = a new domain).
+
+    The running-distinct trick at corpus scale: a type is NEW in the
+    bucket of its minimum doc_id (combinable min per token — never a
+    sort), so cumulative vocabulary is the prefix sum of per-bucket
+    new-type counts. Three combinable aggregates + one window over the
+    ~n_docs/100 bucket table. Token totals ride the same buckets.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_buckets = toks.groupBy(
+        F.expr("doc_id div 100").alias("bucket")
+    ).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    vocab_buckets = first_seen.groupBy(
+        F.expr("first_doc div 100").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    joined = doc_buckets.join(vocab_buckets, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "bucket",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("vocab_size"),
+    )

@@ -206,6 +206,9 @@ DRIVER_ORDER: list[str] = [
     "events_interarrival_stats",     # r4c: burstiness p50/p90 gaps via shared quantile helper (oracle)
     "dedup_containment_ngram",       # r4c: asymmetric containment near-dup (oracle)
     "orders_backlog_sweep",          # r4c: sweep-line concurrent-interval count (oracle)
+    "events_seasonality_profile",    # r4c: arithmetic-dow seasonality grid, ppm shares (oracle)
+    "orders_cohort_ltv",             # r4c: cohort LTV curve, linearized months (oracle)
+    "text_vocab_growth",             # r4c: Heaps-law vocab growth via first-seen buckets (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
