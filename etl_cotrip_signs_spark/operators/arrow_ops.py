@@ -1,4 +1,5 @@
-"""Arrow-native UDF surface [EXT — engine surface breadth]:
+"""Arrow-native + polymorphic Python UDF surface [EXT — engine surface
+breadth]:
 ``mapInArrow``, the fourth vectorized-Python flavor (after pandas_udf,
 mapInPandas, applyInPandas — all exercised elsewhere). mapInArrow hands
 the raw Arrow RecordBatch to Python with NO pandas conversion — for
@@ -9,6 +10,7 @@ two flat buffers (values + offsets) that numpy can process zero-copy.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,3 +107,62 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(norms, "vec_id long, ssq_e6 long, n_dims int")
+
+
+@query(
+    "udtf_table_arg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF with a TABLE argument (Spark 4): the relation
+    itself is the function input — `f(TABLE(...) PARTITION BY k)` — and
+    the UDTF instance sees exactly one partition's rows between
+    construction and terminate(), i.e. user-defined per-group
+    processing addressed from SQL.
+
+    The probe that shaped this: a TABLE-arg call WITHOUT an explicit
+    `PARTITION BY` / `WITH SINGLE PARTITION` clause NPEs in the
+    executor on this Spark build — the partitioning clause is
+    effectively mandatory, documented here so the next caller doesn't
+    rediscover it. Per-partition state is (count, exact cents sum);
+    the oracle is the plain GROUP BY the UDTF re-implements — the hash
+    match proves the partition-isolation contract (no state bleed
+    across PARTITION BY groups).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="c_mktsegment string, n_customers bigint, sum_acctbal_cents bigint")
+    class SegmentStats:
+        def __init__(self):
+            self.seg = None
+            self.n = 0
+            self.s = 0
+
+        def eval(self, row):
+            self.seg = row["c_mktsegment"]
+            self.n += 1
+            self.s += int(math.floor(row["c_acctbal"] * 100))
+
+        def terminate(self):
+            if self.seg is not None:
+                yield self.seg, self.n, self.s
+
+    spark.udtf.register("segment_stats_udtf", SegmentStats)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM segment_stats_udtf(
+            TABLE(SELECT c_mktsegment, c_acctbal FROM customer_for_udtf)
+            PARTITION BY c_mktsegment
+        )
+        """
+    )

@@ -763,3 +763,87 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("100 * shared div size_b").alias("cont_b_pct"),
         )
     )
+
+
+@query(
+    "dedup_similarity_histogram",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+2]
+               )) AS shingles
+        FROM documents
+    ),
+    pairs AS (
+        SELECT len(list_intersect(a.shingles, b.shingles)) AS inter,
+               len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)) AS uni
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+    SELECT CAST(10 * inter // uni AS BIGINT) AS sim_decile,
+           count(*) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    """,
+)
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold sweep in ONE pass: the histogram of pairwise
+    Jaccard deciles over all shared-shingle candidate pairs — the tuning
+    readout that answers "how many pairs does each dedup threshold
+    merge?" WITHOUT re-running the pipeline per threshold.
+
+    Decile = 10·|A∩B| div |A∪B| — an exact integer ratio bucket, no
+    float jaccard anywhere. The pair space is the posting join's
+    (shared-shingle pairs only); intersection counts come from the
+    same groupBy as the containment operator, union sizes by
+    inclusion-exclusion from the broadcast size table. At 100 TB this
+    is run on an LSH-candidate sample rather than all candidate pairs;
+    the histogram math is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sh = (
+        hashed_shingles(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "hs")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.select("doc_id", F.size("hs").alias("sz"))
+    posts = sh.select("doc_id", "lang", F.explode("hs").alias("s"))
+    inter = (
+        posts.select(F.col("doc_id").alias("doc_a"), "lang", "s")
+        .join(
+            posts.select(F.col("doc_id").alias("doc_b"), "lang", "s"),
+            ["lang", "s"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    with_sizes = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("uni"),
+        )
+    )
+    return with_sizes.groupBy(
+        F.expr("10 * inter div uni").alias("sim_decile")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

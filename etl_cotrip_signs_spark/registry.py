@@ -209,6 +209,8 @@ DRIVER_ORDER: list[str] = [
     "events_seasonality_profile",    # r4c: arithmetic-dow seasonality grid, ppm shares (oracle)
     "orders_cohort_ltv",             # r4c: cohort LTV curve, linearized months (oracle)
     "text_vocab_growth",             # r4c: Heaps-law vocab growth via first-seen buckets (oracle)
+    "udtf_table_arg_stats",          # r4c: polymorphic UDTF with TABLE argument (oracle)
+    "dedup_similarity_histogram",    # r4c: one-pass jaccard-decile threshold sweep (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)

@@ -455,3 +455,21 @@ def test_embedding_dim_stats_generate_is_mapside(spark):
     plan = formatted_plan(df)
     assert "Generate" in plan, plan
     assert node_count(df, "HashAggregate") >= 2, plan  # partial + final
+
+
+def test_join_hints_are_honored(spark):
+    """Engine surface: explicit join-strategy hints override the
+    planner's default choice — SHUFFLE_HASH forces a ShuffledHashJoin
+    where sort-merge/broadcast would win, MERGE forces SortMergeJoin."""
+    from etl_cotrip_signs_spark.io import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    hinted_hash = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert node_count(hinted_hash, "ShuffledHashJoin") == 1, formatted_plan(
+        hinted_hash
+    )
+    hinted_merge = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert node_count(hinted_merge, "SortMergeJoin") == 1, formatted_plan(
+        hinted_merge
+    )
