@@ -839,3 +839,79 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).alias("cum_rev_cents"),
     )
+
+
+@query(
+    "basket_rules_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    item_counts AS (
+        SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey
+    ),
+    pair_counts AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           CAST(p.n_ab * 1000000 // ca.cnt AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(p.n_ab * (SELECT n FROM n_orders) * 1000000
+                // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+    FROM pair_counts p
+    JOIN item_counts ca ON ca.l_partkey = p.part_a
+    JOIN item_counts cb ON cb.l_partkey = p.part_b
+    ORDER BY lift_ppm DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules on top of basket support counts: confidence
+    P(b|a) and lift P(ab)/(P(a)P(b)) — the readouts that separate
+    genuinely-associated pairs from merely-popular ones (lift > 1e6 ppm
+    = appears together more than independence predicts).
+
+    Both metrics are exact integer ppm via cross-multiplication
+    (n_ab·N·1e6 div (n_a·n_b)) — no float probabilities. Support
+    pruning (HAVING >= 3) BEFORE the metric joins is the apriori move
+    that keeps the rule table small; item counts broadcast to the
+    surviving pairs. Top-20 by lift compiles to TakeOrderedAndProject.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = item_counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("ca"))
+    cb = item_counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("n_ab * 1000000 div ca").alias("conf_a_to_b_ppm"),
+            F.expr(f"n_ab * {n_orders}L * 1000000 div (ca * cb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
+        .limit(20)
+    )

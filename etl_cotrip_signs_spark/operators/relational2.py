@@ -439,3 +439,97 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "sessionize_capped_sessions",
+    # The duration cap makes sessionization a genuinely SEQUENTIAL scan:
+    # whether event i starts a new session depends on the current
+    # session's START, which depends on every prior break — a
+    # non-associative recursion no window frame expresses. The oracle IS
+    # that recursion (recursive CTE stepping one event per iteration).
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, rn, t, t AS sess_start, 1 AS sess_id
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.t,
+               CASE WHEN o.t - w.t >= 43200000000
+                         OR o.t - w.sess_start >= 172800000000
+                    THEN o.t ELSE w.sess_start END,
+               CASE WHEN o.t - w.t >= 43200000000
+                         OR o.t - w.sess_start >= 172800000000
+                    THEN w.sess_id + 1 ELSE w.sess_id END
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id,
+           CAST(max(sess_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
+           CAST(max(t - sess_start) AS BIGINT) AS longest_span_us
+    FROM walk
+    GROUP BY user_id
+    """,
+)
+def sessionize_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap (12 h) and a maximum
+    session duration (48 h) — the variant analytics vendors call
+    "session timeout + session cap".
+
+    The cap breaks the window trick: plain gap-sessionization is a
+    prefix sum of gap flags, but "split when the session exceeds 48 h
+    from its start" references the session start — itself a function
+    of every previous split — a non-associative recursion that no
+    window frame or prefix identity expresses. The honest distributed
+    shape: applyInPandas per user (groups are bounded; the scan is
+    sequential WITHIN a user but all users run in parallel — the same
+    legitimacy class as stateful streaming). The oracle is the literal
+    recursion as a recursive CTE stepping one event per iteration, so
+    the hash match proves the Python scan implements exactly that
+    recurrence.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    GAP_US = 43_200_000_000
+    CAP_US = 172_800_000_000
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+        n_sessions = 0
+        sess_start = None
+        prev_t = None
+        longest = 0
+        for t in pdf["t"]:
+            if (
+                prev_t is None
+                or t - prev_t >= GAP_US
+                or t - sess_start >= CAP_US
+            ):
+                n_sessions += 1
+                sess_start = t
+            longest = max(longest, t - sess_start)
+            prev_t = t
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(pdf)],
+                "longest_span_us": [longest],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        scan,
+        "user_id long, n_sessions long, n_events long, longest_span_us long",
+    )

@@ -211,6 +211,8 @@ DRIVER_ORDER: list[str] = [
     "text_vocab_growth",             # r4c: Heaps-law vocab growth via first-seen buckets (oracle)
     "udtf_table_arg_stats",          # r4c: polymorphic UDTF with TABLE argument (oracle)
     "dedup_similarity_histogram",    # r4c: one-pass jaccard-decile threshold sweep (oracle)
+    "basket_rules_lift",             # r4c: association confidence/lift, exact ppm (oracle)
+    "sessionize_capped_sessions",    # r4c: gap+duration-cap sessions, applyInPandas vs recursive CTE (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
