@@ -915,3 +915,65 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "nation_revenue_yoy",
+    oracle="""
+    WITH yearly AS (
+        SELECT n.n_name, year(o.o_orderdate) AS yr,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT n_name, yr, rev,
+           CAST(CASE WHEN lag(rev) OVER w IS NULL THEN NULL
+                ELSE (rev - lag(rev) OVER w) * 1000000 // lag(rev) OVER w
+                END AS BIGINT) AS yoy_growth_ppm
+    FROM yearly
+    WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation, exact ppm.
+
+    The BI staple: two broadcast dimension hops onto the fact table,
+    one combinable (nation, year) aggregate, then lag() over the tiny
+    yearly table. Growth is (rev − prev)·1e6 div prev — integer ppm.
+    Negative growth exposed a determinism-rule CORRECTION: DuckDB's
+    integer `//` TRUNCATES toward zero (like Spark's `div`), it does
+    not floor — measured here (-699219 vs floor's -699220), so the
+    Spark side uses `div`, matching exactly with no special-casing.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        "rev",
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .otherwise(((F.col("rev") - prev) * 1000000).cast("long"))
+        .alias("_num"),
+        prev.alias("_prev"),
+    ).select(
+        "n_name",
+        "yr",
+        "rev",
+        F.expr("_num div _prev").alias("yoy_growth_ppm"),
+    )

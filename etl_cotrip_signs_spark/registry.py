@@ -213,6 +213,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_similarity_histogram",    # r4c: one-pass jaccard-decile threshold sweep (oracle)
     "basket_rules_lift",             # r4c: association confidence/lift, exact ppm (oracle)
     "sessionize_capped_sessions",    # r4c: gap+duration-cap sessions, applyInPandas vs recursive CTE (oracle)
+    "nation_revenue_yoy",            # r4c: YoY growth ppm; integer-div sign semantics measured (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
