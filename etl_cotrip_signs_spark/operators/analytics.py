@@ -977,3 +977,84 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.expr("_num div _prev").alias("yoy_growth_ppm"),
     )
+
+
+@query(
+    "drift_ks_exact",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type = 'purchase'
+    ),
+    merged AS (
+        SELECT v, count(*) FILTER (WHERE side = 'a') AS ca,
+               count(*) FILTER (WHERE side = 'b') AS cb
+        FROM (
+            SELECT v, 'a' AS side FROM a
+            UNION ALL
+            SELECT v, 'b' AS side FROM b
+        )
+        GROUP BY v
+    ),
+    walk AS (
+        SELECT v,
+               sum(ca) OVER w AS cum_a,
+               sum(cb) OVER w AS cum_b,
+               (SELECT count(*) FROM a) AS na,
+               (SELECT count(*) FROM b) AS nb
+        FROM merged
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_d_num
+    FROM walk
+    """,
+)
+def drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, EXACT: the TVD drift
+    detector's order-sensitive sibling (TVD sees bucket mass shifts;
+    KS sees any CDF separation, including within-bucket shifts).
+
+    D = sup_v |F_a(v) − F_b(v)| cross-multiplies to the integer
+    numerator max |cumcount_a(v)·N_b − cumcount_b(v)·N_a| over the
+    common denominator N_a·N_b — evaluated at the merged DISTINCT
+    value table (the supremum over step functions is attained at step
+    points). One combinable per-value aggregate, one ordered prefix
+    window over the |distinct values|-sized table, exact BIGINTs end
+    to end — the same "reduce first, window the reduction" shape, and
+    no ln()/float CDF anywhere.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "v",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
+    )
+    merged = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    walk = merged.select(
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    return walk.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+        ).alias("ks_d_num"),
+    )

@@ -214,6 +214,7 @@ DRIVER_ORDER: list[str] = [
     "basket_rules_lift",             # r4c: association confidence/lift, exact ppm (oracle)
     "sessionize_capped_sessions",    # r4c: gap+duration-cap sessions, applyInPandas vs recursive CTE (oracle)
     "nation_revenue_yoy",            # r4c: YoY growth ppm; integer-div sign semantics measured (oracle)
+    "drift_ks_exact",                # r4c: exact two-sample KS via cross-multiplied CDFs (oracle)
     "agg_grouping_sets",             # r4c rotation out (green r1+r2+r3)
     "join_outer_customers_orders",   # r4c rotation out (green r1+r2+r3)
     "sessionize_events_batch",       # r4c rotation out (green r2+r3)
