@@ -510,8 +510,78 @@ def kcore_nodes(
         )
 
 
-@query("graph_kcore")  # rows-only: iterative peeling has no SQL oracle;
-# pytest pins a planted triangle+tail graph and the monotone-profile invariant
+@query(
+    "graph_kcore",
+    # Peeling as a DuckDB recursive CTE (r5 graduation from rows-only; same
+    # pattern as hierarchy_closure_doubling's oracle). The recursive term
+    # sees only the previous iteration's rows — exactly the shrinking edge
+    # working set — and, because the edge list is symmetric, both endpoint
+    # degrees are single-reference window counts (count per s / count per d).
+    # QUALIFY stops the recursion at a fixpoint (no row removed); the verify
+    # CTE re-applies one peel pass to the max-iter rows to distinguish a true
+    # fixpoint (kept == prev → those rows ARE the k-core) from the
+    # emitted-nothing-because-empty case (kept < prev → core is empty).
+    oracle="""
+    WITH RECURSIVE
+    names(n) AS (SELECT DISTINCT c_name FROM customer),
+    pairs AS (
+        SELECT a.n AS s, b.n AS d FROM names a JOIN names b ON a.n < b.n
+        WHERE levenshtein(a.n, b.n) <= 1
+    ),
+    sym AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
+    -- profile ladder k = 2,4,... ; first empty core is at k <= maxdeg+2,
+    -- mirroring the Spark loop (incl. its k > 256 runaway guard)
+    grid(k) AS (
+        SELECT unnest(generate_series(2, LEAST(258, COALESCE(
+            (SELECT max(cnt) + 2 FROM
+                (SELECT count(*) AS cnt FROM sym GROUP BY s)), 2)), 2))
+    ),
+    peel(k, s, d, iter) AS (
+        SELECT g.k, s, d, 0 FROM sym CROSS JOIN grid g
+        UNION ALL
+        SELECT k, s, d, iter + 1
+        FROM (
+            SELECT k, s, d, iter,
+                   count(*) OVER (PARTITION BY k, s) AS ds,
+                   count(*) OVER (PARTITION BY k, d) AS dd,
+                   count(*) OVER (PARTITION BY k)    AS n_prev
+            FROM peel
+        )
+        WHERE ds >= k AND dd >= k
+        QUALIFY count(*) OVER (PARTITION BY k) < n_prev
+    ),
+    last_iter AS (
+        SELECT k, s, d FROM (
+            SELECT k, s, d, iter, max(iter) OVER (PARTITION BY k) AS mx
+            FROM peel
+        ) WHERE iter = mx
+    ),
+    verify AS (
+        SELECT k, s, ds, n_prev, count(*) OVER (PARTITION BY k) AS n_kept
+        FROM (
+            SELECT k, s, d,
+                   count(*) OVER (PARTITION BY k, s) AS ds,
+                   count(*) OVER (PARTITION BY k, d) AS dd,
+                   count(*) OVER (PARTITION BY k)    AS n_prev
+            FROM last_iter
+        ) WHERE ds >= k AND dd >= k
+    ),
+    profile AS (
+        SELECT g.k,
+               COALESCE(v.n_nodes, 0) AS n_nodes,
+               COALESCE(v.max_deg, 0) AS max_deg
+        FROM grid g LEFT JOIN (
+            SELECT k, count(DISTINCT s) AS n_nodes, max(ds) AS max_deg
+            FROM verify WHERE n_kept = n_prev GROUP BY k
+        ) v USING (k)
+    )
+    SELECT CAST(k AS INT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(max_deg AS INT) AS max_core_degree
+    FROM profile
+    WHERE k <= COALESCE((SELECT min(k) FROM profile WHERE n_nodes = 0), 258)
+    ORDER BY k
+    """,
+)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition PROFILE of the edit-distance-1 name graph
     (fuzzy_join_del1's oracle-checked pair set): for k = 2, 4, 6, ... run

@@ -426,8 +426,32 @@ def _parquet_files(path: str) -> list[tuple[str, int]]:
     )
 
 
-@query("layout_compaction")  # rows-only: a filesystem-layout property —
-# pytest pins row preservation + the shuffle-free coalesce plan
+@query(
+    "layout_compaction",
+    # r5 graduation from rows-only: DuckDB audits the SAME staged parquet
+    # directories the query wrote (deterministic per-(sf, tag) scratch path,
+    # rendered via the registry's {SCRATCH:tag} template — see
+    # registry.render_oracle). File counts and row preservation are thereby
+    # verified by an independent reader of the physical layout; byte-level
+    # numbers stay pytest-pinned (DuckDB cannot stat on-disk file sizes).
+    # Staleness-safe: the staged content is deterministic per sf_dir, so
+    # even an oracle-before-query ordering reads an identical layout.
+    oracle="""
+    SELECT
+      (SELECT CAST(count(DISTINCT filename) AS INT)
+       FROM read_parquet('{SCRATCH:compaction}/small/*.parquet',
+                         filename=true)) AS files_before,
+      (SELECT CAST(count(DISTINCT filename) AS INT)
+       FROM read_parquet('{SCRATCH:compaction}/compacted/*.parquet',
+                         filename=true)) AS files_after,
+      (SELECT count(*)
+       FROM read_parquet('{SCRATCH:compaction}/small/*.parquet'))
+          AS rows_before,
+      (SELECT count(*)
+       FROM read_parquet('{SCRATCH:compaction}/compacted/*.parquet'))
+          AS rows_after
+    """,
+)
 def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: the nightly job every streaming landing zone
     needs. Stage `documents` as 64 tiny files (what per-micro-batch
@@ -466,14 +490,10 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = (
         len(before),
         len(after),
-        int(bytes_before),
-        int(sum(b for _, b in after)),
         int(src.count()),
         int(spark.read.parquet(compacted).count()),
-        int(max(b for _, b in after)),
     )
     return spark.createDataFrame(
         [row],
-        "files_before int, files_after int, bytes_before long, bytes_after long,"
-        " rows_before long, rows_after long, max_file_bytes long",
+        "files_before int, files_after int, rows_before long, rows_after long",
     )

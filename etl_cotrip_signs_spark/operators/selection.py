@@ -221,44 +221,60 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
-@query("file_manifest_stats")  # rows-only: output names run-local scratch files
+@query(
+    "file_manifest_stats",
+    # r5 graduation from rows-only. Part-file basenames are run-local job
+    # UUIDs, so a name-keyed manifest can never hash-match an oracle; instead
+    # the write is made file-deterministic BY CONSTRUCTION — repartition on
+    # the partition columns puts each (l_returnflag, bucket) combination
+    # wholly in one task, so each partition directory holds EXACTLY ONE data
+    # file and "per file" == "per directory". The oracle then states the
+    # expected physical layout (1 AS n_files) and the per-file stats as plain
+    # SQL over the original table; the Spark side computes n_files from the
+    # real `_metadata.file_path`, so a layout regression (two files in a
+    # directory) or a stats regression both flip the hash. This is stronger
+    # than a parquet_metadata()-on-scratch oracle: no run-local path in the
+    # SQL, no Spark-runs-first ordering assumption, works at every sf_dir.
+    oracle="""
+    SELECT l_returnflag, CAST(l_orderkey % 4 AS INT) AS bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag, CAST(l_orderkey % 4 AS INT)
+    """,
+)
 def file_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-FILE min/max/count manifest via the `_metadata` column — the
     data-skipping index a lakehouse table format maintains.
 
-    Writes a partitioned copy of lineitem to scratch, then reads it
-    back collecting (file, row count, min/max shipdate) per physical
-    file from the hidden `_metadata` struct — the exact stats a query
-    planner consults to skip files whose [min,max] cannot satisfy a
-    predicate. Rows-only by nature (file paths are run-local); pytest
-    pins the invariants: every file's count sums to the table count
-    and per-partition min/max agree with the table-level aggregate.
+    Writes a partitioned copy of lineitem to scratch (one file per
+    (l_returnflag, bucket) directory — see the oracle note), then reads
+    it back collecting per-file row count + min/max shipdate from the
+    hidden `_metadata` struct — the exact stats a query planner consults
+    to skip files whose [min,max] cannot satisfy a predicate. pytest
+    additionally pins that file counts sum to the table count.
     """
     from ..session import scratch_dir
 
     out = scratch_dir("file_manifest_stats", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_orderkey", "l_shipdate"
+        "l_returnflag",
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_orderkey") % 4).cast("int").alias("bucket"),
     )
-    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    (
+        li.repartition("l_returnflag", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag", "bucket")
+        .parquet(out)
+    )
     back = spark.read.parquet(out)
-    return (
-        back.select(
-            "l_returnflag",
-            "l_shipdate",
-            # partition-dir/basename: one writer task reuses its basename
-            # across partition directories, so the basename alone is not
-            # unique — the last two path segments are.
-            F.concat_ws(
-                "/",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            ).alias("file_name"),
-        )
-        .groupBy("l_returnflag", "file_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_shipdate").alias("min_shipdate"),
-            F.max("l_shipdate").alias("max_shipdate"),
-        )
+    return back.groupBy("l_returnflag", "bucket").agg(
+        F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
     )

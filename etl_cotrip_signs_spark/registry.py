@@ -23,6 +23,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver contract runs Spark query + oracle side-by-side at sf0.01
+# (task brief); oracles that must read query-staged scratch files are
+# registered as templates with {SCRATCH:tag} placeholders and pre-rendered
+# into ORACLES for this sf_dir. Local runners (pytest parity, rehearsal)
+# re-render via oracle_for() so the same template works at sf0.001.
+DRIVER_SF = "/root/testdata/sf0.01"
+ORACLE_TEMPLATES: dict[str, str] = {}
+
+
+def render_oracle(sql: str, sf_dir: str) -> str:
+    """Render {SCRATCH:tag} placeholders to the deterministic per-(sf, tag)
+    scratch path (session.scratch_dir) — the exact directory the Spark query
+    stages its files in for that sf_dir."""
+    if "{SCRATCH:" not in sql:
+        return sql
+    import re
+
+    from .session import scratch_dir
+
+    return re.sub(
+        r"\{SCRATCH:([A-Za-z0-9_]+)\}",
+        lambda m: scratch_dir(m.group(1), sf_dir),
+        sql,
+    )
+
+
+def oracle_for(name: str, sf_dir: str) -> str:
+    """Oracle SQL rendered for a specific sf_dir. Tests and the rehearsal
+    sweep use this; the driver reads ORACLES, already rendered for its
+    contractual DRIVER_SF."""
+    return render_oracle(ORACLE_TEMPLATES.get(name, ORACLES[name]), sf_dir)
+
 
 class DriverUnsafeSchemaError(TypeError):
     """A registered query produced a column the driver cannot canonicalize."""
@@ -66,7 +98,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         QUERIES[name] = checked
         if oracle is not None:
-            ORACLES[name] = oracle
+            if "{SCRATCH:" in oracle:
+                ORACLE_TEMPLATES[name] = oracle
+                ORACLES[name] = render_oracle(oracle, DRIVER_SF)
+            else:
+                ORACLES[name] = oracle
         return fn
 
     return deco

@@ -96,8 +96,18 @@ def test_layout_compaction_preserves_rows_and_cuts_files(spark):
     assert row["files_after"] < row["files_before"]
     assert row["files_before"] == 64
     # compaction must not inflate storage (merging parquet files only
-    # removes per-file overhead)
-    assert row["bytes_after"] <= row["bytes_before"]
+    # removes per-file overhead); byte numbers left the query output when
+    # the DuckDB oracle took over file/row auditing (it cannot stat on-disk
+    # sizes), so pin them here from the staged directories directly
+    from etl_cotrip_signs_spark.operators.io_queries import (
+        _parquet_files,
+        _scratch,
+    )
+
+    base = _scratch(SF_SMALL, "compaction")
+    bytes_before = sum(b for _, b in _parquet_files(f"{base}/small"))
+    bytes_after = sum(b for _, b in _parquet_files(f"{base}/compacted"))
+    assert 0 < bytes_after <= bytes_before
 
 
 def test_compaction_coalesce_is_shuffle_free(spark):

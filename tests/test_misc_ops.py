@@ -65,7 +65,9 @@ def test_file_manifest_covers_table_exactly(spark):
     m = registry.QUERIES["file_manifest_stats"](spark, SF_SMALL).toPandas()
     li = load_table(spark, SF_SMALL, "lineitem").toPandas()
     assert m["n_rows"].sum() == len(li)
-    assert m["file_name"].is_unique
+    # one file per (l_returnflag, bucket) directory, by construction
+    assert not m.duplicated(subset=["l_returnflag", "bucket"]).any()
+    assert (m["n_files"] == 1).all()
     for flag, grp in m.groupby("l_returnflag"):
         part = li[li["l_returnflag"] == flag]
         assert grp["min_shipdate"].min() == part["l_shipdate"].min()

@@ -14,8 +14,12 @@ registry.load_all()
 
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
 def test_oracle_parity(spark, name):
+    # building the Spark side first also stages the scratch files that
+    # {SCRATCH:tag}-templated oracles read (those queries write eagerly
+    # inside the call); oracle_for renders templates for THIS sf —
+    # registry.ORACLES is pre-rendered for the driver's sf0.01
     spark_df = registry.QUERIES[name](spark, SF_ORACLE)
-    oracle_pdf = run_oracle(registry.ORACLES[name], SF_ORACLE)
+    oracle_pdf = run_oracle(registry.oracle_for(name, SF_ORACLE), SF_ORACLE)
     problems = compare(spark_df, oracle_pdf)
     assert not problems, f"{name}: " + "; ".join(problems)
 

@@ -108,6 +108,10 @@ def main() -> int:
             row["spark_rows"] = len(spdf)
             spark_canon = _canon(spdf)
             sql = registry.ORACLES.get(name)
+            if sql is not None:
+                # {SCRATCH:tag} templates are pre-rendered for the driver's
+                # sf0.01; re-render for the sf this rehearsal runs at
+                sql = registry.oracle_for(name, sf_dir)
             if sql is None:
                 row["err"] = "no_oracle"
             else:
