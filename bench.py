@@ -115,8 +115,25 @@ def main() -> None:
         _release_session_state(spark)
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
+    # Probe phase runs in a FRESH session. Root cause pinned in round 5:
+    # after the 39-query headline pass the components probe measured 10-24 s
+    # vs 4-5.3 s in a fresh session — GC hygiene alone does not reclaim the
+    # accumulated session state (dead localCheckpoint blocks, AQE/codegen
+    # caches), and every headline query added to the bench inflated the
+    # probes of everything after it (r3 probe 5.0 s → r4 15.2 s was exactly
+    # this, not an algorithmic regression). A fresh session makes probe
+    # numbers comparable across rounds regardless of headline-set size.
+    spark.stop()
+    spark = get_spark("etl-cotrip-signs-bench-probes")
     probes, probe_rows = run_density_probes(spark)
     calibration = run_calibration(spark)
+    # Calibration-normalized probes (wall / calibration wall, dimensionless):
+    # the sandbox's throughput drifts 1.5-3x between sessions, so raw probe
+    # seconds are only comparable across rounds after dividing by the
+    # constant-work calibration measured in the SAME session.
+    probes_normalized = {
+        n: round(v / calibration, 1) for n, v in probes.items()
+    }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -128,6 +145,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "probes": probes,
+                "probes_normalized": probes_normalized,
                 "probe_rows": probe_rows,
                 "calibration": calibration,
                 "sf": float(sf) if sf else None,
