@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.shingles import shingles_from_tokens, tokens, with_shingles
+from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
 from ..registry import query
 
@@ -330,7 +331,45 @@ def simhash_pairs(docs: DataFrame, max_hamming: int | None = None) -> DataFrame:
 _FIXTURE_SIMHASH_HAMMING = 2
 
 
-@query("dedup_simhash_docs")  # rows-only: bit-level fingerprint, no SQL oracle
+@query(
+    "dedup_simhash_docs",
+    # r5 graduation from rows-only: the per-token hash is Spark's
+    # xxhash64(lit('sh'), tok) = XXH64(utf8(tok), 11311678090148365197)
+    # (chained literal seed), reproduced by the DuckDB XXH64 macros; bit
+    # votes, 16-bit banding and the hamming filter are then plain SQL. The
+    # vote rule votes_i > 0 is equivalently 2*ones_i > n_tokens.
+    oracle=XXH64_MACROS + """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+                   string_split_regex(trim(text), '\\s+'))) AS tok
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               list(xxh64_u(encode(tok), 11311678090148365197::UBIGINT)) AS h
+        FROM toks GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 63), i ->
+                   CASE WHEN 2 * list_sum(list_transform(h, x ->
+                                ((x >> i::INT) & 1::UBIGINT)::BIGINT)) > len(h)
+                        THEN (1::BIGINT << i::INT) ELSE 0 END))::BIGINT AS simhash
+        FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, simhash, u.b AS band_id,
+               (simhash >> (16 * u.b::INT)) & 65535 AS band_val
+        FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-63 near-dup pairs via bit_count(xor) ≤ threshold."""
     d = load_table(spark, sf_dir, "documents")

@@ -623,3 +623,77 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "k int, n_nodes long, max_core_degree int"
     )
+
+
+@query(
+    "graph_link_prediction_ra",
+    # Resource-Allocation index — the link-prediction score with pure
+    # rational arithmetic (Zhou/Lü/Zhang 2009): RA(a,b) = Σ_{z ∈ N(a)∩N(b)}
+    # 1/deg(z), scored here as Σ floor(1e6/deg(z)) so both engines stay in
+    # exact integers (Spark `div` truncates, DuckDB `//` floors — identical
+    # on positive operands). Adamic-Adar's 1/log(deg) was rejected for the
+    # oracle: ln() is float and correct rounding is not guaranteed libm-wide.
+    oracle="""
+    WITH names(n) AS (SELECT DISTINCT c_name FROM customer),
+    pairs AS (
+        SELECT a.n AS s, b.n AS d FROM names a JOIN names b ON a.n < b.n
+        WHERE levenshtein(a.n, b.n) <= 1
+    ),
+    sym AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
+    deg AS (SELECT s AS z, count(*) AS dz FROM sym GROUP BY s),
+    wedges AS (
+        SELECT e1.d AS a, e2.d AS b, e1.s AS z
+        FROM sym e1 JOIN sym e2 ON e1.s = e2.s AND e1.d < e2.d
+    ),
+    scored AS (
+        SELECT w.a AS name_a, w.b AS name_b,
+               count(*) AS n_common,
+               sum(1000000 // dg.dz) AS ra_ppm
+        FROM wedges w JOIN deg dg ON dg.z = w.z
+        GROUP BY w.a, w.b
+    )
+    SELECT s.name_a, s.name_b, s.n_common,
+           CAST(s.ra_ppm AS BIGINT) AS ra_ppm
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.s = s.name_a AND p.d = s.name_b)
+    """,
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the edit-distance-1 name graph: for every
+    NON-adjacent pair sharing ≥1 common neighbor, the Resource-Allocation
+    score Σ_z floor(1e6 / deg(z)) — "how much bandwidth do our mutual
+    friends have left for an introduction".
+
+    Shape: one wedge self-join (z→a ⋈ z→b on the common neighbor, the same
+    candidate-generation shape as triangle counting at graph.py:218) + a
+    broadcast-able degree table + an anti join against existing edges. At
+    100 TB-scale graphs the wedge join is bounded by Σ deg(z)² — the
+    degree-capped variant (graph_triangle_count_degree) shows the
+    orientation trick if degrees are heavy-tailed."""
+    from .text import fuzzy_join_del1
+
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select("name_a", "name_b")
+        .localCheckpoint(eager=True)  # wedges, degrees, and the anti join
+        # all descend from it — one fuzzy-join execution, three consumers
+    )
+    sym = pairs.select(
+        F.col("name_a").alias("s"), F.col("name_b").alias("d")
+    ).union(pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d")))
+    deg = sym.groupBy(F.col("s").alias("z")).agg(F.count(F.lit(1)).alias("dz"))
+    e1 = sym.select(F.col("s").alias("z"), F.col("d").alias("a"))
+    e2 = sym.select(F.col("s").alias("z"), F.col("d").alias("b"))
+    wedges = e1.join(e2, "z").filter(F.col("a") < F.col("b"))
+    scored = (
+        wedges.join(F.broadcast(deg), "z")
+        .groupBy(F.col("a").alias("name_a"), F.col("b").alias("name_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("1000000 div dz")).alias("ra_ppm"),
+        )
+    )
+    return scored.join(pairs, ["name_a", "name_b"], "left_anti").select(
+        "name_a", "name_b", "n_common", F.col("ra_ppm").cast("long").alias("ra_ppm")
+    )

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
 from ..registry import query
 
@@ -142,7 +143,32 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: frame-sampling plumbing
+@query(
+    "multimodal_frame_sample",
+    # r5 graduation from rows-only: the frame hash is Spark xxhash64 (seed
+    # 42) over each 32-byte payload slice, reproduced exactly by the DuckDB
+    # XXH64 macros (functions/xxh64_sql.py). frame_idx is the position in
+    # the SAMPLED list (posexplode semantics), not the source frame number.
+    oracle=XXH64_MACROS + """
+    WITH t AS (
+        SELECT doc_id, encode(text) AS payload,
+               (octet_length(encode(text)) // 32)::INT AS nf
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, payload,
+               list_filter(range(0, nf), i -> i % 4 = 0) AS keep
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(u.j AS INT) AS frame_idx,
+           -- DuckDB 1.0 cannot substring a BLOB; slice via hex (2 chars/byte)
+           xxh64_signed(from_hex(substring(hex(payload),
+                                           (keep[u.j::INT + 1] * 64 + 1)::INT, 64)),
+                        42::UBIGINT) AS frame_hash
+    FROM s, UNNEST(range(0, len(keep))) AS u(j)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling: slice each payload into fixed-width frames,
     keep every 4th, fingerprint each — pure builtin substring/sequence

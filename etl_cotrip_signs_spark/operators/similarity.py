@@ -1243,3 +1243,175 @@ def knn_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_opq_adc(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_vs_exact(exact, ann)
+
+
+def _kmeans_assign_exact(
+    df: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Integer twin of kmeans_assign: argmin over exact squared-L2 in
+    BIGINT, same map-side literal-codebook fold (no Exchange, no Window)."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(ci)).alias("cluster"),
+                F.array(*[F.lit(int(x)).cast("long") for x in vec]).alias(
+                    "centroid"
+                ),
+            )
+            for ci, vec in cents
+        ]
+    )
+    scored = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    c.getField("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c.getField("cluster").alias("cluster"),
+        ),
+    )
+    best = F.array_min(scored)
+    return df.select(
+        "vec_id",
+        "v",
+        best.getField("cluster").alias("cluster"),
+        best.getField("d2").alias("d2"),
+    )
+
+
+# Unrolled 3-round oracle: each round is assignment (argmin d2, cluster-id
+# tie-break — identical to the struct-min ordering Spark uses) followed by a
+# per-dim integer-mean update with carry-old-on-empty semantics. The round
+# count is FIXED, so no recursive CTE is needed — the rounds unroll into a
+# CTE chain, each referencing only the previous round's centroids.
+_KM_DIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(e.v[i::INT] - c.c[i::INT]) * (e.v[i::INT] - c.c[i::INT])))"
+)
+
+
+def _km_round(r: int) -> str:
+    prev = f"c{r - 1}"
+    return f"""
+    a{r} AS (
+        SELECT vec_id, v, cluster, d2
+        FROM (
+            SELECT e.vec_id, e.v, c.cluster, {_KM_DIST} AS d2,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_KM_DIST}, c.cluster
+                   ) AS rn
+            FROM e, {prev} c
+        ) WHERE rn = 1
+    ),
+    s{r} AS (
+        SELECT cluster, u.i AS i,
+               CAST(sum(v[u.i::INT]) AS BIGINT) AS s, count(*) AS n
+        FROM a{r}, UNNEST(range(1, 65)) AS u(i)
+        GROUP BY cluster, u.i
+    ),
+    m{r} AS (
+        SELECT cluster, list(s // n ORDER BY i) AS cm FROM s{r} GROUP BY cluster
+    ),
+    c{r} AS (
+        SELECT p.cluster, coalesce(m.cm, p.c) AS c
+        FROM {prev} p LEFT JOIN m{r} m USING (cluster)
+    )"""
+
+
+_KMEANS_EXACT_ORACLE = (
+    """
+    WITH e AS (
+        SELECT vec_id,
+               -- widen float32 -> double BEFORE the multiply: DuckDB's
+               -- FLOAT * INTEGER stays single-precision, and floor() of the
+               -- f32 product disagrees with Spark's double product by ±1
+               -- on ~0.002% of coordinates (caught by the r5 parity run)
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v AS c
+        FROM e ORDER BY vec_id LIMIT 4
+    ),"""
+    + ",".join(_km_round(r) for r in (1, 2, 3))
+    + """
+    SELECT a.cluster, count(*) AS n_vectors,
+           CAST(sum(a.d2) AS VARCHAR) AS inertia_e12,
+           any_value(cs.centroid_sum) AS centroid_sum
+    FROM a3 a JOIN (
+        SELECT cluster, CAST(list_sum(c) AS BIGINT) AS centroid_sum FROM c3
+    ) cs USING (cluster)
+    GROUP BY a.cluster
+    """
+)
+
+
+@query("kmeans_lloyd_exact", oracle=_KMEANS_EXACT_ORACLE)
+def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means made CROSS-ENGINE EXACT (k=4, 3 rounds): coordinates
+    quantized to integer 1e-6 units (floor — tie-free), exact BIGINT
+    squared-L2, centroid update by truncating integer division, empty
+    clusters carry the old centroid. Every round is then a pure integer
+    function of the data, so DuckDB replays the identical iteration and the
+    driver can HASH-match an iterative ML algorithm — the float twin
+    (kmeans_lloyd_embeddings) stays rows-only by IEEE-accumulation nature.
+
+    Same scale shape as the float twin: map-side literal-codebook argmin
+    (zero shuffle per assignment), one map-side-combinable (cluster, dim)
+    agg per round, k×64 ints of driver state."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            to_double(F.col("embedding")),
+            lambda x: F.floor(x * 1000000).cast("long"),
+        ).alias("v"),
+    )
+    init = e.orderBy("vec_id").limit(4).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
+
+    assigned = None
+    for _ in range(3):
+        assigned = _kmeans_assign_exact(e, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.expr("s div n").alias("cv")))
+                ).alias("pairs")
+            )
+            .select(
+                "cluster",
+                F.transform("pairs", lambda p: p.getField("cv")).alias("centroid"),
+            )
+            .collect()
+        )
+        updated = {r["cluster"]: list(r["centroid"]) for r in sums}
+        centroids = [
+            (ci, updated.get(ci, old)) for ci, old in centroids
+        ]  # carry-old-on-empty, mirrored in the oracle's LEFT JOIN
+    cent_sum = {ci: sum(vec) for ci, vec in centroids}
+    out = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2").cast("decimal(38,0)").cast("string").alias("inertia_e12"),
+    )
+    cs = F.create_map(
+        *[F.lit(x) for kv in cent_sum.items() for x in kv]
+    )
+    return out.select(
+        "cluster",
+        "n_vectors",
+        "inertia_e12",
+        cs[F.col("cluster")].cast("long").alias("centroid_sum"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.shingles import shingles_from_tokens, tokens
+from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
 from ..registry import query
 
@@ -204,7 +205,39 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint_rolling")  # rows-only: xxhash64 has no DuckDB equivalent
+@query(
+    "text_fingerprint_rolling",
+    # r5 graduation from rows-only: XXH64 re-implemented as DuckDB macros
+    # (functions/xxh64_sql.py, validated byte-for-byte vs the reference and
+    # vs Spark) makes the hash cross-engine checkable. 755669946628913235 is
+    # the chained seed XXH64(utf8('fp'), 42) — Spark's xxhash64(lit('fp'), g)
+    # hashes the literal first and threads the result as g's seed.
+    oracle=XXH64_MACROS + """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(w) - 4, 0)::INT), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5]) AS grams
+        FROM t
+    ),
+    -- hash per ROW (the xxh64 macros are subquery-shaped, which DuckDB
+    -- forbids inside lambdas), then fold back per document
+    h AS (
+        SELECT doc_id, xxh64_signed(encode(u.s), 755669946628913235::UBIGINT) AS hv
+        FROM g, UNNEST(grams) AS u(s)
+    ),
+    agg AS (
+        SELECT doc_id, min(hv) AS min_hash, max(hv) AS max_hash
+        FROM h GROUP BY doc_id
+    )
+    SELECT g.doc_id, agg.min_hash, agg.max_hash, len(g.grams)::BIGINT AS n_windows
+    FROM g LEFT JOIN agg USING (doc_id)
+    """,
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-window fingerprint: min/max xxhash64 over 5-gram windows.
 

@@ -575,3 +575,82 @@ def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net_change", F.sum("net_change").over(w).alias("open_orders")
     )
+
+
+@query(
+    "events_autocorr_lag1",
+    # Lag-1 autocorrelation from EXACT integer moments — the stationarity
+    # probe of a metric stream. Same determinism discipline as
+    # stat_corr_moments (relational4.py:230): cents via floor (tie-free
+    # cross-engine), five exact moments over the (x, lead(x)) pairs, ONE
+    # identically-shaped float expression at the end (IEEE divide/sqrt are
+    # correctly rounded, so identical BIGINT inputs give identical bits).
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS x,
+               lead(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sx2,
+               CAST(sum(y * y) AS BIGINT) AS sy2
+        FROM v WHERE y IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           CAST(sxy AS VARCHAR) AS sum_xy_cents2,
+           CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n_pairs * sx2 - sx * sx AS DOUBLE)
+                      * CAST(n_pairs * sy2 - sy * sy AS DOUBLE)) AS autocorr
+    FROM m
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-1 autocorrelation of the value stream: is the next
+    observation predictable from the last (drift / momentum) or white
+    noise? x = value cents, y = next value in (ts, event_id) order.
+
+    Scale shape: one exchange on event_type for the lead() window, then a
+    5-number moment aggregate (map-side combinable); the per-row products
+    stay in BIGINT (cents ~1e4, squared 1e8, × row count well under 2^63
+    at sf ≤ 100)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = e.withColumn("y", F.lead("x").over(w)).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    return m.select(
+        "event_type",
+        "n_pairs",
+        F.col("sxy").cast("string").alias("sum_xy_cents2"),
+        (
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n_pairs") * F.col("sx2") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n_pairs") * F.col("sy2") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            )
+        ).alias("autocorr"),
+    )

@@ -389,6 +389,10 @@ DRIVER_ORDER: list[str] = [
     "stream_stateful_user_totals",
     "stream_stream_join",
     "stream_transform_with_state",
+    # -- round-5 additions --
+    "graph_link_prediction_ra",      # r5: resource-allocation link prediction (oracle)
+    "events_autocorr_lag1",          # r5: exact-moment lag-1 autocorrelation (oracle)
+    "kmeans_lloyd_exact",            # r5: integer Lloyd's, unrolled-CTE oracle (oracle)
 ]
 
 

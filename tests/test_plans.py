@@ -334,6 +334,28 @@ def test_kmeans_assign_is_shuffle_free(spark):
     assert all(r["cluster"] in (0, 1, 2) for r in rows)
 
 
+def test_kmeans_exact_assign_is_shuffle_free(spark):
+    """The integer twin (kmeans_lloyd_exact's assignment) keeps the same
+    scan-stage shape: literal codebook fold, no Exchange/Window/Join."""
+    from etl_cotrip_signs_spark.functions.vectors import to_double
+    from etl_cotrip_signs_spark.operators.similarity import (
+        _kmeans_assign_exact,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.transform(
+            to_double(F.col("embedding")),
+            lambda x: F.floor(x * 1000000).cast("long"),
+        ).alias("v"),
+    )
+    cents = [(0, [0] * 64), (1, [100] * 64)]
+    plan = formatted_plan(_kmeans_assign_exact(e, cents))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_q8_dimension_hops_broadcast(spark):
     """Q8's 8-relation tree: every dimension hop (part, supplier,
     customer-region semi, nation x2) broadcasts; only lineitem⋈orders may

@@ -1,19 +1,30 @@
 #!/usr/bin/env python
 """10x scale check: replicate the sf0.1 tables tenfold (~sf1: 6M lineitem,
-50k documents) and time a representative query slice at 1x vs 10x.
+50k documents) and time queries at 1x vs 10x.
 
 The point is the GROWTH RATE, not the absolute seconds: a scale-safe plan
 grows ~linearly in rows (modulo fixed job overhead amortizing away); a
 pair-quadratic or recompute-prone plan jumps superlinearly. Results are
-recorded in SCALE.md.
+recorded in SCALE.md / SCALE_r{N}.json.
 
-Usage: python tools/scale_check.py [base_sf_dir]   (default /root/testdata/sf0.1)
+Round-5 methodology changes:
+- Default query set = the FULL bench headline list (bench.HEADLINE), so the
+  100x-readiness claim has a standing measured artifact per round.
+- Each query runs in a FRESH SparkSession (x1 and x10 back-to-back inside
+  it): round 5 measured that accumulated session state inflates later
+  timings 2-5x (even the constant-work calibration read 0.271 vs 0.108),
+  which would corrupt exactly the cross-query comparisons this tool exists
+  to make. Per-query session restart costs ~3 s and removes the bias.
+
+Usage:
+  python tools/scale_check.py [--base DIR] [--queries a,b,c] [--out FILE]
 Prints one JSON line: {"queries": {name: {"x1": s, "x10": s, "ratio": r}},
-"calibration": s}.
+"calibration": s} and, with --out, also writes it to FILE.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -28,35 +39,8 @@ from pyspark.sql import functions as F
 from etl_cotrip_signs_spark import registry
 from etl_cotrip_signs_spark.session import get_spark
 
-BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 REPLICAS = 10
 OFFSET = 100_000_000
-
-# One query per scale-critical family; chosen to stress the shuffles that
-# dominate at 100 TB (fact agg, star join, posting self-join, banding,
-# window top-k, global top-k).
-QUERIES = [
-    "q1_pricing_summary",
-    "q5_regional_revenue",
-    "q18_large_volume_customer",
-    "sort_topk_orders",
-    "window_topk_orders_per_cust",
-    "dedup_exact_docs",
-    "dedup_minhash_docs",
-    "dedup_ngram_jaccard",
-    "knn_exact_cosine",
-    "text_token_stats",
-    "sample_weighted_reservoir",
-    "dedup_substring_spans",
-    # round-4c families: per-key window chains, pointer-doubling closure,
-    # bucket selection, sketch build+probe, bounded-frame median
-    "events_ewma_dyadic",
-    "events_cusum_drift",
-    "hierarchy_closure_doubling",
-    "kth_statistic_iterative",
-    "sketch_cms_heavy_hitters",
-    "window_rolling_median",
-]
 
 ID_COLS = {
     "region": [],
@@ -72,70 +56,122 @@ ID_COLS = {
 }
 
 
-def build_10x(spark) -> str:
+def build_10x(spark, base: str) -> str:
     """Replicate fact/doc tables 10x with offset ids; keep dimension keys
-    intact (region/nation stay as-is; customer/supplier/part replicate so
-    fact FKs resolve — original FK rows land in replica 0). Staged under
-    the per-user 0o700 scratch root (session.scratch_dir), not a fixed
-    world-writable /tmp path."""
+    consistent per replica (each replica is a self-consistent universe).
+    Staged under the per-user 0o700 scratch root (session.scratch_dir),
+    not a fixed world-writable /tmp path. Reused if already staged."""
     from etl_cotrip_signs_spark.session import scratch_dir
 
-    out = scratch_dir("scale10x", BASE)
+    out = scratch_dir("scale10x", base)
+    done_marker = os.path.join(out, "_STAGED")
+    if os.path.exists(done_marker):
+        return out
     reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
     for table, ids in ID_COLS.items():
-        src = spark.read.parquet(f"{BASE}/{table}.parquet")
-        if not ids:
-            src.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        src = spark.read.parquet(f"{base}/{table}.parquet")
+        df = src
+        if ids:
+            df = src.crossJoin(F.broadcast(reps))
+            for c in ids:
+                df = df.withColumn(c, F.col(c) + F.col("__rep") * OFFSET)
+            df = df.drop("__rep")
+        if table == "events":
+            # The streaming file source reads `{sf_dir}` with
+            # pathGlobFilter=events.parquet — a glob over FILE names, so the
+            # staged table must be a plain file like the testdata layout,
+            # not a directory (a directory staged here silently streams 0
+            # rows, which round 5 caught as an impossible 0.17x ratio).
+            tmp = f"{out}/_events_tmp"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                e for e in os.listdir(tmp) if e.endswith(".parquet")
+            )
+            target = f"{out}/events.parquet"
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            shutil.move(os.path.join(tmp, part), target)
+            shutil.rmtree(tmp)
             continue
-        df = src.crossJoin(F.broadcast(reps))
-        for c in ids:
-            df = df.withColumn(c, F.col(c) + F.col("__rep") * OFFSET)
-        df.drop("__rep").write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    open(done_marker, "w").write("staged\n")
     return out
 
 
-def main() -> None:
-    registry.load_all()
-    spark = get_spark("scale-check")
-    registry.QUERIES["q1_pricing_summary"](spark, BASE).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    big = build_10x(spark)
+def _run(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        if df.isStreaming:  # pragma: no cover
+            df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
-    def run(name: str, sf_dir: str) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
 
-    def calib() -> float:
+def _calib(spark) -> float:
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
         spark.range(50_000_000, numPartitions=32).select(
             F.avg(F.xxhash64("id"))
         ).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset (default: bench.HEADLINE)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--keep-10x", action="store_true",
+                    help="leave the staged 10x dir for a follow-up chunk")
+    args = ap.parse_args()
+
+    import bench
+
+    names = args.queries.split(",") if args.queries else list(bench.HEADLINE)
+    registry.load_all()
+
+    spark = get_spark("scale-check")
+    big = build_10x(spark, args.base)
+    calibration = _calib(spark)
+    spark.stop()
 
     try:
         results = {}
-        for name in QUERIES:
-            x1 = run(name, BASE)
-            x10 = run(name, big)
+        for name in names:
+            spark = get_spark("scale-check")
+            # warm the fresh session once (JVM codegen + parquet footers)
+            registry.QUERIES["q1_pricing_summary"](spark, args.base).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            x1 = _run(spark, name, args.base)
+            x10 = _run(spark, name, big)
             results[name] = {
                 "x1": x1,
                 "x10": x10,
                 "ratio": round(x10 / x1, 2) if x1 else None,
             }
-            print(f"# {name}: x1={x1}s x10={x10}s ratio={results[name]['ratio']}",
-                  file=sys.stderr, flush=True)
-        print(json.dumps({"queries": results, "calibration": calib()}))
-        spark.stop()
+            print(
+                f"# {name}: x1={x1}s x10={x10}s ratio={results[name]['ratio']}",
+                file=sys.stderr,
+                flush=True,
+            )
+            spark.stop()
+        payload = json.dumps({"queries": results, "calibration": calibration})
+        print(payload)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload + "\n")
     finally:
-        # ~sf1 of parquet; don't leak it even when a timed query throws
-        shutil.rmtree(big, ignore_errors=True)
+        if not args.keep_10x:
+            # ~sf1 of parquet; don't leak it even when a timed query throws
+            shutil.rmtree(big, ignore_errors=True)
 
 
 if __name__ == "__main__":
