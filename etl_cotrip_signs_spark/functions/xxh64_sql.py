@@ -11,7 +11,7 @@ overflow-checked, so the wrap every hash step relies on must be explicit).
 The oracle strings that need the macros prepend ``XXH64_MACROS`` (DuckDB's
 python ``con.sql`` executes multi-statement scripts and returns the last
 relation — verified against the driver-rehearsal runner in round 5).
-Validated byte-for-byte against tools/xxh64_ref.py (lengths 0-200, every
+Validated byte-for-byte against functions/xxh64_ref.py (lengths 0-200, every
 tail-combination class) and against Spark's xxhash64 in
 tests/test_xxh64_sql.py.
 
@@ -130,13 +130,29 @@ CREATE OR REPLACE MACRO xxh64_signed(b, seed) AS (
               ELSE u::BIGINT END
   FROM (SELECT xxh64_u(b, seed) AS u)
 );
+CREATE OR REPLACE MACRO xxh64_long(x, seed) AS (
+  -- Spark xxhash64 over a LongType arg: XXH64 of the 8 little-endian bytes,
+  -- which reduces to one 8-byte-word tail step + avalanche (hash = seed +
+  -- P5 + 8; h ^= round(0, word); h = rotl(h,27)*P1 + P4; avalanche). The
+  -- word IS the long's unsigned reinterpretation (two's complement).
+  SELECT CASE WHEN hv >= {1 << 63}::UBIGINT
+              THEN (hv::HUGEINT - {M64})::BIGINT
+              ELSE hv::BIGINT END
+  FROM (
+    SELECT xx_aval(xx_addm(xx_mulm(xx_rotl(
+             xor(h1, xx_round(0::UBIGINT, u)), 27), {P1}::UBIGINT),
+             {P4}::UBIGINT)) AS hv
+    FROM (SELECT ((x::HUGEINT + {M64}) % {M64})::UBIGINT AS u,
+                 xx_addm(seed::UBIGINT, {(P5 + 8) % M64}::UBIGINT) AS h1)
+  )
+);
 """
 
 
 def chain_seed(*literals: str, seed: int = 42) -> int:
     """Seed after Spark hashes the given literal string args first:
     xxhash64(lit(a), col) == XXH64(bytes(col), chain_seed(a))."""
-    from tools.xxh64_ref import xxh64
+    from .xxh64_ref import xxh64
 
     h = seed
     for lit in literals:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.shingles import shingles_from_tokens, tokens, with_shingles
-from ..functions.xxh64_sql import XXH64_MACROS
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
 
@@ -208,7 +208,112 @@ def exact_jaccard(a: F.Column, b: F.Column) -> F.Column:
     return jaccard_arrays(distinct_shingles(a), distinct_shingles(b))
 
 
-@query("dedup_minhash_docs")  # rows-only: xxhash64 has no DuckDB equivalent
+# r5 graduation of the LLM-dedup workhorse from rows-only: the DuckDB XXH64
+# macros reproduce (a) the shingle hash xxhash64(s) and (b) all 32
+# permutation hashes xxhash64(lit('mh{i}'), h) — a LongType second arg, so
+# the chained-seed form is xxh64_long(h, XXH64('mh{i}', 42)). Band
+# membership is joined on the 4-TUPLE of minhashes rather than Spark's
+# 64-bit band digest: equal tuples always produce equal digests, so the
+# only possible divergence is a 2^-64 digest collision between unequal
+# tuples that ALSO passes exact-Jaccard verification — ignorable.
+_MH_SEEDS = tuple(chain_seed(f"mh{i}") for i in range(_MINHASH_K))
+# Vectorized permutation pipeline: the xxh64_long macro is subquery-shaped
+# (DuckDB executes those per-row, measured 139 s at sf0.001), so the 32
+# permutation hashes are laddered into flat column stages instead. Two
+# algebraic facts make this cheap: round(0, u) does not depend on the seed
+# (ONE shared k1 column feeds all 32 perms), and the per-perm prefix
+# h1_i = seed_i + P5 + 8 is a compile-time constant.
+_P1, _P2, _P3, _P4, _P5 = (
+    11400714785074694791,
+    14029467366897019727,
+    1609587929392839161,
+    9650029242287828579,
+    2870177450012600261,
+)
+_M64 = 1 << 64
+_MH_H1 = tuple((s + _P5 + 8) % _M64 for s in _MH_SEEDS)
+_MH_T2 = ",\n               ".join(
+    f"xx_addm(xx_mulm(xx_rotl(xor({h1}::UBIGINT, k1), 27),"
+    f" {_P1}::UBIGINT), {_P4}::UBIGINT) AS t{i}"
+    for i, h1 in enumerate(_MH_H1)
+)
+_MH_A = ",\n               ".join(
+    f"xx_mulm(xor(t{i}, t{i} >> 33), {_P2}::UBIGINT) AS a{i}"
+    for i in range(_MINHASH_K)
+)
+_MH_B = ",\n               ".join(
+    f"xx_mulm(xor(a{i}, a{i} >> 29), {_P3}::UBIGINT) AS b{i}"
+    for i in range(_MINHASH_K)
+)
+_MH_P = ",\n               ".join(
+    f"CASE WHEN xor(b{i}, b{i} >> 32) >= {1 << 63}::UBIGINT"
+    f" THEN (xor(b{i}, b{i} >> 32)::HUGEINT - {_M64})::BIGINT"
+    f" ELSE xor(b{i}, b{i} >> 32)::BIGINT END AS p{i}"
+    for i in range(_MINHASH_K)
+)
+_MH_SIG_SQL = ", ".join(f"min(p{i}) AS mh_{i}" for i in range(_MINHASH_K))
+_MH_BAND_JOINS = "\n        UNION ALL\n".join(
+    "        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "        FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
+    + "".join(
+        f" AND a.mh_{_ROWS_PER_BAND * b + r} = b.mh_{_ROWS_PER_BAND * b + r}"
+        for r in range(_ROWS_PER_BAND)
+    )
+    for b in range(_BANDS)
+)
+_MH_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "dedup_minhash_docs",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len({_MH_TOKENS}) - 1, 1)),
+            i -> {_MH_TOKENS}[i] || ' ' || {_MH_TOKENS}[i+1] || ' ' ||
+                 {_MH_TOKENS}[i+2])) AS shingles
+        FROM documents
+    ),
+    hrow AS (
+        SELECT doc_id, xxh64_signed(encode(u.s), 42::UBIGINT) AS h
+        FROM sh, UNNEST(shingles) AS u(s)
+    ),
+    hs AS (SELECT doc_id, list(h) AS hset FROM hrow GROUP BY doc_id),
+    u0 AS (
+        SELECT doc_id,
+               xx_round(0::UBIGINT,
+                        ((h::HUGEINT + {_M64}) % {_M64})::UBIGINT) AS k1
+        FROM hrow
+    ),
+    s_t AS (SELECT doc_id,
+               {_MH_T2}
+            FROM u0),
+    s_a AS (SELECT doc_id,
+               {_MH_A}
+            FROM s_t),
+    s_b AS (SELECT doc_id,
+               {_MH_B}
+            FROM s_a),
+    permrow AS (SELECT doc_id,
+               {_MH_P}
+            FROM s_b),
+    sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM permrow GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+{_MH_BAND_JOINS}
+        )
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.hset, y.hset))), 4) AS jaccard
+    FROM cand c
+    JOIN hs x ON x.doc_id = c.doc_a
+    JOIN hs y ON y.doc_id = c.doc_b
+    WHERE round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.hset, y.hset))), 4) >= 0.5
+    """,
+)
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard ≥ 0.5."""
     d = load_table(spark, sf_dir, "documents")

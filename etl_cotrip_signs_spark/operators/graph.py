@@ -697,3 +697,108 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(pairs, ["name_a", "name_b"], "left_anti").select(
         "name_a", "name_b", "n_common", F.col("ra_ppm").cast("long").alias("ra_ppm")
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # rank mass in pico-units; BIGINT-safe: 85*1e12 = 8.5e13
+_PR_ROUNDS = 5
+
+
+def _pr_round_sql(r: int) -> str:
+    prev = f"r{r - 1}"
+    return f"""
+    r{r} AS (
+        SELECT n.node,
+               (15 * ({_PR_SCALE} // (SELECT cnt FROM nn))
+                + 85 * coalesce(rc.recv, 0)) // 100 AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.d AS node,
+                   CAST(sum(p.rank // dg.deg) AS BIGINT) AS recv
+            FROM sym e
+            JOIN {prev} p ON p.node = e.s
+            JOIN deg dg ON dg.node = e.s
+            GROUP BY e.d
+        ) rc ON rc.node = n.node
+    )"""
+
+
+@query(
+    "graph_pagerank_exact",
+    # Exact-integer PageRank (r5): rank mass in integer pico-units, every
+    # step truncating integer arithmetic (contrib = rank // deg, damping as
+    # (15*base + 85*recv) // 100) — the float power iteration's IEEE
+    # accumulation order made graph_pagerank honestly rows-only; this twin
+    # is a pure integer function of the graph, so 5 unrolled DuckDB rounds
+    # replay it bit-for-bit. Undirected name graph => no dangling mass.
+    oracle="""
+    WITH names(n) AS (SELECT DISTINCT c_name FROM customer),
+    pairs AS (
+        SELECT a.n AS s, b.n AS d FROM names a JOIN names b ON a.n < b.n
+        WHERE levenshtein(a.n, b.n) <= 1
+    ),
+    sym AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM sym),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    deg AS (SELECT s AS node, count(*) AS deg FROM sym GROUP BY s),
+    r0 AS (SELECT node, 1000000000000 // (SELECT cnt FROM nn) AS rank
+           FROM nodes),"""
+    + ",".join(_pr_round_sql(r) for r in range(1, _PR_ROUNDS + 1))
+    + f"""
+    SELECT node, rank AS rank_pico FROM r{_PR_ROUNDS}
+    ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the edit-distance-1 name graph: top-20
+    boilerplate/template hubs by rank, in deterministic pico-units.
+
+    Scale shape identical to the float pagerank_ranks loop: per round one
+    contributions shuffle (edges ⋈ ranks ⋈ degrees, map-side combinable
+    sum) and a rank-table rewrite behind an eager checkpoint; rank state
+    is two longs per node. The integer arithmetic adds nothing to the
+    plan — it swaps doubles for longs."""
+    from .text import fuzzy_join_del1
+
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select("name_a", "name_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(
+        F.col("name_a").alias("s"), F.col("name_b").alias("d")
+    ).union(
+        pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    n_nodes = nodes.count()
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = _PR_SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    edges_deg = (
+        sym.join(deg, sym.s == deg.node)
+        .select(F.col("s"), F.col("d"), F.col("deg"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PR_ROUNDS):
+        recv = (
+            edges_deg.join(ranks, edges_deg.s == ranks.node)
+            .select(F.col("d").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("recv"))
+        )
+        ranks = (
+            nodes.join(recv, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * {base}L + 85 * coalesce(recv, 0L)) div 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("node", F.col("rank").alias("rank_pico"))
+        .orderBy(F.col("rank_pico").desc(), "node")
+        .limit(20)
+    )

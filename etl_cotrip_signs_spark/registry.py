@@ -393,6 +393,7 @@ DRIVER_ORDER: list[str] = [
     "graph_link_prediction_ra",      # r5: resource-allocation link prediction (oracle)
     "events_autocorr_lag1",          # r5: exact-moment lag-1 autocorrelation (oracle)
     "kmeans_lloyd_exact",            # r5: integer Lloyd's, unrolled-CTE oracle (oracle)
+    "graph_pagerank_exact",          # r5: integer power iteration, unrolled oracle (oracle)
 ]
 
 

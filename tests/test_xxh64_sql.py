@@ -10,7 +10,7 @@ import duckdb
 import pytest
 
 from etl_cotrip_signs_spark.functions.xxh64_sql import XXH64_MACROS, chain_seed
-from tools.xxh64_ref import xxh64, xxh64_signed
+from etl_cotrip_signs_spark.functions.xxh64_ref import xxh64, xxh64_signed
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +70,36 @@ def test_macros_match_spark_xxhash64(spark, con):
             "SELECT xxh64_signed(encode(?), ?::UBIGINT)", params=[w, fp_seed]
         ).fetchone()[0]
         assert (h, hc) == spark_rows[w], w
+
+
+def test_long_hash_matches_reference_and_spark(spark, con):
+    """xxh64_long must equal XXH64 of the 8 little-endian bytes (the
+    reference) AND Spark's xxhash64 over a LongType column."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    random.seed(3)
+    vals = [0, 1, -1, 42, -(2**63), 2**63 - 1] + [
+        random.randrange(-(2**63), 2**63) for _ in range(20)
+    ]
+    for seed in (42, 11311678090148365197):
+        for v in vals:
+            got = con.sql(
+                "SELECT xxh64_long(?::BIGINT, ?::UBIGINT)", params=[v, seed]
+            ).fetchone()[0]
+            assert got == xxh64_signed(struct.pack("<q", v), seed), (v, seed)
+    spark_rows = {
+        r["x"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x long")
+        .select("x", F.xxhash64("x").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        got = con.sql(
+            "SELECT xxh64_long(?::BIGINT, 42::UBIGINT)", params=[v]
+        ).fetchone()[0]
+        assert got == spark_rows[v], v
 
 
 def test_signed_conversion(con):
