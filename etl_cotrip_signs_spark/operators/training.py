@@ -428,7 +428,56 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_sequences_greedy")  # rows-only: loop-carried bin state has no SQL form
+@query(
+    "pack_sequences_greedy",
+    # r5 graduation from rows-only: the loop-carried open-bin state DOES
+    # have a SQL form — a recursive CTE whose working row per lang carries
+    # the bin-load VECTOR as a LIST column; each iteration consumes the
+    # next doc (row_number order) and either tops up the first fitting bin
+    # (list_transform) or appends a new one (list_append). First-fit index
+    # = list_filter(range, j -> loads[j] + t <= budget)[1]. Fitting uses
+    # the capped token count, the bin_tokens sum the ORIGINAL counts —
+    # mirroring the applyInPandas loop exactly. Same non-associative-
+    # recursion precedent as sessionize_capped_sessions' oracle.
+    oracle=r"""
+    WITH RECURSIVE d AS (
+        SELECT lang, doc_id,
+               len(string_split_regex(trim(text), '\s+'))::BIGINT AS t_orig,
+               least(len(string_split_regex(trim(text), '\s+')), 512)::BIGINT
+                   AS t_fit,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        FROM documents
+    ),
+    fit(lang, rk, loads, bin_id, t_orig) AS (
+        SELECT lang, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM (SELECT DISTINCT lang FROM d)
+        UNION ALL
+        SELECT f.lang, f.rk + 1,
+               CASE WHEN list_filter(range(1, len(f.loads)+1),
+                                     j -> f.loads[j::INT] + nd.t_fit <= 512)[1]
+                         IS NULL
+                    THEN list_append(f.loads, nd.t_fit)
+                    ELSE list_transform(range(1, len(f.loads)+1), j ->
+                         CASE WHEN j = list_filter(range(1, len(f.loads)+1),
+                                      k -> f.loads[k::INT] + nd.t_fit <= 512)[1]
+                              THEN f.loads[j::INT] + nd.t_fit
+                              ELSE f.loads[j::INT] END) END,
+               CASE WHEN list_filter(range(1, len(f.loads)+1),
+                                     j -> f.loads[j::INT] + nd.t_fit <= 512)[1]
+                         IS NULL
+                    THEN len(f.loads)
+                    ELSE list_filter(range(1, len(f.loads)+1),
+                                     j -> f.loads[j::INT] + nd.t_fit <= 512)[1]
+                         - 1 END,
+               nd.t_orig
+        FROM fit f JOIN d nd ON nd.lang = f.lang AND nd.rk = f.rk + 1
+    )
+    SELECT lang, bin_id, count(*) AS n_docs,
+           CAST(sum(t_orig) AS BIGINT) AS bin_tokens
+    FROM fit WHERE rk >= 1 GROUP BY lang, bin_id
+    """,
+)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit bin packing via applyInPandas (grouped-map): per lang,
     documents in doc_id order drop into the FIRST bin with room — tighter

@@ -163,3 +163,50 @@ def test_graph_kcore_profile_invariants(spark):
     assert pdf["n_nodes"].iloc[0] > 0  # fixture graph has a 2-core
     nonempty = pdf[pdf["n_nodes"] > 0]
     assert (nonempty["max_core_degree"] >= nonempty["k"]).all()
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """RA candidates must be NON-adjacent pairs with >=1 common neighbor,
+    and the integer score must equal sum(1e6 // deg(z)) recomputed from
+    the edge list."""
+    from etl_cotrip_signs_spark import registry
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    pairs = {
+        (r["name_a"], r["name_b"])
+        for r in registry.QUERIES["fuzzy_join_del1"](spark, SF_SMALL).collect()
+    }
+    preds = registry.QUERIES["graph_link_prediction_ra"](
+        spark, SF_SMALL
+    ).collect()
+    assert preds, "fixture graph should yield open wedges"
+    deg: dict[str, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    nbrs: dict[str, set] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in preds[:50]:
+        a, b = r["name_a"], r["name_b"]
+        assert (a, b) not in pairs and (b, a) not in pairs
+        common = nbrs[a] & nbrs[b]
+        assert len(common) == r["n_common"] > 0
+        assert r["ra_ppm"] == sum(1_000_000 // deg[z] for z in common)
+
+
+def test_pagerank_exact_mass_and_determinism(spark):
+    """Integer PageRank: ranks are positive, deterministic across two runs,
+    and bounded by the total mass."""
+    from etl_cotrip_signs_spark import registry
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    q = registry.QUERIES["graph_pagerank_exact"]
+    r1 = [(r["node"], r["rank_pico"]) for r in q(spark, SF_SMALL).collect()]
+    r2 = [(r["node"], r["rank_pico"]) for r in q(spark, SF_SMALL).collect()]
+    assert r1 == r2
+    assert len(r1) == 20
+    assert all(0 < v < 1_000_000_000_000 for _, v in r1)

@@ -510,3 +510,28 @@ def test_text_bpe_apply_invariants(spark):
     )
     assert (pdf["n_bpe_tokens"] >= pdf["n_words"]).all()  # merges never cross words
     assert (pdf["n_bpe_tokens"] > 0).all()
+
+
+def test_kmeans_exact_partitions_corpus(spark):
+    """Integer k-means: exactly k clusters, membership partitions the
+    corpus, inertia strings parse as non-negative ints, and a second run
+    is bit-identical (pure integer function of the data)."""
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.io import load_table
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    q = registry.QUERIES["kmeans_lloyd_exact"]
+    rows = sorted(
+        (r["cluster"], r["n_vectors"], r["inertia_e12"], r["centroid_sum"])
+        for r in q(spark, SF_SMALL).collect()
+    )
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert [c for c, *_ in rows] == [0, 1, 2, 3]
+    assert sum(n for _, n, *_ in rows) == n_vecs
+    assert all(int(i) >= 0 for *_, i, _ in rows)
+    rows2 = sorted(
+        (r["cluster"], r["n_vectors"], r["inertia_e12"], r["centroid_sum"])
+        for r in q(spark, SF_SMALL).collect()
+    )
+    assert rows == rows2
