@@ -654,3 +654,84 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("autocorr"),
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    # Classical decomposition, cross-engine EXACT: trend = centered 7-row
+    # moving average over the per-day cent series — kept as the INTEGER
+    # window sum (trend×7), so detrended×7 = 7·value − window_sum needs no
+    # division; the day-of-week seasonal component is then the mean of the
+    # detrended values per dow, emitted as a truncating integer division
+    # (sign-safe: both engines truncate). Day-of-week by the arithmetic
+    # (epoch_days+4)%7 rule — dayofweek() builtins disagree across engines.
+    # Full windows only (count = 7): partial edge windows would make the
+    # "centered MA" a different estimator at the series boundaries.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    win AS (
+        SELECT event_type, day, cents,
+               CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+               count(*) OVER w AS win_n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT event_type,
+               CAST((epoch(day) // 86400 + 4) % 7 AS INT) AS dow,
+               7 * cents - win_sum AS detr7
+        FROM win WHERE win_n = 7
+    )
+    SELECT event_type, dow,
+           count(*) AS n_windows,
+           CAST(sum(detr7) AS BIGINT) AS sum_detr7,
+           CAST(sum(detr7) AS BIGINT) // count(*) AS seasonal_c7
+    FROM detr GROUP BY event_type, dow
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal split of the per-type daily revenue series: centered
+    7-day moving-average trend, day-of-week seasonal means of the
+    detrended series — the classical-decomposition shape, in exact
+    integers end to end (seasonal_c7 is the dow seasonal component ×7 in
+    cents).
+
+    Scale shape: one exchange on event_type for the daily rollup, the
+    centered window rides the same partitioning (count + sum share ONE
+    WindowSpec → one Window node), and the dow aggregate is map-side
+    combinable. At 100 TB the daily table is tiny (types × days) — the
+    expensive step is the first rollup, which is the same partial+final
+    hash agg every fact rollup uses."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("v_cents").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+    detr = win.filter(F.col("win_n") == 7).select(
+        "event_type",
+        ((F.unix_date(F.col("day")) + 4) % 7).cast("int").alias("dow"),
+        (F.lit(7) * F.col("cents") - F.col("win_sum")).alias("detr7"),
+    )
+    return detr.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("detr7").alias("sum_detr7"),
+        F.expr("sum(detr7) div count(1)").alias("seasonal_c7"),
+    )

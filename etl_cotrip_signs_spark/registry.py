@@ -394,6 +394,7 @@ DRIVER_ORDER: list[str] = [
     "events_autocorr_lag1",          # r5: exact-moment lag-1 autocorrelation (oracle)
     "kmeans_lloyd_exact",            # r5: integer Lloyd's, unrolled-CTE oracle (oracle)
     "graph_pagerank_exact",          # r5: integer power iteration, unrolled oracle (oracle)
+    "events_seasonal_decompose",     # r5: classical decomposition, exact integers (oracle)
 ]
 
 
