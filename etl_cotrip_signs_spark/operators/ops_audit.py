@@ -797,3 +797,64 @@ def diag_join_strategy_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "small_side string, big_side string, small_rows long, big_rows long,"
         " est_out_rows long, advised_strategy string",
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    # Data-governance gate for training exports: k-anonymity (every
+    # quasi-identifier combination must describe >= k individuals) and
+    # l-diversity (each combination must contain >= l distinct values of
+    # the sensitive attribute) over customer, quasi-ids (nation, segment),
+    # sensitive = account-balance sign band. One hash aggregate; the k/l
+    # thresholds are integer comparisons — at 100 TB the audit costs one
+    # combinable groupBy over the quasi-id key, same shape as any rollup.
+    oracle="""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_rows,
+               count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   WHEN c_acctbal < 5000 THEN 'mid'
+                                   ELSE 'high' END) AS n_sensitive
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT count(*) AS n_cells,
+           CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_under_k5,
+           CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_under_k5,
+           CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_under_l2,
+           CAST(min(n_rows) AS BIGINT) AS min_cell_rows
+    FROM cells
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a would-be training export:
+    quasi-identifiers (c_nationkey, c_mktsegment), sensitive attribute =
+    balance band. Reports the cells (quasi-id combinations) violating
+    k=5 and l=2, the row count exposed by the k violations, and the
+    smallest cell — the numbers a release gate thresholds on."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(band).alias("n_sensitive"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(F.col("n_rows") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("cells_under_k5"),
+        F.sum(F.when(F.col("n_rows") < 5, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_under_k5"),
+        F.sum(F.when(F.col("n_sensitive") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("cells_under_l2"),
+        F.min("n_rows").cast("long").alias("min_cell_rows"),
+    )

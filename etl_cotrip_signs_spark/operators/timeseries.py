@@ -595,11 +595,13 @@ def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     m AS (
+        -- moments stay HUGEINT (DuckDB's native sum widening): the final
+        -- products n*sxy / sx*sy exceed BIGINT from sf1 (n ~2e6/type,
+        -- sxy ~5e13) — the stat_corr_moments discipline, 128-bit exact
+        -- until the single cast to double
         SELECT event_type, count(*) AS n_pairs,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(x * x) AS BIGINT) AS sx2,
-               CAST(sum(y * y) AS BIGINT) AS sy2
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
         FROM v WHERE y IS NOT NULL
         GROUP BY event_type
     )
@@ -628,18 +630,22 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     pairs = e.withColumn("y", F.lead("x").over(w)).filter(F.col("y").isNotNull())
+    # DECIMAL(38,0) sums: the final n*sxy / sx*sy products exceed BIGINT
+    # from sf1 — 128-bit exact both engines, one cast to double at the end
+    # (the stat_corr_moments discipline, relational4.py:230)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sx2"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("sy2"),
     )
     return m.select(
         "event_type",
         "n_pairs",
-        F.col("sxy").cast("string").alias("sum_xy_cents2"),
+        F.col("sxy").cast("decimal(38,0)").cast("string").alias("sum_xy_cents2"),
         (
             (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
                 "double"

@@ -395,6 +395,7 @@ DRIVER_ORDER: list[str] = [
     "kmeans_lloyd_exact",            # r5: integer Lloyd's, unrolled-CTE oracle (oracle)
     "graph_pagerank_exact",          # r5: integer power iteration, unrolled oracle (oracle)
     "events_seasonal_decompose",     # r5: classical decomposition, exact integers (oracle)
+    "privacy_k_anonymity",           # r5: k-anon / l-diversity release gate (oracle)
 ]
 
 

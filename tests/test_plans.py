@@ -495,3 +495,12 @@ def test_join_hints_are_honored(spark):
     assert node_count(hinted_merge, "SortMergeJoin") == 1, formatted_plan(
         hinted_merge
     )
+
+
+def test_seasonal_decompose_single_window(spark):
+    """The centered-MA count and sum must share ONE WindowSpec -> one
+    Window node, one exchange on event_type (the daily rollup's)."""
+    from etl_cotrip_signs_spark.plans.explain import node_count
+
+    df = registry.QUERIES["events_seasonal_decompose"](spark, SF_SMALL)
+    assert node_count(df, "Window") == 1
