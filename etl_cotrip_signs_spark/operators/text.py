@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.shingles import shingles_from_tokens, tokens
+from ..functions.phonetic_sql import SOUNDEX_MACROS
 from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
 from ..registry import query
@@ -975,4 +976,47 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(w).alias("cum_docs"),
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         F.sum("new_types").over(w).alias("vocab_size"),
+    )
+
+
+@query(
+    "entity_blocking_soundex",
+    # Phonetic blocking for entity resolution/fuzzy matching: tokens that
+    # sound alike share a block, so the candidate space becomes block-local
+    # (the same why as LSH bands, with a linguistic key). Spark's soundex()
+    # builtin is replayed exactly by the DuckDB macro
+    # (functions/phonetic_sql.py); the per-token counts aggregate FIRST so
+    # soundex runs once per DISTINCT token, not per occurrence.
+    oracle=SOUNDEX_MACROS + """
+    WITH toks AS (
+        SELECT u.t AS tok
+        FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(t)
+    ),
+    tok_counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    blocked AS (
+        SELECT soundex_sql(tok) AS block, tok, n FROM tok_counts
+    )
+    SELECT block, count(*) AS n_tokens, CAST(sum(n) AS BIGINT) AS n_occurrences,
+           min(tok) AS example_token
+    FROM blocked GROUP BY block
+    """,
+)
+def entity_blocking_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic block profile of the corpus vocabulary: soundex code →
+    (distinct tokens, total occurrences, lexicographic example). The
+    block-size distribution is the blocking-key pre-flight for phonetic
+    entity resolution — oversized blocks mean the key is too coarse.
+
+    Scale shape: token explode + one combinable (token) aggregate, then
+    soundex over the DISTINCT vocabulary only (Heaps' law: vocabulary
+    grows ~sqrt of corpus) and a vocabulary-sized regroup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tok_counts = d.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    blocked = tok_counts.withColumn("block", F.soundex("tok"))
+    return blocked.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("n").alias("n_occurrences"),
+        F.min("tok").alias("example_token"),
     )

@@ -396,6 +396,7 @@ DRIVER_ORDER: list[str] = [
     "graph_pagerank_exact",          # r5: integer power iteration, unrolled oracle (oracle)
     "events_seasonal_decompose",     # r5: classical decomposition, exact integers (oracle)
     "privacy_k_anonymity",           # r5: k-anon / l-diversity release gate (oracle)
+    "entity_blocking_soundex",       # r5: phonetic blocking via cross-engine soundex (oracle)
 ]
 
 

@@ -107,3 +107,22 @@ def test_signed_conversion(con):
         assert con.sql(
             "SELECT xxh64_signed(?::BLOB, 42::UBIGINT)", params=[b]
         ).fetchone()[0] == xxh64_signed(b, 42)
+
+
+def test_macros_match_reference_property(con):
+    """Property test: arbitrary byte strings (0-96 bytes, arbitrary
+    content) hash identically to the reference — beyond the fixed
+    tail-class cases above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=96),
+           st.integers(min_value=0, max_value=(1 << 64) - 1))
+    def check(b, seed):
+        got = con.sql(
+            "SELECT xxh64_u(?::BLOB, ?::UBIGINT)", params=[b, seed]
+        ).fetchone()[0]
+        assert got == xxh64(b, seed)
+
+    check()
