@@ -1058,3 +1058,178 @@ def drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
         ).alias("ks_d_num"),
     )
+
+
+@query(
+    "trend_theil_sen",
+    # Theil-Sen robust slope over the daily-revenue series: the median of
+    # all pairwise slopes (c2-c1)/(d2-d1), kept as EXACT integer fractions.
+    # The median element is selected by a shared total order — double value
+    # of the fraction, then (num, den) tie-breaks, so two fractions whose
+    # doubles collide still order identically in both engines — and emitted
+    # as (num, den, ppm via truncating division). Lower median at rank
+    # (n+1)//2, the repo-wide discrete-median identity. The pair space is
+    # C(days, 2): days grow with the calendar, NOT the row count, so the
+    # pair join is bounded (~2.9M at 2400 days) at any corpus scale.
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM orders GROUP BY o_orderdate
+    ),
+    p AS (
+        SELECT b.c - a.c AS num, b.d - a.d AS den
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    n AS (SELECT count(*) AS cnt FROM p),
+    r AS (
+        SELECT num, den,
+               row_number() OVER (
+                   ORDER BY CAST(num AS DOUBLE) / den, num, den
+               ) AS rn
+        FROM p
+    )
+    SELECT (SELECT cnt FROM n) AS n_pairs,
+           num AS med_num, den AS med_den,
+           1000000 * num // den AS slope_cents_ppm_per_day
+    FROM r WHERE rn = (SELECT (cnt + 1) // 2 FROM n)
+    """,
+)
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator for the daily-revenue trend: the median pairwise
+    slope — robust to the outlier days that wreck the least-squares slope
+    (trend_daily_revenue) — as an exact fraction plus integer ppm/day.
+
+    Scale shape: the daily rollup is the only data-sized aggregate; the
+    pair join is a broadcast self-join over the day table (calendar-sized,
+    independent of row count) and the median selection is one sort of that
+    bounded pair set."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_orderdate")
+        .agg(F.sum("cents").alias("c"))
+        .select(
+            # o_orderdate is TIMESTAMP_NTZ in the fixture; day number =
+            # floor(epoch/86400) on both sides (cast-to-date truncates,
+            # DuckDB // floors — identical for non-negative epochs)
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("d"),
+            "c",
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(
+            (F.col("cb") - F.col("ca")).alias("num"),
+            (F.col("db") - F.col("da")).alias("den"),
+        )
+        .localCheckpoint(eager=True)  # count + sort both consume it
+    )
+    n = pairs.count()
+    k = (n + 1) // 2
+    med = (
+        pairs.orderBy(
+            F.col("num").cast("double") / F.col("den"), "num", "den"
+        )
+        .offset(k - 1)
+        .limit(1)
+    )
+    return med.select(
+        F.lit(n).cast("long").alias("n_pairs"),
+        F.col("num").alias("med_num"),
+        F.col("den").alias("med_den"),
+        F.expr("1000000 * num div den").alias("slope_cents_ppm_per_day"),
+    )
+
+
+@query(
+    "events_chi2_independence",
+    # Pearson chi-square contingency audit of event_type x day-of-week as
+    # EXACT per-cell fractions: chi2_cell = (o*n - r*c)^2 / (n*r*c). The
+    # squared numerator exceeds BIGINT at sf>=0.1, so it follows the
+    # stat_corr_moments discipline — DECIMAL(38,0) in Spark, HUGEINT in
+    # DuckDB, VARCHAR as the lossless hash type — and the one float column
+    # is a SINGLE cast-of-exact-integers division, bit-identical IEEE on
+    # both engines. Day-of-week is the arithmetic (epoch_days+4)%7 form
+    # (engine dayofweek() conventions differ; see events_seasonality_profile).
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                   AS dow
+        FROM events
+    ),
+    cells AS (SELECT event_type, dow, count(*) AS o FROM v
+              GROUP BY event_type, dow),
+    r_t AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+    c_t AS (SELECT dow, sum(o) AS c FROM cells GROUP BY dow),
+    n_t AS (SELECT sum(o) AS n FROM cells)
+    SELECT cells.event_type, cells.dow,
+           CAST(o AS BIGINT) AS o,
+           CAST(r AS BIGINT) AS row_total,
+           CAST(c AS BIGINT) AS col_total,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(o * n - r * c AS HUGEINT)
+                * CAST(o * n - r * c AS HUGEINT) AS VARCHAR) AS chi_num,
+           CAST(CAST(n AS HUGEINT) * r * c AS VARCHAR) AS chi_den,
+           CAST(CAST(o * n - r * c AS HUGEINT)
+                * CAST(o * n - r * c AS HUGEINT) AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) AS chi2_cell
+    FROM cells
+    JOIN r_t USING (event_type) JOIN c_t USING (dow), n_t
+    """,
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and day-of-week,
+    cell by cell, with the exact fraction (numerator, denominator) emitted
+    alongside the float statistic — the categorical-association audit that
+    screens feature pairs for leakage/drift before training.
+
+    Scale shape: ONE combinable count over the |types| x 7 grid; marginals
+    and the grand total re-aggregate the tiny cell table, never the raw
+    events; every join after the first shuffle is grid-sized (broadcast).
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        (
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+        ).alias("dow"),
+    )
+    cells = v.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    r_t = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    c_t = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n_t = cells.agg(F.sum("o").alias("n"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        cells.join(F.broadcast(r_t), "event_type")
+        .join(F.broadcast(c_t), "dow")
+        .crossJoin(F.broadcast(n_t))
+    )
+    num1 = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    return joined.select(
+        "event_type",
+        "dow",
+        F.col("o").cast("long").alias("o"),
+        F.col("r").cast("long").alias("row_total"),
+        F.col("c").cast("long").alias("col_total"),
+        F.col("n").cast("long").alias("n"),
+        (dec(num1) * dec(num1)).cast("decimal(38,0)").cast("string").alias("chi_num"),
+        # n*r*c ~ n^3/(|types|*7) — DECIMAL-widened like the numerator so
+        # the denominator column survives any scale factor
+        (dec(F.col("n")) * dec(F.col("r")) * dec(F.col("c")))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("chi_den"),
+        (
+            (dec(num1) * dec(num1)).cast("double")
+            / (dec(F.col("n")) * dec(F.col("r")) * dec(F.col("c"))).cast("double")
+        ).alias("chi2_cell"),
+    )

@@ -497,3 +497,57 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row],
         "files_before int, files_after int, rows_before long, rows_after long",
     )
+
+
+# 10-bit × 10-bit Morton interleave as a plain integer expression — the
+# exact bit math layout_zorder_locality's writer sorts by; identical
+# arithmetic both engines, so the z-curve itself is hash-verified even
+# though files-touched remains a physical (rows-only) measurement.
+_MORTON_BITS = 10
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_MORTON_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_codes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y FROM orders
+    ),
+    coded AS (SELECT {_morton_sql('x', 'y')} AS morton FROM keyed)
+    SELECT CAST(morton >> 14 AS BIGINT) AS cell,
+           count(*) AS n_rows,
+           CAST(min(morton) AS BIGINT) AS min_code,
+           CAST(max(morton) AS BIGINT) AS max_code
+    FROM coded GROUP BY CAST(morton >> 14 AS BIGINT)
+    """,
+)
+def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-curve's bit math, hash-verified: 10+10-bit Morton interleave
+    of (custkey, orderkey) keys, rolled up into 64 coarse cells with
+    per-cell code ranges. Companion to layout_zorder_locality (which
+    measures the physical files-touched effect and is rows-only by
+    nature) — this pins that the CODE both engines would sort by is
+    bit-identical.
+
+    Scale: the interleave is 20 shift-and-mask terms inside whole-stage
+    codegen — zero cost next to the write it would order; the cell rollup
+    is one combinable aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.col("o_orderkey") % 1024).alias("y"),
+    )
+    coded = o.select(F.expr(_morton_sql("x", "y")).alias("morton"))
+    return coded.groupBy(
+        F.shiftright(F.col("morton"), 14).cast("long").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("morton").cast("long").alias("min_code"),
+        F.max("morton").cast("long").alias("max_code"),
+    )

@@ -858,3 +858,96 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cells_under_l2"),
         F.min("n_rows").cast("long").alias("min_cell_rows"),
     )
+
+
+# Benford ppm expectations for first digits 1..9: round(1e6 * log10(1+1/d)).
+# Hardcoded identically in the Spark plan and the oracle SQL so the check is
+# pure integer arithmetic — the nine constants sum to exactly 1,000,000.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@query(
+    "dq_benford_digits",
+    # First-significant-digit audit against Benford's law — the classic
+    # fabricated-amounts / data-quality screen. Exact integer end to end:
+    # digit from the cents string, observed share in floor-ppm, the nine
+    # Benford expectations as shared literals, and the per-digit chi-square
+    # contribution computed in ppm PROPORTION space so every intermediate
+    # fits BIGINT at any scale factor.
+    oracle=f"""
+    WITH amounts AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    n_t AS (SELECT count(*) AS n FROM amounts),
+    obs AS (SELECT digit, count(*) AS n_obs FROM amounts GROUP BY digit),
+    spine AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT s.digit,
+           CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(1000000 * coalesce(o.n_obs, 0) // n_t.n AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_CASE.replace('digit', 's.digit')} AS BIGINT)
+               AS benford_ppm,
+           CAST(1000000 * coalesce(o.n_obs, 0) // n_t.n
+                - {_BENFORD_CASE.replace('digit', 's.digit')} AS BIGINT)
+               AS dev_ppm,
+           CAST((1000000 * coalesce(o.n_obs, 0) // n_t.n
+                 - {_BENFORD_CASE.replace('digit', 's.digit')})
+                * (1000000 * coalesce(o.n_obs, 0) // n_t.n
+                   - {_BENFORD_CASE.replace('digit', 's.digit')})
+                // {_BENFORD_CASE.replace('digit', 's.digit')} AS BIGINT)
+               AS chi2_ppm
+    FROM spine s LEFT JOIN obs o ON s.digit = o.digit, n_t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order amounts: per digit 1..9, the
+    observed count, floor-ppm share, Benford expectation, deviation, and
+    the chi-square contribution in ppm proportion space. A digit spine
+    guarantees all nine rows even for digits the data never hits.
+
+    Scale shape: one 9-key map-side-combinable count (the first-digit
+    extraction is codegen'd string arithmetic on the scan), a broadcast
+    of the single total row, and constant-space literals — the audit costs
+    one scan regardless of table size."""
+    amounts = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = amounts.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    n_t = amounts.agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    joined = (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("CAST(1000000 * coalesce(n_obs, 0) div n AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_ppm"),
+        )
+    )
+    return joined.select(
+        "digit",
+        "n_obs",
+        "obs_ppm",
+        "benford_ppm",
+        (F.col("obs_ppm") - F.col("benford_ppm")).alias("dev_ppm"),
+        F.expr(
+            "CAST((obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) "
+            "div benford_ppm AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )

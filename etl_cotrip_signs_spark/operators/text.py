@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.shingles import shingles_from_tokens, tokens
+from ..functions.bpe_sql import bpe_apply_oracle
 from ..functions.phonetic_sql import SOUNDEX_MACROS
 from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
@@ -666,9 +667,17 @@ def bpe_apply_word(word: str, ranks: dict[str, int]) -> list[str]:
     return toks
 
 
-@query("text_bpe_apply")  # rows-only by nature: the iterative merge loop
-# is not SQL-expressible; correctness pinned by pytest against a pure-python
-# reference and by the invariant n_bpe_tokens <= n_chars of each word
+@query(
+    "text_bpe_apply",
+    # GRADUATED r5 from rows-only: the round-2 adjudication ("the iterative
+    # merge loop is not SQL-expressible") was wrong — the rank table holds
+    # only 2-char pairs, so merged tokens are inert and the best-rank-first
+    # loop collapses to 32 unrolled fold stages in rank order (full argument
+    # + the DuckDB list_reduce STRUCT-accumulator bug this dodges:
+    # functions/bpe_sql.py; 6k-case randomized equivalence pin:
+    # tests/test_bpe_sql.py). Spark results unchanged.
+    oracle=bpe_apply_oracle(),
+)
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer inference, the second half of BPE (bpe_merge_candidates
     is the training half): learn the top-32 adjacent-pair merges from the
@@ -1019,4 +1028,73 @@ def entity_blocking_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("n").alias("n_occurrences"),
         F.min("tok").alias("example_token"),
+    )
+
+
+@query(
+    "entity_match_phonetic_block",
+    # The classic two-stage record-linkage pipeline (block -> compare):
+    # phonetic blocking generates candidates, edit-distance verifies them.
+    # Both stages are cross-engine exact — Spark's soundex() replayed by the
+    # DuckDB macro (functions/phonetic_sql.py, semantics pinned in
+    # tests/test_phonetic_sql.py), and levenshtein() is the classic DP in
+    # both engines (ASCII domain; hash-equality is itself the parity pin,
+    # as it already is for fuzzy_join_del1's verify stage).
+    oracle=SOUNDEX_MACROS + """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    b AS (SELECT name, soundex_sql(name) AS blk FROM names),
+    cand AS (
+        SELECT a.blk, a.name AS name_a, c.name AS name_b,
+               levenshtein(a.name, c.name) AS dist,
+               greatest(length(a.name), length(c.name)) AS glen
+        FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+    )
+    SELECT blk, name_a, name_b, CAST(dist AS INT) AS dist,
+           CAST(1000000 * (glen - dist) // glen AS BIGINT) AS sim_ppm,
+           dist <= 3 AS is_match
+    FROM cand
+    """,
+)
+def entity_match_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked similarity join, the standard record-linkage architecture:
+    soundex blocking generates candidate pairs, levenshtein scores them,
+    a threshold classifies. Complements entity_blocking_soundex (which
+    profiles the blocking key) and fuzzy_join_del1 (FastSS candidate
+    generation) — this is the end-to-end block->compare->classify pipeline
+    over the part-name domain, every candidate emitted with its score so
+    the verify stage's filtering is itself hash-checked.
+
+    Scale shape: blocking runs over the DISTINCT name vocabulary (Heaps'
+    law bounded), the self-join keys on the block code so the pair space
+    is sum-of-block-sizes-squared — the whole point of blocking — and the
+    vocabulary side is broadcast. Edit distance runs only on
+    block-local candidates, never n^2."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    b = names.withColumn("blk", F.soundex("name"))
+    a = b.select(F.col("blk"), F.col("name").alias("name_a"))
+    c = b.select(F.col("blk").alias("blk_b"), F.col("name").alias("name_b"))
+    cand = (
+        a.join(
+            F.broadcast(c),
+            (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")),
+        )
+        .select(
+            "blk",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+            F.greatest(F.length("name_a"), F.length("name_b")).alias("glen"),
+        )
+    )
+    return cand.select(
+        "blk",
+        "name_a",
+        "name_b",
+        "dist",
+        F.expr("CAST(1000000 * (glen - dist) div glen AS BIGINT)").alias("sim_ppm"),
+        (F.col("dist") <= 3).alias("is_match"),
     )

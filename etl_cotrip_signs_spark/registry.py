@@ -136,7 +136,10 @@ DRIVER_ORDER: list[str] = [
     "q20_excess_availability",      # r5 rotation in (was signs_pipeline_inline)
     "signs_rest_pipeline",
     "sketch_cms_heavy_hitters",     # r5 rotation in (was agg_stats_orders)
-    "agg_approx_distinct",
+    "text_bpe_apply",               # r5 late rotation in (was agg_approx_distinct,
+    # rows-only by nature, green r1-r4; knn_lsh_ann stays as the first-50
+    # rows-only representative) — BPE inference freshly graduated to a full
+    # hash oracle (functions/bpe_sql.py), straight to a driver slot
     "stat_corr_moments",            # r4c rotation in (was agg_grouping_sets)
     "drift_ks_exact",               # r5 rotation in (was agg_collect_first_last)
     "events_rollup_two_level",      # r4b rotation in (was agg_exact_percentile)
@@ -397,6 +400,12 @@ DRIVER_ORDER: list[str] = [
     "events_seasonal_decompose",     # r5: classical decomposition, exact integers (oracle)
     "privacy_k_anonymity",           # r5: k-anon / l-diversity release gate (oracle)
     "entity_blocking_soundex",       # r5: phonetic blocking via cross-engine soundex (oracle)
+    "layout_zorder_codes",           # r5: morton bit math, hash-verified (oracle)
+    "trend_theil_sen",               # r5: robust median-slope, exact fractions (oracle)
+    "agg_approx_distinct",           # r5 late rotation out of slot 6 for text_bpe_apply
+    "entity_match_phonetic_block",   # r5: block->compare->classify linkage (oracle)
+    "dq_benford_digits",             # r5: first-digit Benford audit, exact ppm (oracle)
+    "events_chi2_independence",      # r5: chi-square contingency, exact fractions (oracle)
 ]
 
 
