@@ -1,0 +1,304 @@
+"""Feature-engineering operators for training pipelines [EXT beyond
+task.ts — the tabular-ML preprocessing surface]: leave-one-out + smoothed
+target encoding, quantile-normalization mapping, and purged time-series
+cross-validation splits.
+
+All exact-integer (ppm / cents / epoch-day arithmetic), all oracle-checked.
+
+Scale notes (100 TB):
+- target encoding reduces to one combinable (category) aggregate; the
+  per-row encode is a broadcast join against the category table — the
+  LOO identity (sum-y_i)/(n-1) means the encoder state is category-sized,
+  never row-sized, and the output here verifies every distinct encoded
+  value each category can produce;
+- the quantile mapping table is two discrete-quantile passes (group and
+  pooled) joined on decile — the mapping artifact is O(groups × deciles)
+  regardless of row count, and applying it downstream is a broadcast
+  range join;
+- the purged split is pure date arithmetic on the scan (no shuffle at
+  all until the per-fold count), the same reason split_train_test is
+  partition-layout-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "feature_target_encoding_loo",
+    # Leave-one-out target encoding of o_orderpriority against the
+    # order-finished flag,
+    # verified COMPACTLY: a row's LOO value (sum - y_i) / (n - 1) depends
+    # only on (category, y_i), so emitting the encoding per (category, y)
+    # cell checks every distinct value the encoder can produce without a
+    # row-sized result. Smoothed (m-estimate, m=100) encoding alongside,
+    # all in floor-ppm integers.
+    oracle="""
+    WITH rows_y AS (
+        SELECT o_orderpriority AS category,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    cat AS (
+        SELECT category, count(*) AS n_cat,
+               CAST(sum(y) AS BIGINT) AS sum_y
+        FROM rows_y GROUP BY category
+    ),
+    tot AS (
+        SELECT CAST(sum(n_cat) AS BIGINT) AS n_tot,
+               CAST(sum(sum_y) AS BIGINT) AS sum_tot
+        FROM cat
+    ),
+    cells AS (SELECT DISTINCT category, y FROM rows_y)
+    SELECT c.category, c.y,
+           CAST(k.n_cat AS BIGINT) AS n_cat,
+           k.sum_y,
+           CAST(1000000 * (k.sum_y - c.y) // (k.n_cat - 1) AS BIGINT)
+               AS loo_enc_ppm,
+           CAST((1000000 * k.sum_y + 100 * (1000000 * t.sum_tot // t.n_tot))
+                // (k.n_cat + 100) AS BIGINT) AS smooth_enc_ppm
+    FROM cells c JOIN cat k USING (category), tot t
+    """,
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of a categorical feature (o_orderpriority) against
+    a binary target (o_orderstatus = 'F'), in the two standard leakage-safe
+    forms: leave-one-out ((sum - y_i)/(n - 1)) and m-estimate smoothing
+    toward the global prior ((sum + m·prior)/(n + m), m = 100). Values in
+    floor-ppm so both engines stay in exact integers.
+
+    The output is the per-(category, target-value) encoding table — the
+    complete value domain of the encoder — rather than a row-per-row
+    encode, which is the same information at category scale instead of
+    table scale."""
+    rows_y = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cat = rows_y.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    tot = cat.agg(
+        F.sum("n_cat").cast("long").alias("n_tot"),
+        F.sum("sum_y").cast("long").alias("sum_tot"),
+    )
+    cells = rows_y.distinct()
+    return (
+        cells.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "y",
+            F.col("n_cat").cast("long").alias("n_cat"),
+            "sum_y",
+            F.expr(
+                "CAST(1000000 * (sum_y - y) div (n_cat - 1) AS BIGINT)"
+            ).alias("loo_enc_ppm"),
+            F.expr(
+                "CAST((1000000 * sum_y + 100 * (1000000 * sum_tot div n_tot)) "
+                "div (n_cat + 100) AS BIGINT)"
+            ).alias("smooth_enc_ppm"),
+        )
+    )
+
+
+@query(
+    "feature_quantile_normalize_map",
+    # Quantile normalization = map each group's distribution onto the
+    # pooled reference by rank. The materialized artifact is this mapping
+    # table: per (group, decile q/10), the group's discrete quantile value
+    # and the pooled one. Discrete quantile = value at rank ceil(q·n/10)
+    # (the repo-wide rank identity, ties broken by value order), so both
+    # engines pick the identical element.
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    g_ranked AS (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM v
+    ),
+    p_ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n
+        FROM v
+    ),
+    q(decile) AS (SELECT unnest(range(1, 11))),
+    g_q AS (
+        SELECT q.decile, r.grp, min(r.cents) AS group_value_cents
+        FROM q JOIN g_ranked r
+          ON r.rn = (q.decile * r.n + 9) // 10
+        GROUP BY q.decile, r.grp
+    ),
+    p_q AS (
+        SELECT q.decile, min(r.cents) AS pooled_value_cents
+        FROM q JOIN p_ranked r
+          ON r.rn = (q.decile * r.n + 9) // 10
+        GROUP BY q.decile
+    )
+    SELECT g.grp, CAST(g.decile AS INT) AS decile,
+           g.group_value_cents, p.pooled_value_cents,
+           g.group_value_cents - p.pooled_value_cents AS shift_cents
+    FROM g_q g JOIN p_q p USING (decile)
+    """,
+)
+def feature_quantile_normalize_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization mapping table: for each group (l_returnflag)
+    and decile, the group's discrete-quantile value next to the pooled
+    reference value — the artifact quantile normalization materializes,
+    applied downstream as a broadcast range join. Discrete quantile rank
+    is ceil(q·n) = (q·n + 9) div 10 in decile units, exact both engines.
+
+    Scale shape: two rank windows (one per-group, one pooled — the pooled
+    one is the only global sort, the price of exact global quantiles;
+    the sketch-based alternative is sketch_quantile_mergeable) feeding
+    decile-rank equi-joins; output is O(groups × 10)."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window as W
+
+    g_ranked = v.select(
+        "grp",
+        "cents",
+        F.row_number().over(W.partitionBy("grp").orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
+    )
+    p_ranked = v.select(
+        "cents",
+        F.row_number().over(W.partitionBy().orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    q = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    g_q = (
+        F.broadcast(q)
+        .join(g_ranked, F.col("rn") == F.expr("(decile * n + 9) div 10"))
+        .groupBy("decile", "grp")
+        .agg(F.min("cents").alias("group_value_cents"))
+    )
+    p_q = (
+        F.broadcast(q)
+        .join(p_ranked, F.col("rn") == F.expr("(decile * n + 9) div 10"))
+        .groupBy("decile")
+        .agg(F.min("cents").alias("pooled_value_cents"))
+    )
+    return g_q.join(F.broadcast(p_q), "decile").select(
+        "grp",
+        "decile",
+        "group_value_cents",
+        "pooled_value_cents",
+        (F.col("group_value_cents") - F.col("pooled_value_cents")).alias(
+            "shift_cents"
+        ),
+    )
+
+
+@query(
+    "split_time_purged",
+    # Purged K-fold time-series CV (the de Prado construction): K=5
+    # contiguous date folds; for each test fold, training rows within
+    # EMBARGO=7 days of either fold boundary are PURGED so look-ahead
+    # leakage through overlapping information horizons is impossible.
+    # Everything is epoch-day integer arithmetic on the scan.
+    oracle="""
+    WITH d AS (
+        SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day FROM orders
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    f AS (
+        SELECT day,
+               CAST((day - lo) * 5 // (hi - lo + 1) AS INT) AS fold
+        FROM d, bounds
+    ),
+    fold_bounds AS (
+        SELECT fold, min(day) AS f_lo, max(day) AS f_hi FROM f GROUP BY fold
+    )
+    SELECT b.fold,
+           CAST(count(*) FILTER (WHERE r.fold = b.fold) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (
+               WHERE r.fold <> b.fold
+                 AND (r.day < b.f_lo - 7 OR r.day > b.f_hi + 7)) AS BIGINT)
+               AS n_train,
+           CAST(count(*) FILTER (
+               WHERE r.fold <> b.fold
+                 AND r.day >= b.f_lo - 7 AND r.day <= b.f_hi + 7) AS BIGINT)
+               AS n_purged,
+           b.f_lo AS test_lo_day, b.f_hi AS test_hi_day
+    FROM fold_bounds b CROSS JOIN f r
+    GROUP BY b.fold, b.f_lo, b.f_hi
+    """,
+)
+def split_time_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series K-fold split over order dates: 5 contiguous
+    folds, 7-day embargo on both sides of each test fold; per fold the
+    test/train/purged row counts and test-window bounds. Complements
+    split_train_test (hash split) and split_group_preserving (entity
+    split) with the leakage-safe TIME split a forecasting or
+    market-data pipeline needs.
+
+    Scale shape: fold assignment is scan-side integer arithmetic; the
+    audit's fold × row cross join is 5 × rows, collapsed by one
+    combinable aggregate — and the assignment itself (what a real split
+    materializes) never shuffles at all."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day")
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    f = d.crossJoin(F.broadcast(bounds)).select(
+        "day",
+        F.expr("CAST((day - lo) * 5 div (hi - lo + 1) AS INT)").alias("fold"),
+    )
+    fold_bounds = f.groupBy("fold").agg(
+        F.min("day").alias("f_lo"), F.max("day").alias("f_hi")
+    )
+    b = F.broadcast(
+        fold_bounds.select(
+            F.col("fold").alias("b_fold"), "f_lo", "f_hi"
+        )
+    )
+    joined = b.crossJoin(f)
+    return joined.groupBy("b_fold", "f_lo", "f_hi").agg(
+        F.sum(F.when(F.col("fold") == F.col("b_fold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(
+            F.when(
+                (F.col("fold") != F.col("b_fold"))
+                & (
+                    (F.col("day") < F.col("f_lo") - 7)
+                    | (F.col("day") > F.col("f_hi") + 7)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_train"),
+        F.sum(
+            F.when(
+                (F.col("fold") != F.col("b_fold"))
+                & (F.col("day") >= F.col("f_lo") - 7)
+                & (F.col("day") <= F.col("f_hi") + 7),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purged"),
+    ).select(
+        F.col("b_fold").alias("fold"),
+        "n_test",
+        "n_train",
+        "n_purged",
+        F.col("f_lo").alias("test_lo_day"),
+        F.col("f_hi").alias("test_hi_day"),
+    )

@@ -802,3 +802,106 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_pico").desc(), "node")
         .limit(20)
     )
+
+
+_LPA_ROUNDS = 3
+# The del1 name-graph pair set, shared with graph_link_prediction_ra's
+# oracle (graph.py:637) and the kcore profile's source.
+_LPA_PAIRS = """
+    names(n) AS (SELECT DISTINCT c_name FROM customer),
+    pairs AS (
+        SELECT a.n AS s, b.n AS d FROM names a JOIN names b ON a.n < b.n
+        WHERE levenshtein(a.n, b.n) <= 1
+    ),
+    sym AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs)
+"""
+
+
+def _lpa_round(prev: str, cur: str) -> str:
+    """One synchronous LPA round as SQL: each node adopts the most frequent
+    label among its neighbors, ties broken by MIN label — the fixed total
+    order that makes synchronous LPA a pure function of the previous state."""
+    return f"""
+    {cur} AS (
+        SELECT node, label FROM (
+            SELECT e.s AS node, l.label, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.s ORDER BY count(*) DESC, l.label
+                   ) AS rn
+            FROM sym e JOIN {prev} l ON l.node = e.d
+            GROUP BY e.s, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_lpa_communities",
+    # Synchronous label propagation (Raghavan et al. 2007) made exactly
+    # reproducible: argmax-frequency with a min-label tie-break is a pure
+    # function of the previous labeling, so a FIXED 3 rounds unroll into
+    # CTE stages the same way kmeans_lloyd_exact and graph_pagerank_exact
+    # do — community detection hash-matched across engines.
+    oracle=f"""
+    WITH {_LPA_PAIRS},
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+    {','.join(_lpa_round(f'l{i}', f'l{i + 1}') for i in range(_LPA_ROUNDS))},
+    sizes AS (
+        SELECT label, count(*) AS community_size
+        FROM l{_LPA_ROUNDS} GROUP BY label
+    )
+    SELECT l.node AS name, l.label AS community,
+           CAST(s.community_size AS BIGINT) AS community_size
+    FROM l{_LPA_ROUNDS} l JOIN sizes s USING (label)
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the edit-distance-1 name graph via
+    synchronous label propagation: every node starts as its own label,
+    then 3 rounds of "adopt the most frequent neighbor label, ties to the
+    MIN label". The deterministic tie-break turns LPA — usually presented
+    as a randomized heuristic — into a pure function of the edge list, so
+    the DuckDB oracle replays the identical 3 unrolled rounds and the
+    communities hash-match.
+
+    Scale shape: one (edges join labels) shuffle + a (node, label) count
+    + one per-node top-1 window per round — the same per-round cost as
+    connected_components' min-label propagation, with bounded rounds by
+    construction. Labels are node ids (strings here): state is node-sized,
+    never pair-sized."""
+    from .text import fuzzy_join_del1
+    from pyspark.sql import Window as W
+
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select("name_a", "name_b")
+        .localCheckpoint(eager=True)  # 1 sym + 3 rounds descend from it
+    )
+    sym = (
+        pairs.select(F.col("name_a").alias("s"), F.col("name_b").alias("d"))
+        .union(pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    lab = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("s").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            sym.join(lab, sym["d"] == lab["node"])
+            .groupBy("s", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("s").alias("node"), "label")
+            .localCheckpoint(eager=True)  # keep lineage flat across rounds
+        )
+    sizes = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return lab.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("name"),
+        F.col("label").alias("community"),
+        "community_size",
+    )

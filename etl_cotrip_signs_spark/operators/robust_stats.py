@@ -279,3 +279,97 @@ def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean_cents"),
         )
     )
+
+
+@query(
+    "isotonic_regression_daily",
+    # Isotonic (monotone nondecreasing) regression of daily revenue over
+    # time via the MINIMAX identity: the PAVA solution satisfies
+    # fit_i = max_{j<=i} min_{k>=i} avg(y[j..k]) (Robertson/Wright/Dykstra
+    # 1988, the standard characterization). Averages are floor-quantized
+    # to millicents, and because floor is monotone it COMMUTES with the
+    # min and the max — so the quantized minimax equals
+    # floor(1000 * exact PAVA) exactly (pinned against a pure-python PAVA
+    # in tests/test_isotonic.py). The pair space is C(days, 2): calendar-
+    # bounded like trend_theil_sen, independent of row count.
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_orderdate
+    ),
+    idx AS (
+        SELECT day, cents,
+               row_number() OVER (ORDER BY day) AS i,
+               sum(cents) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    ),
+    a AS (
+        SELECT j.i AS j, k.i AS k,
+               1000 * (k.s - j.s + j.cents) // (k.i - j.i + 1) AS v
+        FROM idx j JOIN idx k ON j.i <= k.i
+    ),
+    m AS (
+        SELECT j, k AS i,
+               min(v) OVER (PARTITION BY j ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING) AS mn
+        FROM a
+    ),
+    fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS fit_millicents
+            FROM m GROUP BY i)
+    SELECT d.day, d.cents AS daily_cents, f.fit_millicents
+    FROM idx d JOIN fit f ON d.i = f.i
+    """,
+)
+def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of the daily-revenue series — the monotone
+    trend fit (and, on probability columns, the standard ML calibration
+    curve). No PAVA loop anywhere: the minimax identity turns the
+    pool-adjacent-violators recursion into two windows over the
+    calendar-bounded pair table — suffix-min along k per start j, then a
+    plain max aggregate over j <= i (every pair row of partition i has
+    j <= i by construction).
+
+    Scale shape: the daily rollup is the only data-sized aggregate;
+    prefix sums over the day table, a broadcast self-join bounded by
+    C(days, 2), one window, one combinable max — the same
+    calendar-not-corpus scaling argument as trend_theil_sen."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_orderdate")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w_ord = Window.orderBy("o_orderdate")
+    idx = daily.select(
+        F.col("o_orderdate").alias("day"),
+        "cents",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("cents").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "s"
+        ),
+    ).localCheckpoint(eager=True)  # pair join + final join both consume it
+    j = idx.select(
+        F.col("i").alias("j"), F.col("s").alias("sj"), F.col("cents").alias("cj")
+    )
+    k = idx.select(F.col("i").alias("k"), F.col("s").alias("sk"))
+    a = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.expr("1000 * (sk - sj + cj) div (k - j + 1)").alias("v"),
+    )
+    w_sfx = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = a.select("j", F.col("k").alias("i"), F.min("v").over(w_sfx).alias("mn"))
+    fit = m.groupBy("i").agg(F.max("mn").cast("long").alias("fit_millicents"))
+    return idx.join(fit, "i").select(
+        "day", F.col("cents").alias("daily_cents"), "fit_millicents"
+    )

@@ -406,6 +406,10 @@ DRIVER_ORDER: list[str] = [
     "entity_match_phonetic_block",   # r5: block->compare->classify linkage (oracle)
     "dq_benford_digits",             # r5: first-digit Benford audit, exact ppm (oracle)
     "events_chi2_independence",      # r5: chi-square contingency, exact fractions (oracle)
+    "feature_target_encoding_loo",   # r5: LOO + m-estimate target encoding (oracle)
+    "feature_quantile_normalize_map",  # r5: quantile-normalization mapping table (oracle)
+    "split_time_purged",             # r5: purged K-fold time-series CV split (oracle)
+    "graph_lpa_communities",         # r5: deterministic sync LPA, unrolled oracle (oracle)
 ]
 
 
@@ -438,6 +442,7 @@ def load_all() -> None:
         selection,
         robust_stats,
         arrow_ops,
+        features,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
