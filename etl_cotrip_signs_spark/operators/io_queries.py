@@ -551,3 +551,108 @@ def layout_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("morton").cast("long").alias("min_code"),
         F.max("morton").cast("long").alias("max_code"),
     )
+
+
+# 10-level Hilbert curve index (1024x1024 grid) as unrolled integer stages.
+# The classic xy2d loop carries (x, y, d) through 10 quadrant steps —
+# s = 512 .. 1 — each a pure integer function, so it unrolls into chained
+# projections the same way the Morton interleave above is a single
+# expression. XOR spells differently per engine (Spark SQL `^` is XOR;
+# DuckDB `^` is POWER, its XOR is `xor()`), hence the generator parameter.
+_HILBERT_BITS = 10
+
+
+def _hilbert_stage(s: int, xor_fmt) -> dict[str, str]:
+    rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+    d_new = f"d + {s * s} * ({xor_fmt(f'3 * ({rx})', f'({ry})')})"
+    # ry=0,rx=1: reflect both coords in the s-quadrant, then swap; ry=1: keep
+    x_ref = f"CASE WHEN ({ry}) = 0 AND ({rx}) = 1 THEN {s - 1} - x ELSE x END"
+    y_ref = f"CASE WHEN ({ry}) = 0 AND ({rx}) = 1 THEN {s - 1} - y ELSE y END"
+    x_new = f"CASE WHEN ({ry}) = 0 THEN {y_ref} ELSE x END"
+    y_new = f"CASE WHEN ({ry}) = 0 THEN {x_ref} ELSE y END"
+    return {"x": x_new, "y": y_new, "d": d_new}
+
+
+def hilbert_d_exprs(xor_fmt) -> list[dict[str, str]]:
+    """The 10 unrolled xy2d stages, engine-agnostic except for XOR syntax."""
+    return [
+        _hilbert_stage(1 << lvl, xor_fmt)
+        for lvl in range(_HILBERT_BITS - 1, -1, -1)
+    ]
+
+
+def hilbert_xy2d_py(order_bits: int, x: int, y: int) -> int:
+    """Pure-python reference for the unrolled SQL (tests/test_hilbert.py)."""
+    d = 0
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_oracle() -> str:
+    stages = []
+    prev = "keyed"
+    for n, e in enumerate(hilbert_d_exprs(lambda a, b: f"xor({a}, {b})")):
+        stages.append(
+            f"h{n} AS (SELECT {e['x']} AS x, {e['y']} AS y, {e['d']} AS d "
+            f"FROM {prev})"
+        )
+        prev = f"h{n}"
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH keyed AS (
+        SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM orders
+    ),
+    {joined}
+    SELECT CAST(d >> 14 AS BIGINT) AS cell,
+           count(*) AS n_rows,
+           CAST(min(d) AS BIGINT) AS min_code,
+           CAST(max(d) AS BIGINT) AS max_code
+    FROM {prev} GROUP BY CAST(d >> 14 AS BIGINT)
+    """
+
+
+@query("layout_hilbert_codes", oracle=_hilbert_oracle())
+def layout_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering index over (custkey, orderkey) keys,
+    hash-verified cross-engine: the 10-level xy2d walk unrolled into ten
+    chained integer projections, rolled up into 64 coarse cells. The
+    Hilbert curve is the z-curve's stronger sibling — no long diagonal
+    jumps, so range queries touch fewer files — and this pins that both
+    engines compute the identical code, bit for bit (python reference +
+    adjacency property pinned in tests/test_hilbert.py).
+
+    Scale: ten projection stages of shift/mask/CASE arithmetic, all
+    inside whole-stage codegen on the scan — zero cost next to the write
+    it would order; one combinable rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.col("o_orderkey") % 1024).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    cur = o
+    for e in hilbert_d_exprs(lambda a, b: f"({a}) ^ ({b})"):
+        cur = cur.select(
+            F.expr(e["x"]).alias("x"),
+            F.expr(e["y"]).alias("y"),
+            F.expr(e["d"]).alias("d"),
+        )
+    return cur.groupBy(
+        F.shiftright(F.col("d"), 14).cast("long").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").cast("long").alias("min_code"),
+        F.max("d").cast("long").alias("max_code"),
+    )

@@ -741,3 +741,113 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("detr7").alias("sum_detr7"),
         F.expr("sum(detr7) div count(1)").alias("seasonal_c7"),
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (rounds toward zero, like Spark's `div`
+    and DuckDB's `//` — the cross-engine rule pinned by nation_revenue_yoy).
+    Python's // floors, so negatives need the sign fix-up."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+@query(
+    "orders_holt_linear",
+    # Holt's linear (double exponential) smoothing of daily revenue with
+    # dyadic parameters alpha = beta = 1/4, kept in exact integers:
+    #   l_t = (y_t + 3*(l_{t-1} + b_{t-1})) div 4
+    #   b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) div 4
+    # Every step is a pure integer function of the previous state, so the
+    # DuckDB oracle replays the identical recursion as a recursive CTE over
+    # the day index (calendar-bounded) and hash-matches the Spark run.
+    # div is TRUNCATING in both engines (b_t can be negative), matched by
+    # _tdiv in the executor loop.
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_num,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_orderdate
+    ),
+    idx AS (
+        SELECT day_num, cents,
+               row_number() OVER (ORDER BY day_num) AS i
+        FROM daily
+    ),
+    hw(i, l, b, fitted) AS (
+        SELECT 1, cents, CAST(0 AS BIGINT), cents FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.i,
+               (x.cents + 3 * (h.l + h.b)) // 4,
+               (((x.cents + 3 * (h.l + h.b)) // 4) - h.l + 3 * h.b) // 4,
+               h.l + h.b
+        FROM hw h JOIN idx x ON x.i = h.i + 1
+    )
+    SELECT d.day_num, d.cents,
+           h.l AS level_cents, h.b AS trend_cents,
+           h.fitted AS fitted_cents,
+           d.cents - h.fitted AS resid_cents
+    FROM hw h JOIN idx d USING (i)
+    """,
+)
+def orders_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily-revenue
+    series — the classic short-horizon forecaster (level + trend state,
+    one-step-ahead fitted values and residuals), with dyadic smoothing
+    weights so the whole recursion stays in exact integers and both
+    engines replay it bit-identically.
+
+    Scale shape: the daily rollup is the only data-sized aggregate. The
+    recursion itself is inherently sequential, so it runs as ONE
+    applyInPandas task over the calendar-bounded day table (~thousands of
+    rows at any corpus scale — the same metadata-scale-state class as
+    k-means codebooks); at 100 TB you run one such task per series, keyed
+    by the series id, all in parallel."""
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day_num")
+        .agg(F.sum("c").alias("cents"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_num").reset_index(drop=True)
+        ys = pdf["cents"].tolist()
+        levels, trends, fitteds = [], [], []
+        l = b = 0
+        for t, y in enumerate(ys):
+            if t == 0:
+                l, b, fitted = int(y), 0, int(y)
+            else:
+                fitted = l + b
+                l_new = _tdiv(int(y) + 3 * (l + b), 4)
+                b = _tdiv((l_new - l) + 3 * b, 4)
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+            fitteds.append(fitted)
+        return pd.DataFrame(
+            {
+                "day_num": pdf["day_num"],
+                "cents": pdf["cents"],
+                "level_cents": levels,
+                "trend_cents": trends,
+                "fitted_cents": fitteds,
+                "resid_cents": pdf["cents"] - pd.Series(fitteds),
+            }
+        )
+
+    return (
+        daily.groupBy(F.lit(0).alias("__series"))
+        .applyInPandas(
+            lambda _, pdf: fit(pdf),
+            "day_num long, cents long, level_cents long, trend_cents long, "
+            "fitted_cents long, resid_cents long",
+        )
+    )

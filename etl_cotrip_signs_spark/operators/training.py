@@ -601,3 +601,72 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("total_price"),
     )
+
+
+@query(
+    "pipeline_corpus_fate",
+    # Per-document provenance for the corpus pipeline: WHICH rule decided
+    # each document's fate — the lineage table a data-governance review
+    # asks for when pipeline_training_corpus's aggregate says "62% kept".
+    # Gates apply in pipeline order (length -> token count -> exact dup ->
+    # split), so each doc reports its FIRST failing gate; the dedup rank
+    # is computed only among quality survivors, exactly as the pipeline
+    # dedups (a doc that fails quality never occupies a dup slot).
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    dup_rank AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM base WHERE n_chars >= 100 AND n_tokens >= 20
+    )
+    SELECT b.doc_id, b.lang, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN b.n_chars < 100 THEN 'drop_len'
+                WHEN b.n_tokens < 20 THEN 'drop_tokens'
+                WHEN d.rn > 1 THEN 'drop_dup'
+                WHEN CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'train'
+                ELSE 'eval' END AS fate
+    FROM base b LEFT JOIN dup_rank d USING (doc_id)
+    """,
+)
+def pipeline_corpus_fate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level lineage for the training-corpus pipeline: every
+    document tagged with its fate — the first gate that dropped it
+    (drop_len / drop_tokens / drop_dup) or its final split (train /
+    eval). The per-doc twin of pipeline_training_corpus's aggregate:
+    group this table by fate and the waterfall falls out; join it back
+    to documents and any audit question ("why is doc 4711 missing?")
+    answers itself.
+
+    Scale shape: identical to the pipeline it audits — the gates are
+    scan-side predicates, the dup rank is the same one digest-shuffle,
+    the split is stateless hashing; one extra broadcast-sized LEFT JOIN
+    carries the rank back onto the full document set."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    dup_rank = (
+        d.filter((F.col("n_chars") >= 100) & (F.col("n_tokens") >= 20))
+        .select("doc_id", F.row_number().over(w).alias("rn"))
+    )
+    fate = (
+        F.when(F.col("n_chars") < 100, "drop_len")
+        .when(F.col("n_tokens") < 20, "drop_tokens")
+        .when(F.col("rn") > 1, "drop_dup")
+        .when(_md5_bucket(F.col("doc_id")) < 90, "train")
+        .otherwise("eval")
+    )
+    return d.join(dup_rank, "doc_id", "left").select(
+        "doc_id", "lang", "n_tokens", fate.alias("fate")
+    )

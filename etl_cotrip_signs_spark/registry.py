@@ -217,7 +217,6 @@ DRIVER_ORDER: list[str] = [
     "diag_key_skew",                 # r4b: key-skew pre-flight profile (oracle)
     "agg_histogram_orders",          # r4b: equi-width histogram (oracle)
     "layout_compaction",             # r4b: small-file compaction audit (rows)
-    "text_bpe_apply",                # r4b: BPE inference w/ learned merges (rows)
     "dq_constraint_report",          # r4b: declarative DQ gate (oracle)
     "events_transition_counts",      # r4b: Markov transition matrix (oracle)
     "ivm_join_delta",                # r4b: incremental join-view maintenance (oracle)
@@ -410,6 +409,10 @@ DRIVER_ORDER: list[str] = [
     "feature_quantile_normalize_map",  # r5: quantile-normalization mapping table (oracle)
     "split_time_purged",             # r5: purged K-fold time-series CV split (oracle)
     "graph_lpa_communities",         # r5: deterministic sync LPA, unrolled oracle (oracle)
+    "isotonic_regression_daily",     # r5: loop-free PAVA via the minimax identity (oracle)
+    "pipeline_corpus_fate",          # r5: per-doc pipeline lineage/fate table (oracle)
+    "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
+    "layout_hilbert_codes",          # r5: 10-level Hilbert xy2d unroll (oracle)
 ]
 
 
