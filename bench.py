@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "dedup_ngram_jaccard",
+    "dedup_ppjoin_prefix",
     "dedup_components_ngram",
     "knn_exact_cosine",
     "knn_lsh_ann",
@@ -185,6 +186,7 @@ PROBE_QUERIES = [
     "dedup_components_ngram",  # 10x replicas → size-10+ clusters: CC rounds under density
     "similarity_threshold_pairs_lsh",
     "dedup_containment_ngram",  # 10 identical copies/doc → ~C(10,2) containment pairs per doc
+    "dedup_ppjoin_prefix",  # planted dups: every copy-pair passes 0.8 → verify under density
 ]
 _PROBE_REPLICAS = 10
 _PROBE_BASE = "/root/testdata/sf0.001"

@@ -991,3 +991,110 @@ def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_sizes.groupBy(
         F.expr("10 * inter div uni").alias("sim_decile")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "dedup_ppjoin_prefix",
+    # The oracle is the BRUTE-FORCE quadratic: every doc pair's exact
+    # shingle-set Jaccard, thresholded with the 5*inter >= 4*union integer
+    # cross-multiplication. Deliberately a DIFFERENT algorithm than the
+    # Spark side (prefix-filtered candidates) — the skyline pattern: two
+    # algorithms, one hash. Threshold 0.8, no lang/length restrictions, so
+    # the pair set is the pure similarity-join contract.
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 1, 1)),
+            i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                 string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                 string_split_regex(trim(text), '\\s+')[i+2])) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS inter_size,
+           CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS union_size
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.shingles, b.shingles)) >=
+          4 * (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+    """,
+)
+def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity join with PREFIX FILTERING (the PPJoin family,
+    Xiao/Wang/Lin/Yu 2008): sort every doc's distinct shingles by one
+    GLOBAL order (corpus frequency asc, shingle asc — rarest first), index
+    only each doc's first |t| - ceil(0.8|t|) + 1 shingles, and join on
+    those prefixes. Two sets with Jaccard >= 0.8 under a shared total
+    order MUST collide in their prefixes, so the candidate set is complete
+    by theorem while indexing only ~20% of the postings — the pruning is
+    measured against the full posting join in tests/test_ppjoin.py. Exact
+    intersection counting then verifies candidates with the same
+    cross-multiplied integer threshold as the oracle.
+
+    Third candidate-generation strategy in the dedup family, same exact
+    contract: DF-capped postings (dedup_ngram_jaccard) prune by DROPPING
+    hot shingles (needs the lang/band guard), MinHash-LSH prunes
+    probabilistically (needs recall instrumentation), prefix filtering
+    prunes LOSSLESSLY — the right default when the threshold is high and
+    exactness is contractual.
+
+    Scale shape: frequency table and per-doc ranks are one aggregate +
+    one doc-partitioned window over the posting table; the candidate join
+    keys on a shingle whose posting list the prefix rule already
+    truncated, with the companion LENGTH filter (J >= 0.8 forces
+    5·min(|a|,|b|) >= 4·max(|a|,|b|)) applied inside the join before the
+    distinct; verify joins each candidate pair against the per-doc
+    shingle-ARRAY table (vocabulary-bounded, broadcast) and intersects
+    map-side — candidate-bounded work with no posting re-shuffle. Nothing
+    is ever all-pairs. At 100 TB the array table exceeds broadcast and
+    the verify falls back to the posting-join count (the
+    dedup_ngram_jaccard shape); the candidate stages are unchanged."""
+    d = with_shingles(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "shingles").localCheckpoint(eager=True)
+    sh = d.select("doc_id", F.size("shingles").alias("nt"),
+                  F.explode("shingles").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(freq, "s")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.col("nt") - F.expr("(8 * nt + 9) div 10") + 1)
+        .select("doc_id", "s", "nt")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("nt").alias("na"))
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "s", F.col("nt").alias("nb")
+            ),
+            "s",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (5 * F.least("na", "nb") >= 4 * F.greatest("na", "nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr_a = d.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    arr_b = d.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(F.broadcast(arr_a), "doc_a")
+        .join(F.broadcast(arr_b), "doc_b")
+        .withColumn("inter_size", inter)
+        .withColumn(
+            "union_size", F.size("sa") + F.size("sb") - F.col("inter_size")
+        )
+        .filter(5 * F.col("inter_size") >= 4 * F.col("union_size"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_size").cast("long").alias("inter_size"),
+            F.col("union_size").cast("long").alias("union_size"),
+        )
+    )

@@ -413,6 +413,7 @@ DRIVER_ORDER: list[str] = [
     "pipeline_corpus_fate",          # r5: per-doc pipeline lineage/fate table (oracle)
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
     "layout_hilbert_codes",          # r5: 10-level Hilbert xy2d unroll (oracle)
+    "dedup_ppjoin_prefix",           # r5: lossless prefix-filtered similarity join (oracle)
 ]
 
 
