@@ -302,3 +302,174 @@ def split_time_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_lo").alias("test_lo_day"),
         F.col("f_hi").alias("test_hi_day"),
     )
+
+
+@query(
+    "feature_point_in_time",
+    # The feature-store training snapshot: per customer, behavioral
+    # features computed STRICTLY BEFORE a cutoff date and a label window
+    # strictly after it — the point-in-time discipline that keeps training
+    # data leakage-free. All date math in epoch days, money in cents;
+    # customers with no pre-cutoff history are excluded (no features to
+    # snapshot), exactly like a production feature store would.
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cutoff AS (SELECT CAST(epoch(TIMESTAMP '1997-01-01') // 86400 AS BIGINT)
+                   AS cut)
+    SELECT o_custkey,
+           CAST(count(*) FILTER (WHERE day < cut) AS BIGINT) AS n_orders_pre,
+           CAST(count(*) FILTER (WHERE day >= cut - 90 AND day < cut)
+                AS BIGINT) AS n_orders_90d,
+           CAST(coalesce(sum(cents) FILTER (
+                WHERE day >= cut - 90 AND day < cut), 0) AS BIGINT)
+               AS spend_cents_90d,
+           CAST(cut - max(day) FILTER (WHERE day < cut) AS BIGINT)
+               AS recency_days,
+           CAST(cut - min(day) FILTER (WHERE day < cut) AS BIGINT)
+               AS tenure_days,
+           CAST(CASE WHEN count(*) FILTER (
+                    WHERE day >= cut AND day < cut + 90) > 0
+                THEN 1 ELSE 0 END AS INT) AS label_active_90d
+    FROM o, cutoff
+    GROUP BY o_custkey, cut
+    HAVING count(*) FILTER (WHERE day < cut) > 0
+    """,
+)
+def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training snapshot per customer: order count /
+    90-day spend / recency / tenure features computed strictly BEFORE the
+    1997-01-01 cutoff, and the churn-style label (ordered again within 90
+    days) computed strictly AFTER it. The leakage rule every feature
+    store exists to enforce, as one conditional-aggregate pass.
+
+    Scale shape: ONE combinable groupBy over the fact table — every
+    feature and the label are conditional aggregates of the same shuffle;
+    at 100 TB this runs per cutoff with no joins at all (and multiple
+    cutoffs batch as a spine crossJoin, the split_time_purged shape)."""
+    cut = 9862  # epoch day of 1997-01-01, fixed with the oracle's literal
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pre = F.col("day") < cut
+    w90 = (F.col("day") >= cut - 90) & pre
+    post90 = (F.col("day") >= cut) & (F.col("day") < cut + 90)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(pre.cast("int")).cast("long").alias("n_orders_pre"),
+            F.sum(w90.cast("int")).cast("long").alias("n_orders_90d"),
+            F.coalesce(
+                F.sum(F.when(w90, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("spend_cents_90d"),
+            (F.lit(cut) - F.max(F.when(pre, F.col("day"))))
+            .cast("long")
+            .alias("recency_days"),
+            (F.lit(cut) - F.min(F.when(pre, F.col("day"))))
+            .cast("long")
+            .alias("tenure_days"),
+            (F.sum(post90.cast("int")) > 0).cast("int").alias("label_active_90d"),
+        )
+        .filter(F.col("n_orders_pre") > 0)
+    )
+
+
+@query(
+    "join_asof_directions",
+    # The full as-of join direction family over one probe set: per
+    # customer, a deterministic anchor date (1995-01-01 + custkey%365
+    # days), then the BACKWARD match (latest order <= anchor), the FORWARD
+    # match (earliest order > anchor), the NEAREST match (smaller absolute
+    # day gap, ties to backward — the tie rule spelled out, not implied),
+    # and a 30-day tolerance flag on the chosen side. join_asof_latest_order
+    # is the backward special case; this pins all three semantics at once.
+    oracle="""
+    WITH probe AS (
+        SELECT c_custkey,
+               CAST(epoch(TIMESTAMP '1995-01-01') // 86400 + c_custkey % 365
+                    AS BIGINT) AS anchor_day
+        FROM customer
+    ),
+    o AS (
+        SELECT o_custkey, CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day
+        FROM orders
+    ),
+    m AS (
+        SELECT p.c_custkey, p.anchor_day,
+               max(o.day) FILTER (WHERE o.day <= p.anchor_day) AS back_day,
+               min(o.day) FILTER (WHERE o.day > p.anchor_day) AS fwd_day
+        FROM probe p JOIN o ON o.o_custkey = p.c_custkey
+        GROUP BY p.c_custkey, p.anchor_day
+    )
+    SELECT c_custkey, anchor_day, back_day, fwd_day,
+           CASE WHEN back_day IS NULL THEN fwd_day
+                WHEN fwd_day IS NULL THEN back_day
+                WHEN anchor_day - back_day <= fwd_day - anchor_day
+                    THEN back_day
+                ELSE fwd_day END AS nearest_day,
+           CAST(back_day IS NOT NULL
+                AND anchor_day - back_day <= 30 AS BOOLEAN)
+               AS back_within_30d
+    FROM m
+    """,
+)
+def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, all three direction semantics in one pass: backward
+    (latest at-or-before), forward (earliest after), nearest (smaller
+    absolute gap, ties resolved to backward — stated, not engine-implied),
+    plus a 30-day backward-tolerance flag. Probe anchors are deterministic
+    per-customer dates so the query is a pure function of the fixture.
+
+    Scale shape: one equi-join on the customer key followed by one
+    combinable conditional-aggregate — the direction logic is all
+    conditional min/max, so the as-of family costs exactly one shuffle
+    regardless of which semantics a caller picks; no window, no
+    per-direction re-scan. Customers with no orders drop out in the inner
+    join (both sides NULL carries no information)."""
+    probe = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(9131) + F.col("c_custkey") % 365).cast("long").alias("anchor_day"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day"),
+    )
+    m = (
+        probe.join(o, probe["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "anchor_day")
+        .agg(
+            F.max(F.when(F.col("day") <= F.col("anchor_day"), F.col("day"))).alias(
+                "back_day"
+            ),
+            F.min(F.when(F.col("day") > F.col("anchor_day"), F.col("day"))).alias(
+                "fwd_day"
+            ),
+        )
+    )
+    nearest = (
+        F.when(F.col("back_day").isNull(), F.col("fwd_day"))
+        .when(F.col("fwd_day").isNull(), F.col("back_day"))
+        .when(
+            F.col("anchor_day") - F.col("back_day")
+            <= F.col("fwd_day") - F.col("anchor_day"),
+            F.col("back_day"),
+        )
+        .otherwise(F.col("fwd_day"))
+    )
+    return m.select(
+        "c_custkey",
+        "anchor_day",
+        "back_day",
+        "fwd_day",
+        nearest.alias("nearest_day"),
+        (
+            F.col("back_day").isNotNull()
+            & (F.col("anchor_day") - F.col("back_day") <= 30)
+        ).alias("back_within_30d"),
+    )

@@ -414,6 +414,8 @@ DRIVER_ORDER: list[str] = [
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
     "layout_hilbert_codes",          # r5: 10-level Hilbert xy2d unroll (oracle)
     "dedup_ppjoin_prefix",           # r5: lossless prefix-filtered similarity join (oracle)
+    "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
+    "join_asof_directions",          # r5: backward/forward/nearest as-of family (oracle)
 ]
 
 

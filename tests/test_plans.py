@@ -504,3 +504,61 @@ def test_seasonal_decompose_single_window(spark):
 
     df = registry.QUERIES["events_seasonal_decompose"](spark, SF_SMALL)
     assert node_count(df, "Window") == 1
+
+
+def test_space_filling_codes_stay_in_codegen(spark):
+    """Morton AND Hilbert codes are pure integer expressions — the whole
+    computation (scan -> interleave/quadrant-walk -> rollup partial agg)
+    must stay inside whole-stage codegen with zero joins and one exchange
+    (the 64-cell rollup's)."""
+    for q in ("layout_zorder_codes", "layout_hilbert_codes"):
+        df = registry.QUERIES[q](spark, SF_SMALL)
+        plan = formatted_plan(df)
+        assert_wholestage_codegen(df)
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") <= 2, plan  # partial+final agg only
+
+
+def test_ppjoin_verify_is_broadcast_no_cartesian(spark):
+    """The PPJoin verify stage joins candidates against the per-doc
+    shingle-array table via BROADCAST joins; nothing in the plan may be a
+    cartesian/BNLJ (the whole point is never going all-pairs)."""
+    df = registry.QUERIES["dedup_ppjoin_prefix"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_entity_match_blocking_is_broadcast(spark):
+    """The phonetic-block self-join runs over the DISTINCT name
+    vocabulary with the build side broadcast — no shuffle join on the
+    block key, no cartesian."""
+    df = registry.QUERIES["entity_match_phonetic_block"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_point_in_time_is_single_aggregate_no_join(spark):
+    """Every feature and the label are conditional aggregates of ONE
+    groupBy over the fact scan — the plan must contain no Join node and
+    exactly the partial+final aggregate pair."""
+    df = registry.QUERIES["feature_point_in_time"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_asof_directions_single_shuffle_aggregate(spark):
+    """All three as-of semantics come from conditional min/max over one
+    equi-join — exactly one join node, no Window."""
+    df = registry.QUERIES["join_asof_directions"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    n_joins = (
+        node_count(df, "BroadcastHashJoin")
+        + node_count(df, "SortMergeJoin")
+        + node_count(df, "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    assert "Window" not in plan, plan
