@@ -680,3 +680,81 @@ def events_funnel_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("d_us", F.lit(0.9)), 4).alias("p90_micros"),
         F.max("d_us").alias("max_micros"),
     )
+
+
+@query(
+    "agg_aqp_sampled_groupby",
+    # Approximate query processing with a DETERMINISTIC sample: a 25%
+    # md5-bucket sample of orders feeds a Horvitz-Thompson scale-up
+    # (x4) per group, reported NEXT TO the exact aggregate with the exact
+    # integer error in ppm. Hash-based sampling makes the whole estimate a
+    # pure function of the data — the same rows are sampled on any engine,
+    # partitioning, or run — so unlike seed-based sampling the AQP path
+    # itself is oracle-checkable, not just its error bound.
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5('aqp:' || CAST(o_orderkey AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 100 < 25 AS sampled
+        FROM orders
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+           CAST(sum(cents) AS BIGINT) AS true_cents,
+           CAST(4 * coalesce(sum(cents) FILTER (WHERE sampled), 0) AS BIGINT)
+               AS est_cents,
+           CAST(1000000 * abs(4 * coalesce(sum(cents) FILTER (WHERE sampled), 0)
+                              - sum(cents)) // sum(cents) AS BIGINT)
+               AS err_ppm
+    FROM o GROUP BY grp
+    """,
+)
+def agg_aqp_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate group-by via deterministic 25% sampling with
+    Horvitz-Thompson scale-up, instrumented against the exact answer in
+    the same pass: per priority group, the sampled-row count, the x4
+    estimate, the true total, and the integer ppm error. The AQP pattern
+    for dashboards over tables too big to scan interactively — with
+    md5-bucket sampling instead of rand(), the estimate is reproducible
+    and hash-verifiable across engines.
+
+    Scale shape: ONE combinable aggregate computes both the estimate and
+    the truth (the sample indicator is a scan-side expression, not a
+    separate pass); in production the sample would be a materialized 25%
+    table and only the estimate side runs — this query also measures what
+    that buys (err_ppm per group)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("aqp:"), F.col("o_orderkey").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 25
+        ).alias("sampled"),
+    )
+    return o.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("sampled").cast("int")).cast("long").alias("n_sampled"),
+        F.sum("cents").alias("true_cents"),
+        (4 * F.coalesce(F.sum(F.when(F.col("sampled"), F.col("cents"))), F.lit(0)))
+        .cast("long")
+        .alias("est_cents"),
+        F.expr(
+            "CAST(1000000 * abs(4 * coalesce(sum(CASE WHEN sampled THEN cents END), 0)"
+            " - sum(cents)) div sum(cents) AS BIGINT)"
+        ).alias("err_ppm"),
+    )

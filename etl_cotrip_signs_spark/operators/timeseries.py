@@ -851,3 +851,108 @@ def orders_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fitted_cents long, resid_cents long",
         )
     )
+
+
+@query(
+    "events_attribution_position",
+    # Position-based (U-shaped) multi-touch attribution with EXACT integer
+    # credit: per purchase, the clicks by the same user in the 7-day
+    # lookback share 1,000,000 ppm of credit — 40/20/40 (first/middles/
+    # last), degenerating to 100 for a single click and 50/50 for two; the
+    # middle share divides by floor with the REMAINDER assigned to the
+    # last middle (rank k-1) so every conversion's credit sums to exactly
+    # 1e6 and both engines place every ppm identically.
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.conv_id, c.click_id, c.user_id,
+               row_number() OVER (PARTITION BY p.conv_id
+                                  ORDER BY c.c_us, c.click_id) AS i,
+               count(*) OVER (PARTITION BY p.conv_id) AS k
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.c_us < p.p_us AND p.p_us - c.c_us <= 604800000000
+    ),
+    credited AS (
+        SELECT click_id, user_id, conv_id,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 THEN 500000
+                    WHEN i = 1 OR i = k THEN 400000
+                    ELSE 200000 // (k - 2)
+                         + CASE WHEN i = k - 1 THEN 200000 % (k - 2)
+                                ELSE 0 END
+               END AS credit_ppm
+        FROM pairs
+    )
+    SELECT click_id, user_id,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credited GROUP BY click_id, user_id
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes exactly 1,000,000 ppm of credit over the user's clicks in
+    the 7-day lookback — 40% first touch, 40% last touch, 20% split over
+    the middles (floor division, remainder pinned to the last middle so
+    the books balance to the ppm). Complements last-touch attribution
+    with the model marketing actually reconciles budgets against.
+
+    Scale shape: the click-purchase pairing is an equi-join on user_id
+    with the time window as a join-side predicate — per-user bounded, the
+    same shape as the CEP and funnel operators; ranking is one window
+    over the conversion partition and credit is pure integer arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    pairs = (
+        purchases.join(clicks, purchases["p_user"] == clicks["user_id"])
+        .filter(
+            (F.col("c_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("c_us") <= 604800000000)
+        )
+        .select("conv_id", "click_id", "user_id", "c_us")
+    )
+    w = Window.partitionBy("conv_id").orderBy("c_us", "click_id")
+    wk = Window.partitionBy("conv_id")
+    credited = pairs.select(
+        "click_id",
+        "user_id",
+        "conv_id",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    ).select(
+        "click_id",
+        "user_id",
+        "conv_id",
+        F.when(F.col("k") == 1, 1000000)
+        .when(F.col("k") == 2, 500000)
+        .when((F.col("i") == 1) | (F.col("i") == F.col("k")), 400000)
+        .otherwise(
+            F.expr(
+                "200000 div (k - 2) + CASE WHEN i = k - 1 "
+                "THEN 200000 % (k - 2) ELSE 0 END"
+            )
+        )
+        .alias("credit_ppm"),
+    )
+    return credited.groupBy("click_id", "user_id").agg(
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        F.sum("credit_ppm").cast("long").alias("credit_ppm_total"),
+    )

@@ -416,6 +416,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_ppjoin_prefix",           # r5: lossless prefix-filtered similarity join (oracle)
     "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
     "join_asof_directions",          # r5: backward/forward/nearest as-of family (oracle)
+    "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
+    "events_attribution_position",   # r5: U-shaped multi-touch, exact ppm books (oracle)
 ]
 
 

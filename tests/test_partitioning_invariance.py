@@ -39,6 +39,19 @@ QUERIES = [
     "kth_statistic_iterative",
     "table_merkle_summary",
     "global_row_number_two_pass",
+    # round-5 late waves: synchronous LPA (per-node top-1 tie rule must
+    # not depend on which partition counts first), PPJoin (prefix ranks
+    # come from a doc-partitioned window over a shuffled frequency join),
+    # the loop-free isotonic fit (suffix-min window over the pair table),
+    # the BPE tokenizer (mapInPandas batch boundaries move under hostile
+    # splits; per-batch memos must not change results), and Holt smoothing
+    # (single-group applyInPandas must re-sort its rows, not trust arrival
+    # order)
+    "graph_lpa_communities",
+    "dedup_ppjoin_prefix",
+    "isotonic_regression_daily",
+    "text_bpe_apply",
+    "orders_holt_linear",
 ]
 
 HOSTILE = {
