@@ -1093,7 +1093,8 @@ def drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT cnt FROM n) AS n_pairs,
            num AS med_num, den AS med_den,
-           1000000 * num // den AS slope_cents_ppm_per_day
+           CAST(CAST(1000000 AS HUGEINT) * num // den AS BIGINT)
+               AS slope_cents_ppm_per_day
     FROM r WHERE rn = (SELECT (cnt + 1) // 2 FROM n)
     """,
 )
@@ -1145,7 +1146,12 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("long").alias("n_pairs"),
         F.col("num").alias("med_num"),
         F.col("den").alias("med_den"),
-        F.expr("1000000 * num div den").alias("slope_cents_ppm_per_day"),
+        # widened 1e6x: num is a daily-cents difference that grows with sf,
+        # so the ppm scale-up runs in DECIMAL/HUGEINT (review finding, r5);
+        # div on DECIMAL truncates to LONG exactly like DuckDB HUGEINT //
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * num div den AS BIGINT)"
+        ).alias("slope_cents_ppm_per_day"),
     )
 
 
@@ -1213,7 +1219,10 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c_t), "dow")
         .crossJoin(F.broadcast(n_t))
     )
-    num1 = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    # widen BEFORE multiplying: o*n in LongType wraps silently past 2^63
+    # (review finding, r5) while the oracle's HUGEINT stays exact —
+    # DECIMAL(38,0) operands keep both engines exact to 38 digits
+    num1 = dec(F.col("o")) * dec(F.col("n")) - dec(F.col("r")) * dec(F.col("c"))
     return joined.select(
         "event_type",
         "dow",

@@ -169,30 +169,29 @@ def feature_quantile_normalize_map(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from pyspark.sql import Window as W
 
-    g_ranked = v.select(
-        "grp",
-        "cents",
-        F.row_number().over(W.partitionBy("grp").orderBy("cents")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
-    )
-    p_ranked = v.select(
-        "cents",
-        F.row_number().over(W.partitionBy().orderBy("cents")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
     q = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
-    g_q = (
-        F.broadcast(q)
-        .join(g_ranked, F.col("rn") == F.expr("(decile * n + 9) div 10"))
-        .groupBy("decile", "grp")
-        .agg(F.min("cents").alias("group_value_cents"))
-    )
-    p_q = (
-        F.broadcast(q)
-        .join(p_ranked, F.col("rn") == F.expr("(decile * n + 9) div 10"))
-        .groupBy("decile")
-        .agg(F.min("cents").alias("pooled_value_cents"))
-    )
+
+    def decile_values(part_cols: list[str], out_col: str):
+        # one shared implementation of the integer ceil-rank decile pick
+        # (rank = (decile*n + 9) div 10, ties by value order); the pooled
+        # side is the empty partition (review finding, r5: the group and
+        # pooled copies had drifted apart by construction)
+        w = W.partitionBy(*part_cols)
+        ranked = v.select(
+            *part_cols,
+            "cents",
+            F.row_number().over(w.orderBy("cents")).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        return (
+            F.broadcast(q)
+            .join(ranked, F.col("rn") == F.expr("(decile * n + 9) div 10"))
+            .groupBy("decile", *part_cols)
+            .agg(F.min("cents").alias(out_col))
+        )
+
+    g_q = decile_values(["grp"], "group_value_cents")
+    p_q = decile_values([], "pooled_value_cents")
     return g_q.join(F.broadcast(p_q), "decile").select(
         "grp",
         "decile",

@@ -905,3 +905,75 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         "community_size",
     )
+
+
+_BFS_CAP = 4  # ego-network radius; path enumeration is degree^cap bounded
+
+
+@query(
+    "graph_bfs_hops",
+    # BFS shortest hop-counts from a fixed source on the del1 name graph,
+    # depth-capped at 4 — and the FIRST operator exercising Spark 4's
+    # native WITH RECURSIVE support: the Spark side and the DuckDB oracle
+    # run the textually-identical recursive query (modulo the edge CTE),
+    # min(hops) over depth-bounded path enumeration. The cap is what makes
+    # UNION ALL path enumeration safe on a cyclic graph (degree^4 paths,
+    # bounded); uncapped BFS at scale is the iterative-frontier pattern
+    # connected_components/graph_pagerank_exact already implement.
+    oracle=f"""
+    WITH RECURSIVE {_LPA_PAIRS},
+    src AS (SELECT min(n) AS v FROM names),
+    reach(node, hops) AS (
+        SELECT v AS node, 0 AS hops FROM src
+        UNION ALL
+        SELECT e.d, r.hops + 1
+        FROM reach r JOIN sym e ON e.s = r.node
+        WHERE r.hops < {_BFS_CAP}
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the lexicographically-first customer name to
+    everything within 4 hops of the edit-distance-1 name graph — the
+    ego-network / blast-radius query, run through Spark 4's NATIVE
+    `WITH RECURSIVE` (new engine surface in Spark 4.x; the same recursion
+    the DuckDB oracle executes, so the two recursive-CTE implementations
+    hash-check each other).
+
+    Scale shape: each recursive step is one (frontier join edges) shuffle;
+    the depth cap bounds path enumeration at degree^4 — the honest form
+    for radius-limited queries. For unbounded reachability the engine's
+    iterative operators (connected_components' min-label rounds,
+    hierarchy_closure_doubling's pointer doubling) are the scale path:
+    they carry O(nodes) state instead of path multisets."""
+    from .text import fuzzy_join_del1
+
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select("name_a", "name_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(F.col("name_a").alias("s"), F.col("name_b").alias("d")).union(
+        pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d"))
+    )
+    sym.createOrReplaceTempView("__bfs_edges")
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .agg(F.min("c_name"))
+        .first()[0]
+    )  # same source rule as the oracle: min over ALL names
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(node, hops) AS (
+            SELECT '{src}' AS node, 0 AS hops
+            UNION ALL
+            SELECT e.d, r.hops + 1
+            FROM reach r JOIN __bfs_edges e ON e.s = r.node
+            WHERE r.hops < {_BFS_CAP}
+        )
+        SELECT node, CAST(min(hops) AS INT) AS hops
+        FROM reach GROUP BY node
+        """
+    )

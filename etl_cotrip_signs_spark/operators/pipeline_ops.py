@@ -725,24 +725,15 @@ def agg_aqp_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate pass); in production the sample would be a materialized 25%
     table and only the estimate side runs — this query also measures what
     that buys (err_ppm per group)."""
+    from .training import _md5_bucket
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("aqp:"), F.col("o_orderkey").cast("string")
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 100
+            _md5_bucket(
+                F.concat(F.lit("aqp:"), F.col("o_orderkey").cast("string"))
+            )
             < 25
         ).alias("sampled"),
     )

@@ -307,8 +307,11 @@ def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     ),
     a AS (
+        -- widened 1000x: the full-range pair's numerator is 1000 * total
+        -- corpus cents, past BIGINT at extreme sf (review finding, r5)
         SELECT j.i AS j, k.i AS k,
-               1000 * (k.s - j.s + j.cents) // (k.i - j.i + 1) AS v
+               CAST(1000 AS HUGEINT) * (k.s - j.s + j.cents)
+                   // (k.i - j.i + 1) AS v
         FROM idx j JOIN idx k ON j.i <= k.i
     ),
     m AS (
@@ -361,7 +364,11 @@ def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
         "j",
         "k",
-        F.expr("1000 * (sk - sj + cj) div (k - j + 1)").alias("v"),
+        # DECIMAL-widened to mirror the oracle's HUGEINT (review finding,
+        # r5); div on DECIMAL truncates to LONG = DuckDB HUGEINT //
+        F.expr(
+            "CAST(1000 AS DECIMAL(38,0)) * (sk - sj + cj) div (k - j + 1)"
+        ).alias("v"),
     )
     w_sfx = (
         Window.partitionBy("j")

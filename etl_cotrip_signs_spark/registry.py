@@ -418,6 +418,7 @@ DRIVER_ORDER: list[str] = [
     "join_asof_directions",          # r5: backward/forward/nearest as-of family (oracle)
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
     "events_attribution_position",   # r5: U-shaped multi-touch, exact ppm books (oracle)
+    "graph_bfs_hops",                # r5: Spark 4 native WITH RECURSIVE BFS (oracle)
 ]
 
 

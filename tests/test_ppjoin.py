@@ -55,3 +55,26 @@ def test_prefix_candidates_prune_and_stay_complete(spark):
     result = dedup_ppjoin_prefix(spark, SF_ORACLE).select("doc_a", "doc_b")
     missing = result.join(prefix_cand, ["doc_a", "doc_b"], "left_anti").count()
     assert missing == 0
+
+
+def test_oracle_rejects_empty_shingle_pairs():
+    """Review-finding regression (r5): two sub-3-token docs both have
+    EMPTY shingle sets; 5*0 >= 4*0 is true, but an empty-vs-empty pair is
+    not a duplicate and the Spark side structurally drops shingle-less
+    docs at the explode. The oracle's len(a.shingles) > 0 guard must keep
+    the contract aligned even on corpora the fixture never produces."""
+    import duckdb
+
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'one two'), (2, 'three four'), "
+        "(3, 'a b c d e f g'), (4, 'a b c d e f g')"
+        ") AS t(doc_id, text)"
+    )
+    rows = con.sql(registry.ORACLES["dedup_ppjoin_prefix"]).fetchall()
+    # only the real duplicate pair (3,4) — never the empty-empty (1,2)
+    assert [(r[0], r[1]) for r in rows] == [(3, 4)], rows
