@@ -1,0 +1,179 @@
+"""Spark 4 engine-surface operators [EXT — new-in-Spark-4 features
+exercised as first-class, oracle-checked queries]: the VARIANT
+semi-structured type, SQL-defined functions (CREATE FUNCTION ... RETURN),
+and string collations. graph_bfs_hops covers the fourth new surface
+(native WITH RECURSIVE).
+
+All three were probed working on this runtime before being registered.
+The point of each query is that the NEW surface computes values
+bit-identical to the classic path a DuckDB oracle can express — the
+feature is exercised, the results stay hash-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "variant_json_extract",
+    # The VARIANT twin of json_events_extract: parse_json() into Spark 4's
+    # semi-structured VARIANT type, typed extraction via variant_get, plus
+    # the inferred variant schema (schema_of_variant_agg) pinned as a
+    # column — DuckDB has no VARIANT, so the oracle computes the identical
+    # VALUES through its JSON path and carries Spark's schema string as
+    # the expected literal. A value divergence or an inference change both
+    # flip the hash.
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    parse_json once, typed variant_get extraction, and the aggregated
+    inferred schema. VARIANT's shredded binary encoding is the 100 TB
+    answer to JSON-string columns — parse once at ingest, extract many
+    times without re-parsing — and this pins that the VARIANT path
+    produces exactly the values of the string-path twin
+    (json_events_extract).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.expr("schema_of_variant_agg(v)").alias("variant_schema"),
+    )
+
+
+@query(
+    "sql_udf_money_pipeline",
+    # SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN): the
+    # declarative UDF surface — the body is an EXPRESSION the optimizer
+    # inlines into codegen, so unlike Python UDFs these cost nothing at
+    # scale. The oracle inlines the same arithmetic by hand; matching
+    # hashes prove the function definitions compute what they claim.
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority,
+               least(greatest(CAST(floor(o_totalprice * 100) AS BIGINT),
+                              500000), 40000000) AS clamped
+        FROM orders
+    ),
+    tot AS (SELECT CAST(sum(clamped) AS BIGINT) AS t FROM o)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(clamped) AS BIGINT) AS clamped_cents,
+           CAST(1000000 * sum(clamped) // tot.t AS BIGINT) AS share_ppm
+    FROM o, tot
+    GROUP BY o_orderpriority, tot.t
+    """,
+)
+def sql_udf_money_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs in a money pipeline: clamp_cents (winsorize a
+    cents amount into [5e5, 4e7]) and share_ppm (integer ppm of a total)
+    defined with CREATE FUNCTION ... RETURN and used in an aggregate over
+    orders. The functions are catalog objects a SQL-only user can define
+    and reuse — and because the bodies are expressions, Catalyst inlines
+    them (no serialization boundary, unlike Python UDFs).
+
+    Scale shape: after inlining this is one combinable aggregate plus a
+    broadcast single-row total — identical to writing the expressions by
+    hand, which is the point."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clamp_cents(c BIGINT) "
+        "RETURNS BIGINT RETURN least(greatest(c, 500000), 40000000)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION share_ppm(part BIGINT, whole BIGINT) "
+        "RETURNS BIGINT RETURN 1000000 * part div whole"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__udf_orders")
+    return spark.sql(
+        """
+        WITH o AS (
+            SELECT o_orderpriority,
+                   clamp_cents(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS clamped
+            FROM __udf_orders
+        ),
+        tot AS (SELECT sum(clamped) AS t FROM o)
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(clamped) AS BIGINT) AS clamped_cents,
+               share_ppm(CAST(sum(clamped) AS BIGINT), CAST(tot.t AS BIGINT))
+                   AS share_ppm
+        FROM o, tot
+        GROUP BY o_orderpriority, tot.t
+        """
+    )
+
+
+@query(
+    "collation_case_insensitive",
+    # Spark 4 string collations: group a deliberately mixed-case name set
+    # under UTF8_LCASE and the counts fold case variants together while
+    # the output key keeps ONE canonical (deterministic min) spelling.
+    # DuckDB expresses the same contract with lower() grouping — equal
+    # hashes pin that the collation's equality relation is exactly
+    # case-folding on this ASCII domain.
+    oracle="""
+    WITH mixed AS (
+        SELECT p_name AS name FROM part
+        UNION ALL
+        SELECT upper(p_name) FROM part
+        UNION ALL
+        SELECT concat(upper(substr(p_name, 1, 1)), substr(p_name, 2))
+        FROM part
+    )
+    SELECT min(name) AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM mixed
+    GROUP BY lower(name)
+    """,
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4's collation surface:
+    the same part names in three casings (raw / UPPER / Initcap-first-
+    letter) collapse under a UTF8_LCASE-collated GROUP BY key; the
+    canonical spelling is the deterministic binary MIN. Collations move
+    case rules into the type system — comparisons, joins, and aggregates
+    pick them up without sprinkling lower() at every use site.
+
+    Scale: the collated aggregate is one combinable shuffle, exactly like
+    its lower()-keyed twin."""
+    p = load_table(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+    mixed = (
+        p.union(p.select(F.upper("name")))
+        .union(
+            p.select(
+                F.concat(
+                    F.upper(F.substring("name", 1, 1)), F.expr("substr(name, 2)")
+                ).alias("name")
+            )
+        )
+    )
+    return (
+        mixed.groupBy(
+            F.expr("collate(name, 'UTF8_LCASE')").alias("__key")
+        )
+        .agg(
+            F.min(F.col("name").cast("string")).alias("canonical_name"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select("canonical_name", "n_variants")
+    )

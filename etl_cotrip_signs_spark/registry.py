@@ -419,6 +419,9 @@ DRIVER_ORDER: list[str] = [
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
     "events_attribution_position",   # r5: U-shaped multi-touch, exact ppm books (oracle)
     "graph_bfs_hops",                # r5: Spark 4 native WITH RECURSIVE BFS (oracle)
+    "variant_json_extract",          # r5: Spark 4 VARIANT type, value-hash vs JSON path (oracle)
+    "sql_udf_money_pipeline",        # r5: Spark 4 SQL-defined functions, inlined (oracle)
+    "collation_case_insensitive",    # r5: Spark 4 collations vs lower() twin (oracle)
 ]
 
 
@@ -452,6 +455,7 @@ def load_all() -> None:
         robust_stats,
         arrow_ops,
         features,
+        spark4_surface,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
