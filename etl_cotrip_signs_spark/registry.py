@@ -145,7 +145,9 @@ DRIVER_ORDER: list[str] = [
     "events_rollup_two_level",      # r4b rotation in (was agg_exact_percentile)
     "hierarchy_closure_doubling",   # r4c rotation in (was join_outer_customers_orders)
     "q21_waiting_orders",           # r4 rotation in (was q3_shipping_priority)
-    "join_broadcast_brand_revenue",
+    "variant_json_extract",         # r5 late rotation in (was join_broadcast_brand_revenue,
+    # green r1-r4; joins keep six other first-50 forms) — Spark 4 VARIANT
+    # surface straight to a driver slot
     "q2_min_cost_supplier",         # r4 rotation in (was join_semi_customers)
     "scd2_temporal_join",           # r4 rotation in (was join_anti_customers)
     "q9_product_profit",            # r4b rotation in (was join_theta_price_band);
@@ -153,8 +155,12 @@ DRIVER_ORDER: list[str] = [
     # prior driver evidence
     "fuzzy_join_del1",              # r5 rotation in (was join_asof_latest_order)
     "window_topk_via_agg",          # r4 rotation in (was window_rank_customers)
-    "graph_triangle_count",         # r4 rotation in (was q6_forecast_revenue)
-    "events_anomaly_iqr",           # r4 rotation in (was q7_volume_shipping)
+    "graph_bfs_hops",               # r5 late rotation in (was graph_triangle_count,
+    # r4-green; graph keeps kcore's never-checked slot too) — Spark 4
+    # native WITH RECURSIVE straight to a driver slot
+    "dedup_ppjoin_prefix",          # r5 late rotation in (was events_anomaly_iqr,
+    # r4-green) — the lossless prefix-filtered similarity join joins the
+    # dedup family's driver slots
     "orders_interval_islands",      # r4c rotation in (was sort_topk_orders)
     "setops_all_variants",
     "select_token_budget",          # r4 rotation in (was q18_large_volume_customer)
@@ -413,15 +419,15 @@ DRIVER_ORDER: list[str] = [
     "pipeline_corpus_fate",          # r5: per-doc pipeline lineage/fate table (oracle)
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
     "layout_hilbert_codes",          # r5: 10-level Hilbert xy2d unroll (oracle)
-    "dedup_ppjoin_prefix",           # r5: lossless prefix-filtered similarity join (oracle)
     "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
     "join_asof_directions",          # r5: backward/forward/nearest as-of family (oracle)
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
     "events_attribution_position",   # r5: U-shaped multi-touch, exact ppm books (oracle)
-    "graph_bfs_hops",                # r5: Spark 4 native WITH RECURSIVE BFS (oracle)
-    "variant_json_extract",          # r5: Spark 4 VARIANT type, value-hash vs JSON path (oracle)
     "sql_udf_money_pipeline",        # r5: Spark 4 SQL-defined functions, inlined (oracle)
     "collation_case_insensitive",    # r5: Spark 4 collations vs lower() twin (oracle)
+    "join_broadcast_brand_revenue",  # r5 late rotation out of the first 50 (green r1-r4)
+    "graph_triangle_count",          # r5 late rotation out of the first 50 (green r4)
+    "events_anomaly_iqr",            # r5 late rotation out of the first 50 (green r4)
 ]
 
 
