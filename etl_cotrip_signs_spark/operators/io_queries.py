@@ -656,3 +656,107 @@ def layout_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_code"),
         F.max("d").cast("long").alias("max_code"),
     )
+
+
+@query(
+    "xml_scan_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_nation, max(n_name) AS last_nation,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan fidelity through Spark 4's NATIVE XML datasource (built in
+    since 4.0 — probed working on this runtime): nation -> XML (rowTag
+    'nation') -> explicit-schema read -> aggregate. The oracle aggregates
+    the original parquet, so tag nesting, escaping, or type-inference
+    drift in the XML path flips the hash. Completes the text-format
+    family beside CSV (delimiter class) and JSONL (nested class): XML is
+    the attribute/element class with its own escaping rules.
+
+    Scale note: XML is a landing-zone INPUT format, never a shuffle or
+    sink format — the operator reads it once into columnar form, which is
+    exactly the 100 TB pattern (parse at the edge, parquet everywhere
+    after)."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "nation_xml")
+    src = load_table(spark, sf_dir, "nation")
+    (
+        src.coalesce(1)
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
+
+
+@query(
+    "partition_overwrite_dynamic",
+    # The oracle recomputes the EXPECTED final state arithmetically from
+    # the source parquet: urgent rows carry the exact-IEEE doubled price
+    # (t + t, never 2*t-with-rounding — the r4b derivation rule), every
+    # other partition is untouched. Under STATIC overwrite mode the
+    # non-urgent partitions would be DELETED by the second write and the
+    # count columns would collapse — the mode's semantics are what the
+    # hash checks.
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                                    THEN o_totalprice + o_totalprice
+                                    ELSE o_totalprice END
+                               AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive: a
+    full partitioned write, then a second INSERT OVERWRITE-shaped write
+    that carries ONLY the 1-URGENT partition (prices restated as t + t),
+    under spark.sql.sources.partitionOverwriteMode=dynamic. Dynamic mode
+    replaces exactly the partitions present in the incoming frame and
+    leaves the other four untouched; the default STATIC mode would
+    truncate the whole table to one partition. At 100 TB this is how a
+    late-arriving day/hour is restated without rewriting (or even
+    listing) the other partitions. The conf is set for the second write
+    only and restored in a finally (session-hygiene rule)."""
+    ensure_confs(spark)
+    path = _scratch(sf_dir, "orders_dynover")
+    src = load_table(spark, sf_dir, "orders")
+    write_parquet(src, path, partition_by=["o_orderpriority"])
+    restated = src.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.col("o_totalprice")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            restated.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
+    )

@@ -1,0 +1,245 @@
+"""Exact-oracle probabilistic-structure twins: HLL registers and a Bloom
+filter [EXT beyond task.ts — engine surface].
+
+``agg_hll_mergeable`` (sketch_skew.py) exercises Spark's DataSketches HLL
+but is honestly rows-only: DuckDB's HLL yields different estimates. These
+operators close that gap the same way round 5 graduated simhash/minhash:
+the SKETCH CONSTRUCTION itself is a pure deterministic function of
+xxhash64, so with XXH64 re-implemented as DuckDB macros
+(functions/xxh64_sql.py) both engines build the *identical structure*
+bit for bit — the estimate-bearing state is hash-checked even though the
+builtin estimators can't be.
+
+- ``sketch_hll_exact_registers``: the textbook HLL register table
+  (Flajolet et al. 2007 — public paper), m=64 buckets from the hash's top
+  6 bits, register = max leading-zero rank of the low 58 bits. Per-group
+  sketches PLUS a merged 'ALL' sketch computed from the group registers
+  by max — the oracle computes 'ALL' directly from the base rows, so the
+  hash match proves the merge identity max(max(g1), max(g2)) = max(all)
+  cross-engine. The dyadic term 2^(59-register) is emitted per row; the
+  HLL estimate is alpha_m * m^2 * 2^59 / sum(pow2_term) — one final float
+  division away, with every input to it hash-pinned exact.
+- ``sketch_bloom_membership``: a k=3, m=8192-bit Bloom filter over the
+  custkeys present in orders, probed with every customer. Bit positions
+  are pmod(xxhash64('b<i>', key), m) — the chained-literal-seed idiom the
+  simhash oracle pinned. Output is the full probe table (hit flag beside
+  ground truth), so the no-false-negative invariant AND the exact
+  false-positive set are both inside the hash.
+
+Scale: both structures are metadata-sized (64 registers / 8192 bits) and
+build with one map-side-combinable aggregate over the keys; the Bloom
+probe broadcasts the ~8 KB bit set. This is the 100 TB shape — the sketch
+shuffles, never the rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
+from ..io import load_table
+from ..registry import query
+
+# 2**58: the hash's low 58 bits feed the leading-zero rank.
+_LOW58 = 1 << 58
+
+_BLOOM_M = 8192
+_BLOOM_SEEDS = [chain_seed("b0"), chain_seed("b1"), chain_seed("b2")]
+
+
+@query(
+    "sketch_hll_exact_registers",
+    # The oracle builds the identical register table from xxh64_long and
+    # computes the 'ALL' sketch DIRECTLY from base rows — the Spark side
+    # merges the per-group registers instead, so a hash match proves the
+    # mergeability identity cross-engine, not just the hash parity.
+    oracle=XXH64_MACROS
+    + f"""
+    WITH h AS (
+        SELECT o_orderpriority AS grp,
+               ((xxh64_long(o_custkey, 42::UBIGINT)::HUGEINT
+                 + 18446744073709551616) % 18446744073709551616)::UBIGINT AS u
+        FROM orders
+    ),
+    rho AS (
+        SELECT grp, (u >> 58)::INT AS bucket,
+               CASE WHEN (u % {_LOW58}::UBIGINT) = 0 THEN 59
+                    ELSE 59 - length(bin((u % {_LOW58}::UBIGINT)::BIGINT))
+               END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT grp, bucket, max(rho) AS register FROM rho GROUP BY grp, bucket
+        UNION ALL
+        SELECT 'ALL' AS grp, bucket, max(rho) AS register FROM rho GROUP BY bucket
+    ),
+    grid AS (
+        SELECT g.grp, b.bucket
+        FROM (SELECT DISTINCT o_orderpriority AS grp FROM orders
+              UNION ALL SELECT 'ALL') g,
+             (SELECT unnest(range(0, 64))::INT AS bucket) b
+    )
+    SELECT grid.grp, grid.bucket,
+           COALESCE(r.register, 0) AS register,
+           (1::BIGINT << (59 - COALESCE(r.register, 0))) AS pow2_term
+    FROM grid LEFT JOIN regs r ON r.grp = grid.grp AND r.bucket = grid.bucket
+    """,
+)
+def sketch_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact HyperLogLog register construction, per priority + merged.
+
+    hash = xxhash64(o_custkey) reinterpreted unsigned; bucket = top 6
+    bits (shiftrightunsigned); rank rho = leading zeros of the low 58
+    bits + 1 = 59 - length(bin(w)) (bin() renders without leading zeros
+    in both engines — probed), 59 when w = 0. register = max(rho) per
+    (group, bucket). The 'ALL' sketch is computed by MERGING the group
+    registers (max per bucket over the 5 group sketches), never by
+    rescanning — the mergeable-rollup property agg_hll_mergeable claims,
+    here with the state itself hash-checked. The 64-bucket grid is
+    completed explicitly (empty bucket -> register 0) because the
+    estimate's denominator needs all m terms; pow2_term = 2^(59-register)
+    fits BIGINT by construction (register >= 0 -> term <= 2^59)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    h = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.xxhash64("o_custkey").alias("h"),
+    )
+    rho = h.select(
+        "grp",
+        F.shiftrightunsigned("h", 58).cast("int").alias("bucket"),
+        F.expr(f"h & {_LOW58 - 1}L").alias("w"),
+    ).select(
+        "grp",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(59))
+        .otherwise(F.lit(59) - F.length(F.bin("w")))
+        .cast("int")
+        .alias("rho"),
+    )
+    group_regs = rho.groupBy("grp", "bucket").agg(F.max("rho").alias("register"))
+    # The merge: 'ALL' from the per-group REGISTERS (64 x n_groups rows),
+    # not from the base rows — max is the HLL union operator.
+    merged = group_regs.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    ).select(F.lit("ALL").alias("grp"), "bucket", "register")
+    regs = group_regs.unionByName(merged)
+    grid = (
+        o.select(F.col("o_orderpriority").alias("grp"))
+        .distinct()
+        .unionByName(spark.createDataFrame([("ALL",)], "grp string"))
+        .crossJoin(
+            spark.range(64).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    return (
+        grid.join(regs, ["grp", "bucket"], "left")
+        .select(
+            "grp",
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+            F.expr("shiftleft(1L, 59 - coalesce(register, 0))").alias(
+                "pow2_term"
+            ),
+        )
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+        SELECT DISTINCT
+               ((xxh64_long(k, s.seed::UBIGINT) % {_BLOOM_M})
+                + {_BLOOM_M}) % {_BLOOM_M} AS bit
+        FROM bk, (SELECT unnest([{_BLOOM_SEEDS[0]}, {_BLOOM_SEEDS[1]},
+                                 {_BLOOM_SEEDS[2]}]) AS seed) s
+    ),
+    probe AS (
+        SELECT p_partkey AS probe_key,
+               ((xxh64_long(p_partkey, s.seed::UBIGINT) % {_BLOOM_M})
+                + {_BLOOM_M}) % {_BLOOM_M} AS bit
+        FROM part, (SELECT unnest([{_BLOOM_SEEDS[0]}, {_BLOOM_SEEDS[1]},
+                                   {_BLOOM_SEEDS[2]}]) AS seed) s
+    ),
+    hits AS (
+        SELECT p.probe_key,
+               min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS bloom_hit
+        FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+        GROUP BY p.probe_key
+    )
+    SELECT h.probe_key, CAST(h.bloom_hit AS INT) AS bloom_hit,
+           CAST(CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END AS INT)
+               AS truly_present
+    FROM hits h LEFT JOIN bk ON bk.k = h.probe_key
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter (k=3, m=8192) built from the custkeys
+    present in orders, probed with every p_partkey — a probe set that
+    OVERLAPS the key range but extends past it (partkeys outnumber
+    custkeys in the fixture at every sf), so both true members and truly
+    absent keys are probed and the false-positive set is non-degenerate.
+    (Customers were the natural probe, but every fixture customer has an
+    order — an all-members probe can't exhibit FPR.)
+
+    Bit positions are pmod(xxhash64(lit('b<i>'), key), m) — three
+    independent hash functions from chained literal seeds, the exact idiom
+    the simhash graduation pinned cross-engine. The output carries every
+    probe's hit flag NEXT TO ground truth, so the hash match pins (a) zero
+    false negatives — the Bloom contract — and (b) the exact identity of
+    every false positive. Spark's own BloomFilter (stat.bloomFilter / the
+    runtime bloom join already plan-pinned in session.py) keeps its
+    private hashing; this operator is the cross-engine-checkable twin
+    that makes the data structure itself auditable.
+
+    Scale: the filter is m/8 = 1 KB regardless of key count; build is
+    distinct + map-side position projection + distinct over <= m values;
+    the probe joins against a BROADCAST bit set — zero shuffle of the
+    probe table beyond its own aggregate."""
+    seeds = [F.lit(f"b{i}") for i in range(3)]
+
+    def positions(col: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(s, F.col(col)), F.lit(_BLOOM_M))
+                    for s in seeds
+                ]
+            )
+        ).alias("bit")
+
+    bk = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    bits = (
+        bk.select(positions("o_custkey"))
+        .distinct()
+        .withColumn("set_flag", F.lit(1))
+    )
+    probe = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("probe_key"))
+        .select("probe_key", positions("probe_key"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("probe_key")
+        .agg(
+            F.min(
+                F.when(F.col("set_flag").isNull(), F.lit(0)).otherwise(F.lit(1))
+            )
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    return hits.join(
+        bk.withColumnRenamed("o_custkey", "probe_key").withColumn(
+            "present_flag", F.lit(1)
+        ),
+        "probe_key",
+        "left",
+    ).select(
+        "probe_key",
+        "bloom_hit",
+        F.coalesce("present_flag", F.lit(0)).cast("int").alias("truly_present"),
+    )

@@ -462,6 +462,8 @@ def load_all() -> None:
         arrow_ops,
         features,
         spark4_surface,
+        sketches3,
+        ml_basic,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
