@@ -977,3 +977,88 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY node
         """
     )
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    # Same wedge candidates as the RA index, different normalization:
+    # J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| as the exact integer
+    # 1e6·common div (deg(a) + deg(b) − common) — the classic
+    # link-prediction baseline (Liben-Nowell & Kleinberg 2003).
+    oracle="""
+    WITH names(n) AS (SELECT DISTINCT c_name FROM customer),
+    pairs AS (
+        SELECT a.n AS s, b.n AS d FROM names a JOIN names b ON a.n < b.n
+        WHERE levenshtein(a.n, b.n) <= 1
+    ),
+    sym AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
+    deg AS (SELECT s AS z, count(*) AS dz FROM sym GROUP BY s),
+    wedges AS (
+        SELECT e1.d AS a, e2.d AS b
+        FROM sym e1 JOIN sym e2 ON e1.s = e2.s AND e1.d < e2.d
+    ),
+    common AS (
+        SELECT a AS name_a, b AS name_b, count(*) AS n_common
+        FROM wedges GROUP BY a, b
+    ),
+    scored AS (
+        SELECT c.name_a, c.name_b, c.n_common,
+               1000000 * c.n_common
+                   // (da.dz + db.dz - c.n_common) AS jaccard_ppm
+        FROM common c
+        JOIN deg da ON da.z = c.name_a
+        JOIN deg db ON db.z = c.name_b
+    )
+    SELECT s.name_a, s.name_b, CAST(s.n_common AS BIGINT) AS n_common,
+           CAST(s.jaccard_ppm AS BIGINT) AS jaccard_ppm
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.s = s.name_a AND p.d = s.name_b)
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the edit-distance-1 name
+    graph — the RA index's classic baseline twin: for every NON-adjacent
+    pair with >= 1 common neighbor, 1e6·|N(a)∩N(b)| div |N(a)∪N(b)| with
+    the union expanded as deg(a) + deg(b) − common (exact integers; Spark
+    `div` = DuckDB `//` on positives).
+
+    Shape is graph_link_prediction_ra's: one wedge self-join + TWO
+    broadcast degree lookups (one per endpoint — RA needed the common
+    neighbor's degree instead) + the anti join against existing edges."""
+    from .text import fuzzy_join_del1
+
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select("name_a", "name_b")
+        .localCheckpoint(eager=True)  # wedges, degrees, anti join all share it
+    )
+    sym = pairs.select(
+        F.col("name_a").alias("s"), F.col("name_b").alias("d")
+    ).union(pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d")))
+    deg = sym.groupBy(F.col("s").alias("z")).agg(F.count(F.lit(1)).alias("dz"))
+    e1 = sym.select(F.col("s").alias("z"), F.col("d").alias("a"))
+    e2 = sym.select(F.col("s").alias("z"), F.col("d").alias("b"))
+    common = (
+        e1.join(e2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("name_a"), F.col("b").alias("name_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("z").alias("name_a"), F.col("dz").alias("da"))
+    db = deg.select(F.col("z").alias("name_b"), F.col("dz").alias("db"))
+    scored = (
+        common.join(F.broadcast(da), "name_a")
+        .join(F.broadcast(db), "name_b")
+        .select(
+            "name_a",
+            "name_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("1000000 * n_common div (da + db - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return scored.join(pairs, ["name_a", "name_b"], "left_anti").select(
+        "name_a", "name_b", "n_common", "jaccard_ppm"
+    )

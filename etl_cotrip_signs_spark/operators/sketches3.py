@@ -1,5 +1,5 @@
-"""Exact-oracle probabilistic-structure twins: HLL registers and a Bloom
-filter [EXT beyond task.ts — engine surface].
+"""Exact-oracle probabilistic-structure twins: HLL registers, a Bloom
+filter, and IBLT set reconciliation [EXT beyond task.ts — engine surface].
 
 ``agg_hll_mergeable`` (sketch_skew.py) exercises Spark's DataSketches HLL
 but is honestly rows-only: DuckDB's HLL yields different estimates. These
@@ -25,8 +25,12 @@ builtin estimators can't be.
   simhash oracle pinned. Output is the full probe table (hit flag beside
   ground truth), so the no-false-negative invariant AND the exact
   false-positive set are both inside the hash.
+- ``sketch_iblt_diff``: Invertible Bloom Lookup Table reconciliation —
+  two replicas each build a fixed 2048-cell sketch; subtracting and
+  peeling recovers the exact symmetric difference of the key sets.
 
-Scale: both structures are metadata-sized (64 registers / 8192 bits) and
+Scale: these structures are metadata-sized (64 registers / 8192 bits /
+2048 cells) and
 build with one map-side-combinable aggregate over the keys; the Bloom
 probe broadcasts the ~8 KB bit set. This is the 100 TB shape — the sketch
 shuffles, never the rows.
@@ -243,3 +247,210 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_hit",
         F.coalesce("present_flag", F.lit(0)).cast("int").alias("truly_present"),
     )
+
+
+# --- IBLT set reconciliation -------------------------------------------------
+
+_IBLT_M = 2048
+_IBLT_SEEDS = [chain_seed("i0"), chain_seed("i1"), chain_seed("i2")]
+_IBLT_CHK = chain_seed("chk")
+_IBLT_ROUNDS = 3
+
+
+def _iblt_cells_sql(keys_cte: str) -> str:
+    """DuckDB: (cell, cnt, xsum, hsum) IBLT cell table over a keys CTE."""
+    pos = ", ".join(
+        f"((xxh64_long(k, {s}::UBIGINT) % {_IBLT_M}) + {_IBLT_M}) % {_IBLT_M}"
+        for s in _IBLT_SEEDS
+    )
+    return f"""
+        SELECT cell, count(*) AS cnt, bit_xor(k) AS xsum,
+               bit_xor(xxh64_long(k, {_IBLT_CHK}::UBIGINT)) AS hsum
+        FROM (SELECT k, unnest(list_distinct([{pos}])) AS cell
+              FROM {keys_cte})
+        GROUP BY cell
+    """
+
+
+def _iblt_peel_sql(r: int) -> str:
+    """DuckDB: one unrolled peel round — pure cells p{r} from d{r-1},
+    their removal producing d{r}."""
+    pos = ", ".join(
+        f"((xxh64_long(k, {s}::UBIGINT) % {_IBLT_M}) + {_IBLT_M}) % {_IBLT_M}"
+        for s in _IBLT_SEEDS
+    )
+    return f"""
+    p{r} AS (
+        SELECT DISTINCT xsum AS k, cnt AS side FROM d{r - 1}
+        WHERE abs(cnt) = 1
+          AND xxh64_long(xsum, {_IBLT_CHK}::UBIGINT) = hsum
+    ),
+    c{r} AS (
+        SELECT cell, sum(side) AS dc, bit_xor(k) AS dx,
+               bit_xor(xxh64_long(k, {_IBLT_CHK}::UBIGINT)) AS dh
+        FROM (SELECT k, side, unnest(list_distinct([{pos}])) AS cell FROM p{r})
+        GROUP BY cell
+    ),
+    d{r} AS (
+        SELECT d.cell, d.cnt - COALESCE(c.dc, 0) AS cnt,
+               xor(d.xsum, COALESCE(c.dx, 0)) AS xsum,
+               xor(d.hsum, COALESCE(c.dh, 0)) AS hsum
+        FROM d{r - 1} d LEFT JOIN c{r} c ON c.cell = d.cell
+    )"""
+
+
+@query(
+    "sketch_iblt_diff",
+    # The oracle replays the identical build + 3 unrolled peel rounds —
+    # the kmeans/pagerank unrolling discipline applied to the IBLT decode
+    # loop. Replica B is derived from A by pure arithmetic (a bounded
+    # deletion band + 50 literal inserted keys), so both engines construct
+    # the same two replicas with no staged state.
+    oracle=XXH64_MACROS
+    + f"""
+    WITH a_keys AS (SELECT o_orderkey AS k FROM orders),
+    b_keys AS (
+        SELECT k FROM a_keys WHERE NOT (k < 600 AND k % 7 = 3)
+        UNION ALL
+        SELECT 1000000000000 + 37 * i AS k
+        FROM (SELECT unnest(range(1, 51)) AS i)
+    ),
+    a_cells AS ({_iblt_cells_sql("a_keys")}),
+    b_cells AS ({_iblt_cells_sql("b_keys")}),
+    d0 AS (
+        SELECT COALESCE(a.cell, b.cell) AS cell,
+               COALESCE(a.cnt, 0) - COALESCE(b.cnt, 0) AS cnt,
+               xor(COALESCE(a.xsum, 0), COALESCE(b.xsum, 0)) AS xsum,
+               xor(COALESCE(a.hsum, 0), COALESCE(b.hsum, 0)) AS hsum
+        FROM a_cells a FULL OUTER JOIN b_cells b ON a.cell = b.cell
+    ),
+    {",".join(_iblt_peel_sql(r) for r in range(1, _IBLT_ROUNDS + 1))}
+    SELECT DISTINCT k AS key, CAST(side AS INT) AS side
+    FROM (SELECT k, side FROM p1 UNION ALL SELECT k, side FROM p2
+          UNION ALL SELECT k, side FROM p3)
+    """,
+)
+def sketch_iblt_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invertible Bloom Lookup Table set reconciliation (Goodrich &
+    Mitzenmacher 2011; Eppstein et al. "What's the Difference?" SIGCOMM
+    2011 — public papers): two replicas of the orderkey set each build a
+    FIXED 2048-cell sketch (count, key-XOR, checksum-XOR per cell, ~48 KB);
+    subtracting the sketches and peeling pure cells (|count| = 1 and the
+    checksum matches the key) recovers the exact symmetric difference —
+    which keys were deleted (side = +1, in A only) and which inserted
+    (side = -1, in B only).
+
+    This is table_merkle_summary's missing half: the Merkle tree LOCATES
+    differing buckets, the IBLT RECOVERS the differing keys — and the
+    exchange cost is O(sketch), independent of table size, as long as the
+    diff fits the cell budget (decode succeeds whp at m >= ~1.3x the diff;
+    here the derived diff is bounded by construction, ~136 keys vs 2048
+    cells). Two 100 TB replicas reconcile by shipping 48 KB each way.
+
+    Spark shape: the build is one map-side-combinable (cell -> cnt, xor,
+    xor) aggregate per replica — the only data-sized work; the diff and
+    the three peel rounds run over <= 2048-row tables (eagerly
+    checkpointed per round, the lineage-doubling rule). Positions are
+    array_distinct-ed per key so a key whose 3 hashes collide still
+    decodes (xor of a twice-inserted key self-cancels otherwise; both
+    engines apply the same rule)."""
+    seeds = [F.lit(f"i{i}") for i in range(3)]
+
+    def cells_of(keys: DataFrame) -> DataFrame:
+        return (
+            keys.select(
+                "k",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.xxhash64(s, F.col("k")), F.lit(_IBLT_M)
+                                )
+                                for s in seeds
+                            ]
+                        )
+                    )
+                ).alias("cell"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.expr("bit_xor(k)").alias("xsum"),
+                F.expr("bit_xor(xxhash64('chk', k))").alias("hsum"),
+            )
+        )
+
+    a_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    b_keys = a_keys.filter(
+        ~((F.col("k") < 600) & (F.col("k") % 7 == 3))
+    ).unionByName(
+        spark.range(1, 51).select(
+            (F.lit(1000000000000) + 37 * F.col("id")).alias("k")
+        )
+    )
+    a = cells_of(a_keys).withColumnsRenamed(
+        {"cnt": "ca", "xsum": "xa", "hsum": "ha"}
+    )
+    b = cells_of(b_keys).withColumnsRenamed(
+        {"cnt": "cb", "xsum": "xb", "hsum": "hb"}
+    )
+    cells = (
+        a.join(b, "cell", "full_outer")
+        .select(
+            "cell",
+            (F.coalesce("ca", F.lit(0)) - F.coalesce("cb", F.lit(0))).alias(
+                "cnt"
+            ),
+            F.expr("coalesce(xa, 0L) ^ coalesce(xb, 0L)").alias("xsum"),
+            F.expr("coalesce(ha, 0L) ^ coalesce(hb, 0L)").alias("hsum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    recovered: DataFrame | None = None
+    for _ in range(_IBLT_ROUNDS):
+        pure = cells.filter(
+            (F.abs("cnt") == 1)
+            & (F.xxhash64(F.lit("chk"), F.col("xsum")) == F.col("hsum"))
+        )
+        rec = pure.select(
+            F.col("xsum").alias("k"), F.col("cnt").cast("int").alias("side")
+        ).distinct()
+        contrib = (
+            rec.select(
+                "k",
+                "side",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.xxhash64(s, F.col("k")), F.lit(_IBLT_M)
+                                )
+                                for s in seeds
+                            ]
+                        )
+                    )
+                ).alias("cell"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.sum("side").alias("dc"),
+                F.expr("bit_xor(k)").alias("dx"),
+                F.expr("bit_xor(xxhash64('chk', k))").alias("dh"),
+            )
+        )
+        cells = (
+            cells.join(contrib, "cell", "left")
+            .select(
+                "cell",
+                (F.col("cnt") - F.coalesce("dc", F.lit(0))).alias("cnt"),
+                F.expr("xsum ^ coalesce(dx, 0L)").alias("xsum"),
+                F.expr("hsum ^ coalesce(dh, 0L)").alias("hsum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        recovered = rec if recovered is None else recovered.unionByName(rec)
+    return recovered.distinct().select(F.col("k").alias("key"), "side")

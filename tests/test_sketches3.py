@@ -118,3 +118,20 @@ def test_hll_bloom_schemas_are_driver_safe():
     assert "ml_decision_stump_gini" in registry.ORACLES
     assert "xml_scan_roundtrip" in registry.ORACLES
     assert "partition_overwrite_dynamic" in registry.ORACLES
+
+
+def test_iblt_recovers_exact_symmetric_difference(spark):
+    got = registry.QUERIES["sketch_iblt_diff"](spark, SF_SMALL).toPandas()
+    a = duckdb.sql(
+        f"SELECT o_orderkey AS k FROM '{SF_SMALL}/orders.parquet'"
+    ).df()
+    a_keys = set(int(k) for k in a.k)
+    deleted = {k for k in a_keys if k < 600 and k % 7 == 3}
+    inserted = {1000000000000 + 37 * i for i in range(1, 51)}
+    # FULL recovery within the unrolled peel rounds: the derived diff
+    # (~136 keys) is far under the 2048-cell budget, so every key decodes.
+    rec_deleted = set(int(k) for k in got[got.side == 1].key)
+    rec_inserted = set(int(k) for k in got[got.side == -1].key)
+    assert rec_deleted == deleted
+    assert rec_inserted == inserted
+    assert len(got) == len(deleted) + len(inserted)
