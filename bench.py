@@ -70,6 +70,11 @@ HEADLINE = [
     "kth_statistic_iterative",
     "sketch_cms_heavy_hitters",
     "window_rolling_median",
+    # round-5 continuation: exact-oracle sketch twins + tree induction —
+    # the new flagship families get standing perf visibility
+    "sketch_hll_exact_registers",
+    "sketch_iblt_diff",
+    "ml_decision_stump_gini",
 ]
 
 

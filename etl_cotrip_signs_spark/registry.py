@@ -142,13 +142,18 @@ DRIVER_ORDER: list[str] = [
     # hash oracle (functions/bpe_sql.py), straight to a driver slot
     "stat_corr_moments",            # r4c rotation in (was agg_grouping_sets)
     "drift_ks_exact",               # r5 rotation in (was agg_collect_first_last)
-    "events_rollup_two_level",      # r4b rotation in (was agg_exact_percentile)
+    "sketch_hll_exact_registers",   # r5 continuation rotation in (was
+    # events_rollup_two_level, r4-green; ops-audit keeps table_diff_audit +
+    # cdc_merge_full in the first 50) — the HLL register table hash-checked
+    # cross-engine, straight to a driver slot
     "hierarchy_closure_doubling",   # r4c rotation in (was join_outer_customers_orders)
     "q21_waiting_orders",           # r4 rotation in (was q3_shipping_priority)
     "variant_json_extract",         # r5 late rotation in (was join_broadcast_brand_revenue,
     # green r1-r4; joins keep six other first-50 forms) — Spark 4 VARIANT
     # surface straight to a driver slot
-    "q2_min_cost_supplier",         # r4 rotation in (was join_semi_customers)
+    "sketch_iblt_diff",             # r5 continuation rotation in (was
+    # q2_min_cost_supplier, r4-green; TPC-H keeps q1/q21/q9/q8/q16/q20 in
+    # the first 50) — IBLT set reconciliation with the unrolled-peel oracle
     "scd2_temporal_join",           # r4 rotation in (was join_anti_customers)
     "q9_product_profit",            # r4b rotation in (was join_theta_price_band);
     # the composite-key fact-to-partsupp join — the one join form with no
@@ -169,7 +174,9 @@ DRIVER_ORDER: list[str] = [
     "events_ewma_dyadic",           # r4c rotation in (was sessionize_events_batch)
     "stream_foreach_batch_upsert",  # r4 rotation in (was subquery_max_acctbal)
     "filter_predicate_family",
-    "cdc_scd2_history",             # r4 rotation in (was orc_scan_roundtrip)
+    "ml_decision_stump_gini",       # r5 continuation rotation in (was
+    # cdc_scd2_history, r4-green; CDC keeps cdc_merge_full in the first 50)
+    # — exact Gini tree induction over the combinable histogram
     "string_funcs_part",
     "global_row_number_two_pass",   # r5 rotation in (was knn_lsh_recall, rows-only
     # driver signal; the recall instrumentation stays registered + benched)

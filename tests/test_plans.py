@@ -562,3 +562,53 @@ def test_asof_directions_single_shuffle_aggregate(spark):
     )
     assert n_joins == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_hll_register_build_is_partial_final_aggregate(spark):
+    """The HLL build's only data-sized work is the (grp, bucket) register
+    aggregate — partial+final (map-side combine), no Window, and the
+    merge/grid stages join only register-table-sized inputs (the grid side
+    is broadcast)."""
+    df = registry.QUERIES["sketch_hll_exact_registers"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The probe side never shuffles against the filter: the <= m-row bit
+    set is broadcast (1 KB at any key count)."""
+    df = registry.QUERIES["sketch_bloom_membership"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stump_histogram_is_combinable_no_data_window(spark):
+    """The stump's data-sized work is ONE map-side-combinable histogram
+    aggregate; the prefix-sum window runs over the fixed-width bucket
+    table only (downstream of the aggregate, never over base rows)."""
+    df = registry.QUERIES["ml_decision_stump_gini"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    # TakeOrderedAndProject (limit 1 after orderBy), never a global Sort.
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_iblt_build_is_combinable_aggregate(spark):
+    """Each replica's cell build is a partial+final aggregate (count +
+    two bit_xor's are all combinable); no Window, no cartesian product
+    anywhere in the decode."""
+    df = registry.QUERIES["sketch_iblt_diff"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jaccard_link_prediction_degree_joins_broadcast(spark):
+    """Both endpoint degree lookups are broadcast — the wedge join is the
+    only data-sized shuffle."""
+    df = registry.QUERIES["graph_link_prediction_jaccard"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
