@@ -24,8 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
+
+_FH_SEED = chain_seed("fh")
 
 
 @query(
@@ -471,4 +474,65 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("back_day").isNotNull()
             & (F.col("anchor_day") - F.col("back_day") <= 30)
         ).alias("back_within_30d"),
+    )
+
+
+@query(
+    "feature_hashing_trick",
+    # The hashing trick (Weinberger et al. 2009): token t contributes
+    # sign(h) to dimension h mod D, D fixed at 64 — the unbounded
+    # vocabulary maps to a FIXED feature width with no dictionary to
+    # build, ship, or keep consistent across 100 TB of shards. Sign from
+    # the hash's top bit (unbiased, and what cancels collision noise in
+    # expectation). Cross-engine exact via the xxh64 macros:
+    # Spark xxhash64(lit('fh'), tok) == xxh64_u(tok, chain_seed('fh')).
+    oracle=XXH64_MACROS
+    + f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               (xxh64_u(encode(tok), {_FH_SEED}::UBIGINT) % 64)::INT AS dim,
+               CASE WHEN (xxh64_u(encode(tok), {_FH_SEED}::UBIGINT) >> 63) = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks
+    )
+    SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS value
+    FROM hashed GROUP BY doc_id, dim
+    HAVING sum(sgn) != 0
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words features, D=64, signed: the sparse (doc_id,
+    dim, value) triples a linear model trains on without any vocabulary
+    coordination — the dictionary-free encoder that makes streaming /
+    multi-shard featurization embarrassingly parallel (no broadcast
+    vocab, no OOV bucket). Token OCCURRENCES count (term frequency), not
+    distinct tokens; zero-sum dims are dropped as in any sparse format.
+
+    Exactness: dim = pmod(hash, 64) and sign = top hash bit are pure
+    integer functions of xxhash64, replayed by the DuckDB macros. The
+    unsigned hash mod 64 equals Spark's pmod on the signed value because
+    2^64 is divisible by 64 (the same power-of-two argument the Bloom/
+    IBLT positions rely on via explicit pmod). One explode + one
+    combinable (doc, dim) aggregate — no joins, no windows."""
+    from ..functions.shingles import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    h = F.xxhash64(F.lit("fh"), F.col("tok"))
+    hashed = d.select(
+        "doc_id",
+        F.pmod(h, F.lit(64)).cast("int").alias("dim"),
+        F.when(F.shiftrightunsigned(h, 63) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("value"))
+        .filter(F.col("value") != 0)
     )

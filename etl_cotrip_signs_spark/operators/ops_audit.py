@@ -951,3 +951,113 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div benford_ppm AS BIGINT)"
         ).alias("chi2_ppm"),
     )
+
+
+@query(
+    "privacy_t_closeness",
+    # t-closeness (Li/Li/Venkatasubramanian 2007): each quasi-identifier
+    # cell's sensitive-attribute distribution must sit within EMD <= t of
+    # the GLOBAL distribution. Over the m=3 ORDERED balance bands the EMD
+    # is sum(|cum_cell - cum_global|)/(m-1) at the m-1 interior cut
+    # points; the last cut always cancels (cum = 1 on both sides), so two
+    # cross-multiplied integer terms |c_j*N - C_j*n| remain. Products are
+    # DECIMAL(38,0) Spark-side / HUGEINT oracle-side per the r5
+    # overflow-review rule (BIGINT wraps near rowcount^2 at large SF; and
+    # DuckDB's // on DECIMAL rounds where HUGEINT // truncates — probed
+    # here: 66667 vs the correct 66666); Spark DECIMAL div = HUGEINT //.
+    oracle="""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 0
+                    WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS band
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               sum(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS c1
+        FROM base GROUP BY c_nationkey, c_mktsegment
+    ),
+    gtot AS (
+        SELECT count(*) AS nn,
+               sum(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS g0,
+               sum(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS g1
+        FROM base
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, CAST(c.n AS BIGINT) AS n_rows,
+           CAST(1000000::HUGEINT
+                * (abs(CAST(c.c0 AS HUGEINT) * g.nn
+                       - CAST(g.g0 AS HUGEINT) * c.n)
+                   + abs(CAST(c.c1 AS HUGEINT) * g.nn
+                         - CAST(g.g1 AS HUGEINT) * c.n))
+                // (2::HUGEINT * c.n * g.nn) AS BIGINT) AS emd_ppm,
+           CAST(CASE WHEN 1000000::HUGEINT
+                * (abs(CAST(c.c0 AS HUGEINT) * g.nn
+                       - CAST(g.g0 AS HUGEINT) * c.n)
+                   + abs(CAST(c.c1 AS HUGEINT) * g.nn
+                         - CAST(g.g1 AS HUGEINT) * c.n))
+                // (2::HUGEINT * c.n * g.nn) > 200000
+                THEN 1 ELSE 0 END AS INT) AS violates_t20
+    FROM cells c, gtot g
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate — the third rung of the privacy ladder
+    (k-anonymity bounds cell SIZE, l-diversity bounds sensitive VARIETY,
+    t-closeness bounds the sensitive DISTRIBUTION's drift from global, so
+    a cell can't leak through skew alone). Sensitive attribute = the
+    ordered neg/mid/high balance bands; distance = exact Earth Mover's
+    Distance over the ordered bands via the cross-multiplied cumulative
+    identity (the drift_tvd_events integer discipline applied to EMD).
+    Emits per-cell EMD in ppm and the t=0.2 verdict.
+
+    Scale: one combinable groupBy for the cells + a broadcast 1-row
+    global — the audit costs the same as any rollup; no per-row work
+    follows the aggregate."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, F.lit(0))
+        .when(F.col("c_acctbal") < 5000, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("band"),
+    )
+    cum = [
+        F.sum(F.when(F.col("band") <= j, 1).otherwise(0)).alias(f"c{j}")
+        for j in range(2)
+    ]
+    cells = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), *cum
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("nn"),
+        *[
+            F.sum(F.when(F.col("band") <= j, 1).otherwise(0)).alias(f"g{j}")
+            for j in range(2)
+        ],
+    )
+    d38 = "decimal(38,0)"
+    joined = cells.crossJoin(F.broadcast(glob))
+    num = F.abs(
+        F.col("c0").cast(d38) * F.col("nn") - F.col("g0").cast(d38) * F.col("n")
+    ) + F.abs(
+        F.col("c1").cast(d38) * F.col("nn") - F.col("g1").cast(d38) * F.col("n")
+    )
+    emd_ppm = F.expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * num div "
+        "(CAST(2 AS DECIMAL(38,0)) * n * nn)"
+    )
+    return (
+        joined.withColumn("num", num)
+        .withColumn("emd_ppm", emd_ppm.cast("long"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n_rows"),
+            "emd_ppm",
+            F.when(F.col("emd_ppm") > 200000, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("violates_t20"),
+        )
+    )
