@@ -1,11 +1,15 @@
 """Arrow-native + polymorphic Python UDF surface [EXT — engine surface
 breadth]:
 ``mapInArrow``, the fourth vectorized-Python flavor (after pandas_udf,
-mapInPandas, applyInPandas — all exercised elsewhere). mapInArrow hands
-the raw Arrow RecordBatch to Python with NO pandas conversion — for
+mapInPandas, applyInPandas — all exercised elsewhere), and
+``applyInArrow`` (Spark 4's grouped-Arrow kernels), the fifth. mapInArrow
+hands the raw Arrow RecordBatch to Python with NO pandas conversion — for
 nested/list columns that matters: pandas materializes each list cell as
 a Python object (one allocation per row), while the Arrow ListArray is
 two flat buffers (values + offsets) that numpy can process zero-copy.
+Plus the UDTF polymorphism ladder: fixed schema (signs_udtf_pipeline),
+TABLE argument (udtf_table_arg_stats), and analyze()-derived dynamic
+schema (udtf_analyze_dynamic_schema).
 """
 
 from __future__ import annotations
@@ -164,5 +168,148 @@ def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             TABLE(SELECT c_mktsegment, c_acctbal FROM customer_for_udtf)
             PARTITION BY c_mktsegment
         )
+        """
+    )
+
+
+@query(
+    "arrow_grouped_norm_ppm",
+    # applyInArrow — the FIFTH vectorized-Python flavor (Spark 4 adds
+    # grouped Arrow kernels beside pandas_udf / mapInPandas /
+    # applyInPandas / mapInArrow): each language's document lengths
+    # min-max normalized to ppm, all integer arithmetic inside pyarrow
+    # compute (truncating int64 division on non-negative operands ==
+    # DuckDB's // == Spark's div). The oracle is the window formulation —
+    # a DIFFERENT algorithm shape (two window passes vs one grouped
+    # kernel), same hash.
+    oracle="""
+    SELECT lang, doc_id,
+           CAST(CASE WHEN mx = mn THEN 0
+                     ELSE 1000000 * (n_chars - mn) // (mx - mn)
+                END AS BIGINT) AS norm_ppm
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               min(n_chars) OVER (PARTITION BY lang) AS mn,
+               max(n_chars) OVER (PARTITION BY lang) AS mx
+        FROM documents
+    )
+    """,
+)
+def arrow_grouped_norm_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language min-max normalization of document length in exact ppm
+    via ``groupBy().applyInArrow`` — the grouped-Arrow surface exercised
+    end to end. The kernel sees the whole group as ONE pa.Table (no
+    pandas object materialization) and runs three pyarrow-compute vector
+    ops; the degenerate one-length group maps to 0 by contract.
+
+    Scale note: applyInArrow shuffles each group to one task like
+    applyInPandas — right when groups are bounded (languages), wrong for
+    unbounded keys; the window-formulated oracle shape is what the
+    planner would pick there."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(table: "pa.Table") -> "pa.Table":
+        n = table.column("n_chars")
+        mn = pc.min(n).as_py()
+        mx = pc.max(n).as_py()
+        if mx == mn:
+            norm = pa.array([0] * len(table), pa.int64())
+        else:
+            scaled = pc.multiply(
+                pc.subtract(n, pa.scalar(mn, pa.int64())),
+                pa.scalar(1_000_000, pa.int64()),
+            )
+            norm = pc.divide(scaled, pa.scalar(mx - mn, pa.int64()))
+        return pa.table(
+            {
+                "lang": table.column("lang"),
+                "doc_id": table.column("doc_id"),
+                "norm_ppm": norm,
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return d.groupBy("lang").applyInArrow(
+        kernel, schema="lang string, doc_id bigint, norm_ppm bigint"
+    )
+
+
+@query(
+    "udtf_analyze_dynamic_schema",
+    # UDTF with a static analyze() deciding the OUTPUT SCHEMA from a
+    # literal argument at plan time (Spark 4 polymorphic UDTFs): a
+    # mini CSV parser whose column names/types are an argument string.
+    # The round trip nation -> csv line -> typed UDTF parse is verified
+    # against the original parquet table.
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-polymorphic UDTF: ``analyze()`` receives the literal
+    schema-string argument at PLAN time and returns the output StructType
+    derived from it — one parser UDTF serves any column layout without
+    code changes (the Spark 4 analyze contract; the fixed-schema and
+    TABLE-argument UDTF forms are exercised by signs_udtf_pipeline and
+    udtf_table_arg_stats). The non-literal line argument arrives in
+    analyze() with value=None, which is exactly the split the contract
+    specifies: schema from literals, data per row into eval()."""
+    from pyspark.sql.functions import udtf
+
+    # analyze() runs in a schema-inference worker with NO SparkContext, so
+    # StructType.fromDDL (which round-trips through the JVM parser) is
+    # unavailable there — the mini DDL grammar is parsed by hand.
+    def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+        return [
+            (n.strip(), t.strip().lower())
+            for n, t in (f.strip().split(None, 1) for f in ddl.split(","))
+        ]
+
+    @udtf
+    class ParseDelim:
+        @staticmethod
+        def analyze(line, schema_str):
+            from pyspark.sql.types import (
+                IntegerType,
+                LongType,
+                StringType,
+                StructType,
+            )
+            from pyspark.sql.udtf import AnalyzeResult
+
+            types = {"int": IntegerType(), "bigint": LongType(),
+                     "string": StringType()}
+            st = StructType()
+            for name, typ in _ddl_fields(schema_str.value):
+                st = st.add(name, types[typ])
+            return AnalyzeResult(schema=st)
+
+        def eval(self, line, schema_str):
+            # eval() receives the PLAIN literal value — the
+            # AnalyzeArgument wrapper exists only at analyze() time.
+            fields = _ddl_fields(schema_str)
+            parts = line.split("\x1f")
+            yield tuple(
+                int(raw) if typ in ("int", "bigint") else raw
+                for raw, (_n, typ) in zip(parts, fields)
+            )
+
+    spark.udtf.register("parse_delim", ParseDelim)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT p.n_nationkey, p.n_name, p.n_regionkey
+        FROM (SELECT concat_ws('\x1f', n_nationkey, n_name, n_regionkey)
+                  AS line
+              FROM nation_for_udtf) src,
+        LATERAL parse_delim(
+            src.line,
+            'n_nationkey int, n_name string, n_regionkey int') p
         """
     )
