@@ -1166,3 +1166,72 @@ def stream_pipeline_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("active_us").cast("long").alias("total_active_us"),
     )
+
+
+@query(
+    "stream_datasource_writer_sink",
+    # Final state through the custom Python streaming sink == the batch
+    # aggregate over the source — any loss, duplication, or uncommitted
+    # staging file leaking into the read-back flips counts or sums.
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write through a CUSTOM Python Data Source
+    (DataSourceStreamWriter) — the fourth quadrant of the connector
+    surface (batch/stream x read/write; the other three are exercised by
+    the REST source family and the batch signs sink). Each micro-batch
+    two-phase commits: tasks stage JSONL under unique names, commit()
+    publishes a per-batch manifest, and the read-back consumes ONLY
+    manifest-listed files — a replayed batch re-stages but overwrites the
+    same manifest, so exactly-once falls out of the protocol rather than
+    the storage. Values are floored to integer cents BEFORE the sink so
+    the JSONL round trip carries no float-text ambiguity."""
+    import shutil
+
+    from ..session import scratch_dir
+    from ..sinks.stream_jsonl import (
+        HAS_STREAM_WRITER,
+        JsonlStreamSinkDataSource,
+        committed_files,
+    )
+
+    ensure_confs(spark)
+    if not HAS_STREAM_WRITER:  # pragma: no cover - runtime capability gate
+        return spark.createDataFrame(
+            [("WAIVER: pyspark lacks DataSourceStreamWriter", 0, 0)],
+            "event_type string, n_events long, sum_cents long",
+        )
+    spark.dataSource.register(JsonlStreamSinkDataSource)
+    base = scratch_dir("stream_ds_sink", sf_dir)
+    out_dir = f"{base}/data"
+    ckpt_dir = f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    e = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        e.writeStream.format("jsonl_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.schema(
+        "event_id string, event_type string, cents long"
+    ).json(committed_files(out_dir))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

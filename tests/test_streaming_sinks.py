@@ -256,3 +256,34 @@ def test_stream_left_join_supersets_inner(spark):
     assert (unmatched["purchase_s"] <= max_s - 1800 - 3600 + 1).all()
     # and no purchase may appear both matched and unmatched
     assert not set(matched["purchase_id"]) & set(unmatched["purchase_id"])
+
+
+def test_stream_datasource_writer_manifest_gates_reads(spark):
+    """Exactly-once falls out of the manifest protocol: staged files not
+    listed in a per-batch manifest (a crashed/replayed task's leftovers)
+    are invisible to the committed read-back."""
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.session import scratch_dir
+    from etl_cotrip_signs_spark.sinks.stream_jsonl import committed_files
+
+    registry.load_all()
+    before = registry.QUERIES["stream_datasource_writer_sink"](
+        spark, SF_SMALL
+    ).toPandas()
+    out_dir = f"{scratch_dir('stream_ds_sink', SF_SMALL)}/data"
+    committed = set(committed_files(out_dir))
+    staged = set(glob.glob(f"{out_dir}/staged_*.jsonl"))
+    assert committed and committed <= staged
+    # Plant an orphan staging file (what an aborted task leaves behind).
+    orphan = os.path.join(out_dir, "staged_deadbeefdead.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"event_id": "x", "event_type": "view", "cents": 1}\n')
+    assert orphan not in set(committed_files(out_dir))
+    # Re-reading through the manifests reproduces the same aggregate.
+    back = (
+        spark.read.schema("event_id string, event_type string, cents long")
+        .json(committed_files(out_dir))
+        .groupBy("event_type")
+        .count()
+    ).toPandas()
+    assert int(back["count"].sum()) == int(before.n_events.sum())
