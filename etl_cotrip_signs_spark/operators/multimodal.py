@@ -191,3 +191,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_idx", "frame_hash"),
     )
+
+
+@query(
+    "multimodal_patch_grid",
+    # ViT-style patchification PLAN (Dosovitskiy et al. 2020 — public
+    # paper): pad each image up to multiples of the 16px patch, count the
+    # patch grid, and compute the byte offset of the LAST patch's top-left
+    # corner in the row-major RGB layout — the gather arithmetic a decode
+    # kernel executes, checkable without any codec. All integer ceil-div
+    # via (x + 15) div 16.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               64 + doc_id % 192       AS width,
+               64 + (doc_id * 7) % 192 AS height
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((width + 15) // 16 AS BIGINT)  AS patches_x,
+           CAST((height + 15) // 16 AS BIGINT) AS patches_y,
+           CAST(((width + 15) // 16) * ((height + 15) // 16) AS BIGINT)
+               AS n_patches,
+           CAST(((width + 15) // 16) * ((height + 15) // 16) + 1 AS BIGINT)
+               AS seq_len_cls,
+           CAST(((width + 15) // 16) * 16 - width AS BIGINT)  AS pad_right,
+           CAST(((height + 15) // 16) * 16 - height AS BIGINT) AS pad_bottom,
+           CAST(3 * ((((height + 15) // 16) - 1) * 16
+                     * (((width + 15) // 16) * 16)
+                     + (((width + 15) // 16) - 1) * 16) AS BIGINT)
+               AS last_patch_offset
+    FROM m
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patchification plan over blob METADATA only — the Spark-side
+    arithmetic of a ViT tokenizer: ceil-div patch grid, CLS-extended
+    sequence length, padding amounts, and the row-major RGB byte offset
+    of the last patch's top-left corner (3 * (row * padded_width + col)).
+    Like multimodal_metadata, no payload is touched — the plan is what a
+    decode kernel (stubbed in this container, multimodal_decode_stub)
+    consumes per batch; at 100 TB the plan columns ride the metadata
+    scan while payload bytes stay in object storage until the gather."""
+    b = blobs(spark, sf_dir)
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    px = F.expr("(meta.width + 15) div 16").cast("long")
+    py = F.expr("(meta.height + 15) div 16").cast("long")
+    return b.select(
+        "doc_id",
+        px.alias("patches_x"),
+        py.alias("patches_y"),
+        (px * py).alias("n_patches"),
+        (px * py + 1).alias("seq_len_cls"),
+        (px * 16 - w).alias("pad_right"),
+        (py * 16 - h).alias("pad_bottom"),
+        (3 * ((py - 1) * 16 * (px * 16) + (px - 1) * 16)).alias(
+            "last_patch_offset"
+        ),
+    )
