@@ -20,11 +20,13 @@ builtin estimators can't be.
   HLL estimate is alpha_m * m^2 * 2^59 / sum(pow2_term) — one final float
   division away, with every input to it hash-pinned exact.
 - ``sketch_bloom_membership``: a k=3, m=8192-bit Bloom filter over the
-  custkeys present in orders, probed with every customer. Bit positions
-  are pmod(xxhash64('b<i>', key), m) — the chained-literal-seed idiom the
-  simhash oracle pinned. Output is the full probe table (hit flag beside
-  ground truth), so the no-false-negative invariant AND the exact
-  false-positive set are both inside the hash.
+  custkeys present in orders, probed with every p_partkey (a probe set
+  that overlaps the keys but extends past them — absent probes exist).
+  Bit positions are pmod(xxhash64('b<i>', key), m) — the
+  chained-literal-seed idiom the simhash oracle pinned. Output is the
+  full probe table (hit flag beside ground truth), so the
+  no-false-negative invariant AND the exact false-positive set are both
+  inside the hash.
 - ``sketch_iblt_diff``: Invertible Bloom Lookup Table reconciliation —
   two replicas each build a fixed 2048-cell sketch; subtracting and
   peeling recovers the exact symmetric difference of the key sets.

@@ -956,3 +956,179 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("conv_id").cast("long").alias("n_conversions"),
         F.sum("credit_ppm").cast("long").alias("credit_ppm_total"),
     )
+
+
+@query(
+    "orders_lttb_downsample",
+    # Largest-Triangle-Three-Buckets (Steinarsson 2013 — the published
+    # dashboard downsampler): keep first + last, split interior points
+    # into 60 index buckets, and per bucket keep the point maximizing the
+    # triangle area with the PREVIOUSLY KEPT point and the NEXT bucket's
+    # centroid. The centroid's sum/count division is cleared by
+    # multiplying the area through by cnt_next, so the comparison is the
+    # exact integer |(x_p*c - sx)*(y_cand - y_p) - (x_p - x_cand)*(sy -
+    # y_p*c)| (HUGEINT oracle-side, python int kernel-side); ties break
+    # to the earliest day. The sequential prev-point dependency makes
+    # this the recursive-CTE + NOT-EXISTS-argmax shape, one row per step.
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_num,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    n_t AS (SELECT count(*) AS n FROM daily),
+    firstp AS (SELECT day_num, cents FROM daily ORDER BY day_num LIMIT 1),
+    lastp AS (SELECT day_num, cents FROM daily ORDER BY day_num DESC LIMIT 1),
+    interior AS (
+        SELECT day_num, cents,
+               row_number() OVER (ORDER BY day_num) - 1 AS idx
+        FROM daily
+        WHERE day_num > (SELECT day_num FROM firstp)
+          AND day_num < (SELECT day_num FROM lastp)
+    ),
+    cand AS (
+        SELECT day_num, cents,
+               (idx * 60) // (SELECT count(*) FROM interior) AS bucket
+        FROM interior
+    ),
+    bstats AS (
+        SELECT bucket, count(*) AS cnt, sum(day_num) AS sx, sum(cents) AS sy
+        FROM cand GROUP BY bucket
+    ),
+    nstats AS (
+        SELECT b.bucket,
+               CASE WHEN b.bucket < 59 THEN nb.cnt ELSE 1 END AS cnt,
+               CASE WHEN b.bucket < 59 THEN nb.sx
+                    ELSE (SELECT day_num FROM lastp) END AS sx,
+               CASE WHEN b.bucket < 59 THEN nb.sy
+                    ELSE (SELECT cents FROM lastp) END AS sy
+        FROM bstats b LEFT JOIN bstats nb ON nb.bucket = b.bucket + 1
+    ),
+    sel AS (
+        SELECT CAST(0 AS BIGINT) AS i, day_num, cents FROM firstp
+        UNION ALL
+        SELECT s.i + 1, c.day_num, c.cents
+        FROM sel s
+        JOIN cand c ON c.bucket = s.i
+        JOIN nstats ns ON ns.bucket = s.i
+        WHERE s.i < 60
+          AND NOT EXISTS (
+            SELECT 1 FROM cand c2
+            WHERE c2.bucket = s.i AND (
+              abs((s.day_num::HUGEINT * ns.cnt - ns.sx)
+                      * (c2.cents - s.cents)
+                  - (s.day_num - c2.day_num)::HUGEINT
+                      * (ns.sy - s.cents::HUGEINT * ns.cnt))
+              > abs((s.day_num::HUGEINT * ns.cnt - ns.sx)
+                        * (c.cents - s.cents)
+                    - (s.day_num - c.day_num)::HUGEINT
+                        * (ns.sy - s.cents::HUGEINT * ns.cnt))
+              OR (abs((s.day_num::HUGEINT * ns.cnt - ns.sx)
+                          * (c2.cents - s.cents)
+                      - (s.day_num - c2.day_num)::HUGEINT
+                          * (ns.sy - s.cents::HUGEINT * ns.cnt))
+                  = abs((s.day_num::HUGEINT * ns.cnt - ns.sx)
+                            * (c.cents - s.cents)
+                        - (s.day_num - c.day_num)::HUGEINT
+                            * (ns.sy - s.cents::HUGEINT * ns.cnt))
+                  AND c2.day_num < c.day_num)
+            )
+          )
+    )
+    SELECT i AS step, day_num, cents FROM sel
+    WHERE (SELECT n FROM n_t) > 62
+    UNION ALL
+    SELECT CAST(61 AS BIGINT) AS step, day_num, cents FROM lastp
+    WHERE (SELECT n FROM n_t) > 62
+    UNION ALL
+    SELECT row_number() OVER (ORDER BY day_num) - 1 AS step, day_num, cents
+    FROM daily WHERE (SELECT n FROM n_t) <= 62
+    """,
+)
+def orders_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of the daily-revenue series to 62 points — the
+    monitoring/dashboard reducer that preserves visual shape (spikes and
+    inflections survive; uniform striding would erase them). Exact
+    integers end to end: the next-bucket centroid division is cleared by
+    cross-multiplying the triangle area with the bucket count, ties break
+    to the earliest day.
+
+    Scale shape: the daily rollup is the only data-sized aggregate; the
+    prev-point recursion runs as ONE applyInPandas task over the
+    calendar-bounded day table (the orders_holt_linear discipline — at
+    100 TB one such task per series id, all parallel). The oracle replays
+    the same selection as a recursive CTE whose argmax is a NOT EXISTS
+    anti-condition, one selected row per step."""
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day_num")
+        .agg(F.sum("c").alias("cents"))
+    )
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_num").reset_index(drop=True)
+        pts = [(int(d), int(c)) for d, c in zip(pdf.day_num, pdf.cents)]
+        n = len(pts)
+        if n <= 62:
+            return pd.DataFrame(
+                {
+                    "step": range(n),
+                    "day_num": [p[0] for p in pts],
+                    "cents": [p[1] for p in pts],
+                }
+            )
+        first, last = pts[0], pts[-1]
+        interior = pts[1:-1]
+        n_int = len(interior)
+        buckets: list[list[tuple[int, int]]] = [[] for _ in range(60)]
+        for idx, p in enumerate(interior):
+            buckets[idx * 60 // n_int].append(p)
+        out = [first]
+        prev = first
+        for b in range(60):
+            if b < 59:
+                nxt = buckets[b + 1]
+                cnt, sx, sy = (
+                    len(nxt),
+                    sum(p[0] for p in nxt),
+                    sum(p[1] for p in nxt),
+                )
+            else:
+                cnt, sx, sy = 1, last[0], last[1]
+            xp, yp = prev
+
+            def area2c(p: tuple[int, int]) -> int:
+                return abs(
+                    (xp * cnt - sx) * (p[1] - yp)
+                    - (xp - p[0]) * (sy - yp * cnt)
+                )
+
+            best = max(buckets[b], key=lambda p: (area2c(p), -p[0]))
+            out.append(best)
+            prev = best
+        out.append(last)
+        return pd.DataFrame(
+            {
+                "step": range(len(out)),
+                "day_num": [p[0] for p in out],
+                "cents": [p[1] for p in out],
+            }
+        )
+
+    return (
+        daily.groupBy(F.lit(0).alias("__series"))
+        .applyInPandas(
+            lambda _k, pdf: lttb(pdf),
+            schema="step long, day_num long, cents long",
+        )
+        .select("step", "day_num", "cents")
+    )
