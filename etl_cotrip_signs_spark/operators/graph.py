@@ -1062,3 +1062,96 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.join(pairs, ["name_a", "name_b"], "left_anti").select(
         "name_a", "name_b", "n_common", "jaccard_ppm"
     )
+
+
+@query(
+    "graph_components_hashmin_jump",
+    # Same unique fixpoint as any CC algorithm — every node labeled with
+    # its component's MIN name — so the oracle is the recursive-CTE
+    # closure over the shared del1 pair CTE, independent of how many
+    # rounds the Spark side needed.
+    oracle=f"""
+    WITH RECURSIVE {_LPA_PAIRS},
+    reach(node, label) AS (
+        SELECT n, n FROM names
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN sym e ON r.node = e.s
+    )
+    SELECT node AS name, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def graph_components_hashmin_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via hash-to-min + POINTER JUMPING (the
+    published O(log n)-round MapReduce CC family, Rastogi et al. 2012 /
+    Kiveris et al. 2014) — the algorithmic complement to the O(diameter)
+    min-label propagation in ``connected_components``: each round every
+    node takes the min label over its neighborhood AND THEN jumps through
+    its label's own label (lbl(v) <- lbl(lbl(v))), so label chains halve
+    per round.
+
+    The del1 name graph is exactly the case that justifies it: the
+    fixture's digit-serial names chain transitively into ONE component of
+    every name (the high-diameter over-merge entity_resolution's blocking
+    exists to prevent) — min-label alone would need ~n rounds here;
+    hash-to-min + jumping converges in ~log2(n). The fixpoint (component
+    = min name) is unique, so the result is independent of the round
+    count and both engines agree regardless of convergence path. Rounds
+    iterate over the edge-incident label table only (eagerly checkpointed
+    per round, metadata-scale driver check per round)."""
+    from .text import fuzzy_join_del1
+
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("node"))
+        .distinct()
+    )
+    pairs = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select("name_a", "name_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(
+        F.col("name_a").alias("s"), F.col("name_b").alias("d")
+    ).union(pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d")))
+    lbl = names.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    for _round in range(64):
+        nbr = sym.join(lbl, sym.s == lbl.node).select(
+            F.col("d").alias("node"), F.col("lbl")
+        )
+        cand = (
+            lbl.select("node", "lbl")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl1"))
+        )
+        # Pointer jump: follow the label's own label. Labels are always
+        # node names (min over a set of names), so the lookup join always
+        # matches; coalesce is a pure-defense guard.
+        jump = cand.select(
+            F.col("node").alias("lbl1"), F.col("lbl1").alias("lbl2")
+        )
+        new_lbl = (
+            cand.join(jump, "lbl1", "left")
+            .select(
+                "node", F.coalesce("lbl2", "lbl1").alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_lbl.alias("n")
+            .join(lbl.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = new_lbl
+        if changed == 0:
+            break
+    else:  # pragma: no cover - stall guard, same policy as hierarchy op
+        raise RuntimeError(
+            "hash-to-min CC failed to converge in 64 rounds — "
+            "label graph is not shrinking"
+        )
+    return lbl.select(F.col("node").alias("name"), F.col("lbl").alias("component"))

@@ -311,3 +311,69 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("min_k"))
     )
+
+
+@query(
+    "scalars_try_arithmetic",
+    # Spark 4 runs ANSI mode ON by default: bare division by zero or a
+    # LONG overflow now RAISES instead of returning NULL/wrapping. The
+    # try_* family is the sanctioned per-expression escape hatch — errors
+    # become NULL without disabling ANSI globally. DuckDB raises on /0 and
+    # overflow too, so the oracle builds the same NULL semantics from
+    # guards (NULLIF, magnitude check), proving the try_* results equal
+    # the guarded definitions.
+    oracle="""
+    SELECT l_linenumber,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN CAST(floor(l_extendedprice * 100) AS BIGINT)
+                              / NULLIF(l_quantity - 25, 0) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+           CAST(sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         // NULLIF(CAST(l_quantity - 25 AS BIGINT), 0)
+                    IS NULL AS INT)) AS BIGINT) AS n_div_null_int,
+           CAST(sum(CASE WHEN abs(CAST(l_partkey AS BIGINT))
+                              > 3037000499 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mul_null
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def scalars_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: Spark 4 defaults to
+    spark.sql.ansi.enabled=true, so x/0 raises DIVIDE_BY_ZERO and a LONG
+    multiply overflow raises ARITHMETIC_OVERFLOW mid-query — fatal for a
+    100 TB job 3 hours in. try_divide / try_multiply turn exactly those
+    rows into NULL. This query counts the NULLs try_* produces per
+    lineitem group (a denominator that hits zero at l_quantity = 25, and
+    a squared partkey that would overflow iff |partkey| > floor(sqrt(2^63
+    - 1)) = 3037000499 — never on this fixture, pinning the count at 0);
+    the oracle reproduces the same counts from guarded expressions, so a
+    semantic drift in either engine's error paths flips the hash."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("l_quantity") - 25).alias("den"),
+        F.col("l_partkey").cast("long").alias("pk"),
+    )
+    return li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.expr("try_divide(cents, den)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(
+            F.expr("CAST(try_divide(cents, CAST(den AS BIGINT)) IS NULL AS INT)")
+        )
+        .cast("long")
+        .alias("n_div_null_int"),
+        # pk*pk overflows LONG iff |pk| > floor(sqrt(2^63 - 1)) — the
+        # oracle counts that same inequality, so the two sides agree at
+        # ANY scale factor (a pk^3 variant would diverge once partkeys
+        # pass 2_097_151).
+        F.sum(
+            F.when(F.expr("try_multiply(pk, pk)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mul_null"),
+    )
