@@ -435,6 +435,24 @@ DRIVER_ORDER: list[str] = [
     "join_broadcast_brand_revenue",  # r5 late rotation out of the first 50 (green r1-r4)
     "graph_triangle_count",          # r5 late rotation out of the first 50 (green r4)
     "events_anomaly_iqr",            # r5 late rotation out of the first 50 (green r4)
+    # --- round-5 continuation-2 waves (oracle unless noted) ---
+    "sketch_bloom_membership",       # r5c2: deterministic Bloom filter, FP set in-hash
+    "xml_scan_roundtrip",            # r5c2: Spark 4 native XML datasource
+    "partition_overwrite_dynamic",   # r5c2: dynamic partition overwrite semantics
+    "graph_link_prediction_jaccard", # r5c2: neighborhood-Jaccard baseline
+    "privacy_t_closeness",           # r5c2: exact-EMD release gate
+    "feature_hashing_trick",         # r5c2: dictionary-free hashed features
+    "arrow_grouped_norm_ppm",        # r5c2: applyInArrow grouped kernels
+    "udtf_analyze_dynamic_schema",   # r5c2: analyze()-polymorphic UDTF
+    "stream_datasource_writer_sink", # r5c2: streaming Python DataSource writer
+    "multimodal_patch_grid",         # r5c2: ViT patchification plan
+    "parquet_codec_roundtrip",       # r5c2: zstd codec axis
+    "orders_lttb_downsample",        # r5c2: LTTB dashboard downsampling
+    "scalars_try_arithmetic",        # r5c2: ANSI try_* error-path pins
+    "graph_components_hashmin_jump", # r5c2: O(log n) pointer-jumping CC
+    "events_rollup_two_level",       # r5c2 rotation out of the first 50 (green r4)
+    "q2_min_cost_supplier",          # r5c2 rotation out of the first 50 (green r4)
+    "cdc_scd2_history",              # r5c2 rotation out of the first 50 (green r4)
 ]
 
 
