@@ -1064,6 +1064,58 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def hashmin_jump_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Hash-to-min + pointer-jumping CC loop over (node) / (name_a, name_b)
+    frames; returns (node, lbl). Labels are node values, fixpoint = the
+    component's min node — unique, so results are round-count-independent.
+    Each round is eagerly checkpointed; the per-round driver action is a
+    metadata-scale changed-count. Shared by graph_components_hashmin_jump
+    and the Borůvka MSF contraction step."""
+    sym = pairs.select(
+        F.col("name_a").alias("s"), F.col("name_b").alias("d")
+    ).union(pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d")))
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    for _round in range(max_rounds):
+        nbr = sym.join(lbl, sym.s == lbl.node).select(
+            F.col("d").alias("node"), F.col("lbl")
+        )
+        cand = (
+            lbl.select("node", "lbl")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl1"))
+        )
+        # Pointer jump: follow the label's own label. Labels are always
+        # node values (min over a set of nodes), so the lookup join always
+        # matches; coalesce is a pure-defense guard.
+        jump = cand.select(
+            F.col("node").alias("lbl1"), F.col("lbl1").alias("lbl2")
+        )
+        new_lbl = (
+            cand.join(jump, "lbl1", "left")
+            .select("node", F.coalesce("lbl2", "lbl1").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_lbl.alias("n")
+            .join(lbl.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = new_lbl
+        if changed == 0:
+            break
+    else:  # pragma: no cover - stall guard, same policy as hierarchy op
+        raise RuntimeError(
+            "hash-to-min CC failed to converge — label graph is not shrinking"
+        )
+    return lbl
+
+
 @query(
     "graph_components_hashmin_jump",
     # Same unique fixpoint as any CC algorithm — every node labeled with
@@ -1111,47 +1163,206 @@ def graph_components_hashmin_jump(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("name_a", "name_b")
         .localCheckpoint(eager=True)
     )
-    sym = pairs.select(
-        F.col("name_a").alias("s"), F.col("name_b").alias("d")
-    ).union(pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d")))
-    lbl = names.select("node", F.col("node").alias("lbl")).localCheckpoint(
+    lbl = hashmin_jump_components(names, pairs)
+    return lbl.select(F.col("node").alias("name"), F.col("lbl").alias("component"))
+
+
+# Spanning-forest probe graph: a deterministic 1/23 subset of the geo point
+# cloud under a wider radius than geo_distance_join, so components are rich
+# enough to force real Borůvka merge rounds while the Kruskal oracle's
+# label-list recursion stays fixture-tractable (edges x nodes list cells).
+_MSF_RADIUS_MILLI = 5000
+_MSF_POINTS_SQL = """
+points AS (
+    SELECT o_orderkey AS id,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100000 AS xm,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))
+                AS BIGINT) % 100000 AS ym
+    FROM orders WHERE o_orderkey % 23 = 0
+)
+"""
+
+
+@query(
+    "graph_minimum_spanning_forest",
+    # The oracle is KRUSKAL under the strict total edge order (w, u, v):
+    # a recursive CTE walks the sorted edge list carrying the component
+    # labels as a LIST column (the pack_sequences_greedy discipline), and
+    # an edge is in the forest iff its endpoints' labels differ at its
+    # step. With a total order the MSF is unique, so Borůvka (Spark) and
+    # Kruskal (oracle) MUST emit the identical edge set. The label-list
+    # recursion is fixture-scale-only, like geo_distance_join's quadratic
+    # oracle — the Spark side is the scale path.
+    oracle=f"""
+    WITH RECURSIVE {_MSF_POINTS_SQL},
+    edges AS (
+        SELECT a.id AS u, b.id AS v,
+               (a.xm - b.xm) * (a.xm - b.xm)
+                 + (a.ym - b.ym) * (a.ym - b.ym) AS w
+        FROM points a JOIN points b ON a.id < b.id
+        WHERE (a.xm - b.xm) * (a.xm - b.xm)
+                + (a.ym - b.ym) * (a.ym - b.ym)
+              <= {_MSF_RADIUS_MILLI * _MSF_RADIUS_MILLI}
+    ),
+    se AS (
+        SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS i FROM edges
+    ),
+    nl AS (SELECT list(id ORDER BY id) AS ns FROM points),
+    kr(i, labels) AS (
+        SELECT CAST(0 AS BIGINT), (SELECT ns FROM nl)
+        UNION ALL
+        -- n.ns rides in via the 1-row cross join: DuckDB forbids
+        -- SUBQUERIES inside lambda bodies, plain columns are fine
+        SELECT k.i + 1,
+               CASE WHEN k.labels[list_position(n.ns, s.u)]
+                         = k.labels[list_position(n.ns, s.v)]
+                    THEN k.labels
+                    ELSE list_transform(k.labels, x -> CASE
+                        WHEN x = greatest(
+                            k.labels[list_position(n.ns, s.u)],
+                            k.labels[list_position(n.ns, s.v)])
+                        THEN least(
+                            k.labels[list_position(n.ns, s.u)],
+                            k.labels[list_position(n.ns, s.v)])
+                        ELSE x END)
+               END
+        FROM kr k JOIN se s ON s.i = k.i + 1, nl n
+    )
+    SELECT s.u AS id_a, s.v AS id_b, CAST(s.w AS BIGINT) AS d2_milli
+    FROM se s JOIN kr k ON k.i = s.i - 1, nl n
+    WHERE k.labels[list_position(n.ns, s.u)]
+       != k.labels[list_position(n.ns, s.v)]
+    """,
+)
+def graph_minimum_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest via BORŮVKA (1926/Sollin — the parallel MST
+    algorithm: every component claims its minimum outgoing edge under the
+    strict total order (weight, u, v), claimed edges join the forest, and
+    components contract; components at least halve per round, so O(log n)
+    rounds regardless of diameter). Contraction reuses the hash-to-min +
+    pointer-jumping CC helper over the accumulated forest.
+
+    Graph: the deterministic md5 point cloud (1/23 orderkey subset),
+    edges = pairs within radius 5000 milli-units with exact integer
+    squared distances, built with the geo_distance_join cell-bucket shape
+    (cell = radius, 3x3 neighbor probes — shuffle is 9x|points|, never
+    pairs). Under a total edge order the MSF is unique, so the hash must
+    equal Kruskal's — two classical algorithms, two engines, one edge set.
+
+    Scale: per round, the min-outgoing-edge pick is one combinable
+    min-struct aggregate over the live edge list; the edge list shrinks
+    as components merge (intra-component edges drop out); contraction is
+    the O(log n) CC loop. Everything is eagerly checkpointed per round."""
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 23 == 0)
+        .select(
+            "id",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("xm"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("ym"),
+        )
+    )
+    r = _MSF_RADIUS_MILLI
+    indexed = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("xm").alias("xa"),
+        F.col("ym").alias("ya"),
+        (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    probes = (
+        pts.select("id", "xm", "ym", F.explode(offsets).alias("o"))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("xm").alias("xb"),
+            F.col("ym").alias("yb"),
+            (
+                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
+                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    edges = (
+        indexed.join(probes, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("w", d2)
+        .filter(F.col("w") <= r * r)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"), "w")
+        .localCheckpoint(eager=True)
+    )
+    nodes = pts.select(F.col("id").alias("node")).localCheckpoint(eager=True)
+    mst = spark.createDataFrame([], "u bigint, v bigint, w bigint")
+    comp = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
         eager=True
     )
-    for _round in range(64):
-        nbr = sym.join(lbl, sym.s == lbl.node).select(
-            F.col("d").alias("node"), F.col("lbl")
-        )
-        cand = (
-            lbl.select("node", "lbl")
-            .union(nbr)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl1"))
-        )
-        # Pointer jump: follow the label's own label. Labels are always
-        # node names (min over a set of names), so the lookup join always
-        # matches; coalesce is a pure-defense guard.
-        jump = cand.select(
-            F.col("node").alias("lbl1"), F.col("lbl1").alias("lbl2")
-        )
-        new_lbl = (
-            cand.join(jump, "lbl1", "left")
-            .select(
-                "node", F.coalesce("lbl2", "lbl1").alias("lbl")
-            )
+    for _outer in range(20):
+        cu = comp.select(F.col("node").alias("u"), F.col("lbl").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("lbl").alias("cv"))
+        live = (
+            edges.join(cu, "u")
+            .join(cv, "v")
+            .filter(F.col("cu") != F.col("cv"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_lbl.alias("n")
-            .join(lbl.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        lbl = new_lbl
-        if changed == 0:
+        if live.count() == 0:
             break
-    else:  # pragma: no cover - stall guard, same policy as hierarchy op
-        raise RuntimeError(
-            "hash-to-min CC failed to converge in 64 rounds — "
-            "label graph is not shrinking"
+        # Min outgoing edge per component under (w, u, v); the endpoint
+        # labels ride along so contraction can run on the COMPONENT graph
+        # (size = #components, at least halving per round) instead of
+        # re-deriving components over all nodes from scratch.
+        e_struct = F.struct("w", "u", "v", "cu", "cv").alias("e")
+        both = live.select(F.col("cu").alias("c"), e_struct).union(
+            live.select(F.col("cv").alias("c"), e_struct)
         )
-    return lbl.select(F.col("node").alias("name"), F.col("lbl").alias("component"))
+        chosen = (
+            both.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select(
+                F.col("e.u").alias("u"),
+                F.col("e.v").alias("v"),
+                F.col("e.w").alias("w"),
+                F.col("e.cu").alias("cu"),
+                F.col("e.cv").alias("cv"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mst = mst.unionByName(chosen.select("u", "v", "w")).localCheckpoint(
+            eager=True
+        )
+        lbl_nodes = comp.select(F.col("lbl").alias("node")).distinct()
+        relab = hashmin_jump_components(
+            lbl_nodes,
+            chosen.select(
+                F.col("cu").alias("name_a"), F.col("cv").alias("name_b")
+            ),
+        ).withColumnsRenamed({"node": "old_lbl", "lbl": "new_lbl"})
+        comp = (
+            comp.join(relab, comp.lbl == relab.old_lbl)
+            .select("node", F.col("new_lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    else:  # pragma: no cover - stall guard
+        raise RuntimeError("Borůvka failed to converge in 20 rounds")
+    return mst.select(
+        F.col("u").alias("id_a"),
+        F.col("v").alias("id_b"),
+        F.col("w").cast("long").alias("d2_milli"),
+    )

@@ -450,6 +450,7 @@ DRIVER_ORDER: list[str] = [
     "orders_lttb_downsample",        # r5c2: LTTB dashboard downsampling
     "scalars_try_arithmetic",        # r5c2: ANSI try_* error-path pins
     "graph_components_hashmin_jump", # r5c2: O(log n) pointer-jumping CC
+    "graph_minimum_spanning_forest", # r5c2: Borůvka vs Kruskal, one edge set
     "events_rollup_two_level",       # r5c2 rotation out of the first 50 (green r4)
     "q2_min_cost_supplier",          # r5c2 rotation out of the first 50 (green r4)
     "cdc_scd2_history",              # r5c2 rotation out of the first 50 (green r4)

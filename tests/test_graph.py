@@ -210,3 +210,59 @@ def test_pagerank_exact_mass_and_determinism(spark):
     assert r1 == r2
     assert len(r1) == 20
     assert all(0 < v < 1_000_000_000_000 for _, v in r1)
+
+
+def test_msf_is_a_spanning_forest(spark):
+    """Structural invariants the hash parity doesn't state: the Borůvka
+    output is acyclic and spanning — |forest edges| = |edge-incident
+    nodes| − |components of the radius graph| — and every forest edge is
+    an input edge."""
+    from etl_cotrip_signs_spark import registry
+    from etl_cotrip_signs_spark.operators.graph import hashmin_jump_components
+
+    registry.load_all()
+    from .conftest import SF_SMALL
+
+    msf = registry.QUERIES["graph_minimum_spanning_forest"](
+        spark, SF_SMALL
+    ).toPandas()
+    import duckdb
+
+    g = duckdb.sql(
+        f"""
+        WITH points AS (
+            SELECT o_orderkey AS id,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100000 AS xm,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))
+                        AS BIGINT) % 100000 AS ym
+            FROM '{SF_SMALL}/orders.parquet' WHERE o_orderkey % 23 = 0
+        )
+        SELECT a.id AS u, b.id AS v
+        FROM points a JOIN points b ON a.id < b.id
+        WHERE (a.xm-b.xm)*(a.xm-b.xm) + (a.ym-b.ym)*(a.ym-b.ym) <= 25000000
+        """
+    ).df()
+    input_edges = set(zip(g.u.astype(int), g.v.astype(int)))
+    forest_edges = set(zip(msf.id_a.astype(int), msf.id_b.astype(int)))
+    assert forest_edges <= input_edges
+    # Union-find over input edges for the component count of incident nodes.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in input_edges:
+        parent[find(u)] = find(v)
+    incident = {n for e in input_edges for n in e}
+    n_components = len({find(n) for n in incident})
+    assert len(forest_edges) == len(incident) - n_components
+    # Acyclicity: the same identity applied to the forest itself.
+    parent.clear()
+    for u, v in forest_edges:
+        ru, rv = find(u), find(v)
+        assert ru != rv, f"cycle via edge ({u}, {v})"
+        parent[ru] = rv
