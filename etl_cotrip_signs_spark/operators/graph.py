@@ -1366,3 +1366,155 @@ def graph_minimum_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v").alias("id_b"),
         F.col("w").cast("long").alias("d2_milli"),
     )
+
+
+_SSSP_STAGES = 64
+
+
+def _sssp_stage_sql(k: int) -> str:
+    # AS MATERIALIZED is load-bearing: each stage references d{k-1} twice
+    # and DuckDB INLINES plain CTEs, so 64 unrolled stages would expand
+    # 2^64 scan subtrees ("Too many open files" — probed).
+    return f"""
+    d{k} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.d AS node, p.dist + e.w AS dist
+            FROM d{k - 1} p JOIN sym e ON e.s = p.node
+        ) GROUP BY node
+    )"""
+
+
+@query(
+    "graph_sssp_weighted",
+    # Bellman-Ford relaxation unrolled to 64 stages (the kmeans/pagerank
+    # discipline): each stage min-merges the previous distances with all
+    # one-edge extensions. 64 >> the measured need (BFS hop diameter from
+    # this source is 22 at sf0.01, 2 at sf0.001; weighted shortest paths
+    # can use more hops than BFS but converged distances are a fixpoint,
+    # so extra stages are no-ops); an independent python Dijkstra pins
+    # both engines in tests/test_graph.py. Weights are the exact integer
+    # squared milli-distances (path cost = sum of d2 — deterministic;
+    # sqrt would be float).
+    oracle=f"""
+    WITH {_MSF_POINTS_SQL},
+    edges AS (
+        SELECT a.id AS u, b.id AS v,
+               (a.xm - b.xm) * (a.xm - b.xm)
+                 + (a.ym - b.ym) * (a.ym - b.ym) AS w
+        FROM points a JOIN points b ON a.id < b.id
+        WHERE (a.xm - b.xm) * (a.xm - b.xm)
+                + (a.ym - b.ym) * (a.ym - b.ym)
+              <= {_MSF_RADIUS_MILLI * _MSF_RADIUS_MILLI}
+    ),
+    sym AS MATERIALIZED (
+        SELECT u AS s, v AS d, w FROM edges
+        UNION ALL SELECT v AS s, u AS d, w FROM edges
+    ),
+    d0 AS MATERIALIZED (
+        SELECT (SELECT min(u) FROM edges) AS node, CAST(0 AS BIGINT) AS dist
+    ),
+    {",".join(_sssp_stage_sql(k) for k in range(1, _SSSP_STAGES + 1))}
+    SELECT node AS id, CAST(dist AS BIGINT) AS dist_d2
+    FROM d{_SSSP_STAGES}
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (weighted) over the MSF probe graph,
+    source = the minimum edge-incident point id: distributed BELLMAN-FORD
+    — per round, every known distance relaxes across every edge and the
+    min per node wins; the loop early-exits at the fixpoint (no distance
+    appeared or decreased). Unreachable nodes are omitted (cleaner than a
+    cross-engine NULL/infinity convention).
+
+    Scale shape: each round is one edges-join-frontier shuffle + a
+    combinable min — the textbook Pregel iteration expressed as
+    DataFrames; rounds are bounded by the weighted hop diameter, and
+    every round is eagerly checkpointed with a metadata-scale change
+    count. At 100 TB the same loop runs with the frontier-only
+    optimization (relax only nodes whose distance changed last round);
+    here the full-relax keeps the code identical to the oracle's stages."""
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 23 == 0)
+        .select(
+            "id",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("xm"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("ym"),
+        )
+    )
+    r = _MSF_RADIUS_MILLI
+    a = pts.select(
+        F.col("id").alias("u"), F.col("xm").alias("xa"), F.col("ym").alias("ya"),
+        (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    b = (
+        pts.select("id", "xm", "ym", F.explode(offsets).alias("o"))
+        .select(
+            F.col("id").alias("v"), F.col("xm").alias("xb"),
+            F.col("ym").alias("yb"),
+            (
+                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
+                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("w", d2)
+        .filter(F.col("w") <= r * r)
+        .select("u", "v", "w")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d"), "w").union(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("d"), "w")
+    ).localCheckpoint(eager=True)
+    dist = (
+        edges.agg(F.min("u").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _round in range(128):
+        relax = dist.join(sym, dist.node == sym.s).select(
+            F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new_dist = (
+            dist.select("node", "dist")
+            .union(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            break
+    else:  # pragma: no cover - stall guard
+        raise RuntimeError("Bellman-Ford failed to converge in 128 rounds")
+    return dist.select(F.col("node").alias("id"), F.col("dist").cast("long").alias("dist_d2"))

@@ -266,3 +266,52 @@ def test_msf_is_a_spanning_forest(spark):
         ru, rv = find(u), find(v)
         assert ru != rv, f"cycle via edge ({u}, {v})"
         parent[ru] = rv
+
+
+def test_sssp_matches_dijkstra(spark):
+    """Both engines' Bellman-Ford fixpoints equal an independent python
+    Dijkstra over the same graph — pinning that 64 oracle stages suffice
+    and that the Spark loop's early exit is a true fixpoint."""
+    import heapq
+
+    import duckdb
+
+    from etl_cotrip_signs_spark import registry
+
+    registry.load_all()
+    from .conftest import SF_SMALL
+
+    got = registry.QUERIES["graph_sssp_weighted"](spark, SF_SMALL).toPandas()
+    g = duckdb.sql(
+        f"""
+        WITH points AS (
+            SELECT o_orderkey AS id,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100000 AS xm,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))
+                        AS BIGINT) % 100000 AS ym
+            FROM '{SF_SMALL}/orders.parquet' WHERE o_orderkey % 23 = 0
+        )
+        SELECT a.id AS u, b.id AS v,
+               (a.xm-b.xm)*(a.xm-b.xm) + (a.ym-b.ym)*(a.ym-b.ym) AS w
+        FROM points a JOIN points b ON a.id < b.id
+        WHERE (a.xm-b.xm)*(a.xm-b.xm) + (a.ym-b.ym)*(a.ym-b.ym) <= 25000000
+        """
+    ).df()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in zip(g.u.astype(int), g.v.astype(int), g.w.astype(int)):
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    src = min(adj)
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, x = heapq.heappop(pq)
+        if d > dist.get(x, 1 << 62):
+            continue
+        for y, w in adj[x]:
+            nd = d + w
+            if nd < dist.get(y, 1 << 62):
+                dist[y] = nd
+                heapq.heappush(pq, (nd, y))
+    assert {int(r.id): int(r.dist_d2) for r in got.itertuples()} == dist
