@@ -52,6 +52,21 @@ QUERIES = [
     "isotonic_regression_daily",
     "text_bpe_apply",
     "orders_holt_linear",
+    # round-5 continuation-2 families: IBLT (xor-cell build is a
+    # combinable aggregate whose peel must not depend on which partition
+    # built which cell), Borůvka MSF (per-component min-edge picks + the
+    # pointer-jump contraction loop must converge to the same forest
+    # under re-bucketed rounds), Bellman-Ford (relax order must not
+    # matter), the hashed feature encoder (explode + combinable signed
+    # sums), LTTB (single-group applyInPandas must re-sort its series),
+    # and the decision stump (histogram merge + single-partition window
+    # over the bucket table)
+    "sketch_iblt_diff",
+    "graph_minimum_spanning_forest",
+    "graph_sssp_weighted",
+    "feature_hashing_trick",
+    "orders_lttb_downsample",
+    "ml_decision_stump_gini",
 ]
 
 HOSTILE = {
