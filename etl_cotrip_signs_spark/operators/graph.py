@@ -1386,18 +1386,7 @@ def _sssp_stage_sql(k: int) -> str:
     )"""
 
 
-@query(
-    "graph_sssp_weighted",
-    # Bellman-Ford relaxation unrolled to 64 stages (the kmeans/pagerank
-    # discipline): each stage min-merges the previous distances with all
-    # one-edge extensions. 64 >> the measured need (BFS hop diameter from
-    # this source is 22 at sf0.01, 2 at sf0.001; weighted shortest paths
-    # can use more hops than BFS but converged distances are a fixpoint,
-    # so extra stages are no-ops); an independent python Dijkstra pins
-    # both engines in tests/test_graph.py. Weights are the exact integer
-    # squared milli-distances (path cost = sum of d2 — deterministic;
-    # sqrt would be float).
-    oracle=f"""
+_SSSP_ORACLE = f"""
     WITH {_MSF_POINTS_SQL},
     edges AS (
         SELECT a.id AS u, b.id AS v,
@@ -1418,7 +1407,21 @@ def _sssp_stage_sql(k: int) -> str:
     {",".join(_sssp_stage_sql(k) for k in range(1, _SSSP_STAGES + 1))}
     SELECT node AS id, CAST(dist AS BIGINT) AS dist_d2
     FROM d{_SSSP_STAGES}
-    """,
+    """
+
+
+@query(
+    "graph_sssp_weighted",
+    # Bellman-Ford relaxation unrolled to 64 stages (the kmeans/pagerank
+    # discipline): each stage min-merges the previous distances with all
+    # one-edge extensions. 64 >> the measured need (BFS hop diameter from
+    # this source is 22 at sf0.01, 2 at sf0.001; weighted shortest paths
+    # can use more hops than BFS but converged distances are a fixpoint,
+    # so extra stages are no-ops); an independent python Dijkstra pins
+    # both engines in tests/test_graph.py. Weights are the exact integer
+    # squared milli-distances (path cost = sum of d2 — deterministic;
+    # sqrt would be float).
+    oracle=_SSSP_ORACLE,
 )
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source shortest paths (weighted) over the MSF probe graph,
@@ -1518,3 +1521,110 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - stall guard
         raise RuntimeError("Bellman-Ford failed to converge in 128 rounds")
     return dist.select(F.col("node").alias("id"), F.col("dist").cast("long").alias("dist_d2"))
+
+
+@query("graph_sssp_frontier", oracle=_SSSP_ORACLE)
+def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRONTIER-optimized Bellman-Ford — the 100 TB variant the full-relax
+    docstring promises: each round relaxes ONLY the nodes whose distance
+    improved last round (the frontier), so per-round work is
+    O(edges touching the frontier) instead of O(all settled edges). On a
+    radius graph the frontier is an expanding ring — the round-r work is
+    the ring's edge count, and total work equals Dijkstra's up to round
+    granularity. Same graph, same source, SAME oracle as
+    graph_sssp_weighted: two relaxation disciplines in Spark plus the
+    unrolled oracle in DuckDB, all three hash-equal (the skyline
+    pattern, applied to the algorithm's own optimization)."""
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 23 == 0)
+        .select(
+            "id",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("xm"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("ym"),
+        )
+    )
+    r = _MSF_RADIUS_MILLI
+    a = pts.select(
+        F.col("id").alias("u"), F.col("xm").alias("xa"), F.col("ym").alias("ya"),
+        (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    b = (
+        pts.select("id", "xm", "ym", F.explode(offsets).alias("o"))
+        .select(
+            F.col("id").alias("v"), F.col("xm").alias("xb"),
+            F.col("ym").alias("yb"),
+            (
+                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
+                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("w", d2)
+        .filter(F.col("w") <= r * r)
+        .select("u", "v", "w")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d"), "w").union(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("d"), "w")
+    ).localCheckpoint(eager=True)
+    dist = (
+        edges.agg(F.min("u").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _round in range(128):
+        relax = frontier.join(sym, frontier.node == sym.s).select(
+            F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        best_relax = relax.groupBy("node").agg(F.min("dist").alias("dist"))
+        merged = (
+            dist.select("node", F.col("dist").alias("old_dist"))
+            .join(best_relax.withColumnRenamed("dist", "cand"), "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("old_dist", F.lit(None)),
+                    F.coalesce("cand", F.lit(None)),
+                ).alias("dist"),
+                (
+                    F.col("old_dist").isNull()
+                    | (F.col("cand") < F.col("old_dist"))
+                ).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_frontier = merged.filter(
+            F.col("improved") & F.col("dist").isNotNull()
+        ).select("node", "dist").localCheckpoint(eager=True)
+        dist = merged.select("node", "dist")
+        if new_frontier.count() == 0:
+            break
+        frontier = new_frontier
+    else:  # pragma: no cover - stall guard
+        raise RuntimeError("frontier Bellman-Ford failed to converge")
+    return dist.select(
+        F.col("node").alias("id"),
+        F.col("dist").cast("long").alias("dist_d2"),
+    )

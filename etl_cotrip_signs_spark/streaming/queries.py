@@ -375,7 +375,7 @@ def _tws_unavailable_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``queries()`` with an honest rows-only CORRECTNESS row instead of
     silently disappearing or erroring.
 
-    Round-5 re-check (2026-08-14, this runtime): ``import google.protobuf``
+    Round-5 re-checks (2026-08-14 and 2026-08-15, this runtime): ``import google.protobuf``
     still raises ModuleNotFoundError, and the environment forbids package
     installs, so an install attempt is not available; the waiver stands.
     The processor class above self-activates (HAS_TWS) the moment a runtime
