@@ -177,3 +177,97 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("canonical_name", "n_variants")
     )
+
+
+@query(
+    "agg_grouping_id_levels",
+    # GROUPING() / GROUPING_ID() over a ROLLUP: the bitmask that tells a
+    # consumer WHICH level each output row aggregates (0 = real value,
+    # 1 = rolled up) — without it, a NULL group key is ambiguous between
+    # "the NULL member" and "the subtotal row". Both engines implement
+    # the SQL-standard bit order (first listed column = most significant
+    # bit), which this hash match pins.
+    oracle="""
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) * 2
+                + GROUPING(o_orderstatus) AS INT) AS level_id,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the GROUPING bitmask surface: (priority, status) plus
+    per-priority subtotals plus the grand total in one pass, each row
+    tagged with grouping() flags and the composed grouping_id so
+    subtotal rows are machine-distinguishable from NULL members. DuckDB
+    has no grouping_id() builtin, so the oracle composes it from
+    GROUPING() bits — which is also the cross-engine proof that Spark's
+    grouping_id() bit order (first column = MSB) matches the standard."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping_id().cast("int").alias("level_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "g_priority",
+            "g_status",
+            "level_id",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "ps_api_groupby_twin",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ps_api_groupby_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) driven end to end and
+    hash-matched to the SQL twin — the third user-facing API layer beside
+    DataFrame and SQL (probed working on this runtime; the ps frame
+    compiles to the same Catalyst plans, which is exactly what the hash
+    match demonstrates). The distributed-sequence default index is
+    avoided by aggregating immediately and resetting the index into
+    ordinary columns, so no nondeterministic index value ever reaches
+    the output."""
+    import pyspark.pandas as pps
+
+    psdf = pps.read_parquet(f"{sf_dir}/orders.parquet")
+    import numpy as np
+
+    # floor via numpy ufunc — ps Series support numpy universal functions
+    # (dispatched to the JVM FLOOR expression, not a Python UDF)
+    psdf["cents"] = np.floor(psdf["o_totalprice"] * 100).astype("int64")
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            sum_cents=("cents", "sum"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+    )
+    return out.to_spark().select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.round("max_price", 2).alias("max_price"),
+    )

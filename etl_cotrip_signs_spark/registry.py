@@ -453,6 +453,8 @@ DRIVER_ORDER: list[str] = [
     "graph_minimum_spanning_forest", # r5c2: Borůvka vs Kruskal, one edge set
     "graph_sssp_weighted",           # r5c2: Bellman-Ford vs 64 unrolled stages
     "graph_sssp_frontier",           # r5c2: frontier-optimized twin, same oracle
+    "agg_grouping_id_levels",        # r5c2: GROUPING bitmask surface
+    "ps_api_groupby_twin",           # r5c2: pandas API on Spark, SQL-twin hash
     "events_rollup_two_level",       # r5c2 rotation out of the first 50 (green r4)
     "q2_min_cost_supplier",          # r5c2 rotation out of the first 50 (green r4)
     "cdc_scd2_history",              # r5c2 rotation out of the first 50 (green r4)
