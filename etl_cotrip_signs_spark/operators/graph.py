@@ -1628,3 +1628,113 @@ def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("id"),
         F.col("dist").cast("long").alias("dist_d2"),
     )
+
+
+# --- HITS hubs & authorities, exact-integer twin ---------------------------
+
+_HITS_ROUNDS = 2
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS over the order->part purchase bipartite graph.
+
+    Sum-normalization in integer ppm after every half-step keeps every
+    score in [0, 1e6]; the FIRST authority step still sees the
+    un-normalized uniform hub mass (1e6 per order, totalling 1e6*|orders|),
+    so its products are computed in HUGEINT (DuckDB's sum() widens
+    automatically; Spark mirrors with DECIMAL(38,0) — the pinned
+    truncating-div equivalence makes `//` and `div` agree)."""
+    stages = []
+    prev_hub = "hub0"
+    prev_auth = None
+    for r in range(1, _HITS_ROUNDS + 1):
+        stages.append(
+            f"""a{r}r AS (
+        SELECT p, sum(h) AS raw FROM edges JOIN {prev_hub} USING (o) GROUP BY p
+    ),
+    a{r} AS (
+        SELECT p, CAST((1000000 * raw) // (SELECT sum(raw) FROM a{r}r)
+                  AS BIGINT) AS a
+        FROM a{r}r
+    ),
+    h{r}r AS (
+        SELECT o, sum(a) AS raw FROM edges JOIN a{r} USING (p) GROUP BY o
+    ),
+    h{r} AS (
+        SELECT o, CAST((1000000 * raw) // (SELECT sum(raw) FROM h{r}r)
+                  AS BIGINT) AS h
+        FROM h{r}r
+    )"""
+        )
+        prev_hub = f"h{r}"
+        prev_auth = f"a{r}"
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    hub0 AS (
+        SELECT DISTINCT o, CAST(1000000 AS BIGINT) AS h FROM edges
+    ),
+    {joined}
+    SELECT p AS l_partkey, a AS auth_ppm FROM {prev_auth}
+    """
+
+
+@query("graph_hits_exact", oracle=_hits_oracle())
+def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the order->part purchase graph, in
+    exact integer ppm — the bipartite centrality beside
+    graph_pagerank_exact's directed one. Orders are hubs ("broad baskets
+    confer authority"), parts are authorities ("appearing in strong
+    baskets matters"); two mutual-reinforcement rounds with
+    sum-normalization to ppm after every half-step, every operation a
+    pure integer function, so the unrolled DuckDB CTE chain hash-matches
+    the iterative Spark loop (float HITS would diverge in the low bits
+    exactly like float PageRank, which stays rows-only for that reason).
+
+    Scale shape: each half-step is one equi-join of the edge list with a
+    node-score table + one combinable sum — the PageRank shuffle pattern;
+    normalization totals are 1-row broadcast merges. Edge list is
+    checkpointed eagerly once and reused by all four half-steps (the
+    round-3 recompute-blowup lesson). Scores stay bounded by construction
+    after the first normalization; the first half-step's 1e6*|orders|
+    mass is DECIMAL(38,0)-widened (HUGEINT in the oracle) so the math is
+    exact at ANY scale factor.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    hub = edges.select("o").distinct().select(
+        "o", F.lit(1000000).cast("long").alias("h")
+    )
+
+    def _normalize(raw_df: DataFrame, key: str, out: str) -> DataFrame:
+        tot = raw_df.agg(F.sum("raw").alias("tot"))
+        return raw_df.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * raw) div tot AS BIGINT)")
+            .alias(out),
+        )
+
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            edges.join(hub, "o")
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast(d38)).alias("raw"))
+        )
+        auth = _normalize(araw, "p", "a")
+        hraw = (
+            edges.join(auth, "p")
+            .groupBy("o")
+            .agg(F.sum(F.col("a").cast(d38)).alias("raw"))
+        )
+        hub = _normalize(hraw, "o", "h")
+    return auth.select(F.col("p").alias("l_partkey"), F.col("a").alias("auth_ppm"))

@@ -796,3 +796,70 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_price"),
     )
+
+
+@query(
+    "schema_evolution_merge",
+    # The oracle reads the SAME two staged parquet generations with
+    # union_by_name=true — DuckDB's independent implementation of exactly
+    # the schema-merge semantics Spark's mergeSchema option provides, so
+    # the NULL-fill contract for the added column is verified by a second
+    # engine, not assumed.
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(priority_rank) AS n_with_rank,
+           CAST(coalesce(sum(priority_rank), 0) AS BIGINT) AS sum_rank,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM read_parquet(
+        ['{SCRATCH:evolve}/v1/*.parquet', '{SCRATCH:evolve}/v2/*.parquet'],
+        union_by_name=true)
+    GROUP BY o_orderstatus
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: a v1 writer lands (key, status, cents)
+    files, a later v2 writer adds a priority_rank column; readers must see
+    ONE merged schema with v1 rows NULL-filled — the additive-column
+    contract every long-lived lake table depends on. Spark's
+    `mergeSchema=true` read reconciles the two file generations' footers;
+    the aggregate proves v1 rows survive (n_rows), the new column is
+    populated exactly on v2 rows (n_with_rank), and values flow through
+    (sum_rank) — alongside a column present in both generations
+    (sum_price_cents) to pin that merging never disturbs shared columns.
+
+    Scale notes: schema merge cost is per-FOOTER, not per-row — at 100 TB
+    the read path lists footers once during planning (or consults a
+    table-format schema registry and skips even that); the data path is
+    unchanged columnar scan with NULL vectors materialized lazily for
+    absent columns. The split key (even/odd orderkey) makes both
+    generations deterministic, so the staged directories are stable
+    per sf_dir and the oracle can audit them independently.
+    """
+    ensure_confs(spark)
+    base = _scratch(sf_dir, "evolve")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_rank"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "price_cents", "priority_rank"
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/v1")
+    v2.write.mode("overwrite").parquet(f"{base}/v2")
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/v1", f"{base}/v2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("priority_rank").alias("n_with_rank"),
+        F.coalesce(F.sum("priority_rank"), F.lit(0)).cast("long").alias("sum_rank"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"),
+    )

@@ -156,3 +156,129 @@ def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("den").cast("string").alias("score_den"),
         )
     )
+
+
+# --- Farthest-point (maximin) k-means initialization -----------------------
+
+_MAXIMIN_K = 4
+
+# Squared-L2 between the quantized embedding e.v and a chosen center c.v —
+# textually the kmeans_lloyd_exact distance, parameterized on the chosen
+# table's alias.
+_MM_DIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(e.v[i::INT] - c.v[i::INT]) * (e.v[i::INT] - c.v[i::INT])))"
+)
+
+
+def _maximin_oracle() -> str:
+    """Unrolled greedy selection: round r computes every candidate's min
+    distance to the r chosen centers and picks the argmax (ties to the
+    smaller vec_id) — the kmeans/pagerank unroll discipline applied to
+    k-center seeding."""
+    stages = []
+    prev = "ch0"
+    for r in range(1, _MAXIMIN_K):
+        stages.append(
+            f"""d{r} AS (
+        SELECT e.vec_id, CAST(min({_MM_DIST}) AS BIGINT) AS dmin
+        FROM e, {prev} c
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY e.vec_id
+    ),
+    p{r} AS (
+        SELECT d.vec_id, e.v, {r} AS sel_order, d.dmin AS maximin_d2
+        FROM d{r} d JOIN e USING (vec_id)
+        ORDER BY d.dmin DESC, d.vec_id LIMIT 1
+    ),
+    ch{r} AS (
+        SELECT vec_id, v, sel_order, maximin_d2 FROM {prev}
+        UNION ALL
+        SELECT vec_id, v, sel_order, maximin_d2 FROM p{r}
+    )"""
+        )
+        prev = f"ch{r}"
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    ch0 AS (
+        SELECT vec_id, v, 0 AS sel_order, CAST(NULL AS BIGINT) AS maximin_d2
+        FROM e ORDER BY vec_id LIMIT 1
+    ),
+    {joined}
+    SELECT sel_order, vec_id, maximin_d2 FROM {prev}
+    """
+
+
+@query("kmeans_maximin_init", oracle=_maximin_oracle())
+def kmeans_maximin_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-point (maximin) k-means seeding — the
+    2-approximation k-center greedy that k-means++ randomizes, made
+    cross-engine exact: coordinates floor-quantized to 1e-6 units (the
+    kmeans_lloyd_exact discipline), distances exact BIGINT squared-L2,
+    seed = the minimum vec_id, each round's pick = argmax of the min
+    distance to the chosen set with ties to the smaller vec_id. No RNG
+    anywhere, so the DuckDB oracle unrolls the same greedy and must pick
+    the identical k=4 centers; the emitted maximin_d2 IS the k-center
+    radius bound at each step.
+
+    Scale shape: each round is ONE map-side fold over a literal chosen
+    array (k x 64 ints — broadcast-sized codebook state, the
+    kmeans-assignment plan) followed by a TakeOrdered(1) argmax — no
+    Window, no cross join of data rows. Total data passes = k - 1; the
+    driver holds only the chosen centers. This is exactly how
+    scalable-k-means++ seeds its first center set at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen: list[tuple[int, list[int], int | None]] = [
+        (int(first["vec_id"]), [int(x) for x in first["v"]], None)
+    ]
+    for r in range(1, _MAXIMIN_K):
+        chosen_lit = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("long") for x in vec])
+                for _, vec, _ in chosen
+            ]
+        )
+        dmin = F.array_min(
+            F.transform(
+                chosen_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col("v"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        pick = (
+            emb.filter(~F.col("vec_id").isin([i for i, _, _ in chosen]))
+            .select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(
+            (int(pick["vec_id"]), [int(x) for x in pick["v"]], int(pick["dmin"]))
+        )
+    rows = [
+        (i, vec_id, d2) for i, (vec_id, _, d2) in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        rows, "sel_order int, vec_id long, maximin_d2 long"
+    )

@@ -494,6 +494,7 @@ def load_all() -> None:
         spark4_surface,
         sketches3,
         ml_basic,
+        stats2,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
