@@ -495,6 +495,7 @@ def load_all() -> None:
         sketches3,
         ml_basic,
         stats2,
+        stats3,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
