@@ -1,7 +1,9 @@
 """Nonparametric + resampling inference operators [EXT beyond task.ts —
 engine surface breadth]: Mann-Whitney U with exact midranks, Spearman
-rank correlation, a deterministic sign-flip permutation test, and lagged
-cross-correlation between two daily series.
+rank correlation, a deterministic sign-flip permutation test, lagged
+cross-correlation between two daily series, Wilcoxon signed-rank (the
+paired twin of Mann-Whitney), Kruskal-Wallis (the k-sample
+generalization), and one-way ANOVA F (the parametric k-sample twin).
 
 Companions to stats2.py's parametric tests (Welch t, OLS): these are the
 rank/resampling half of the analyst's inference toolbox — what you reach
@@ -458,4 +460,302 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(lag_days AS BIGINT) AS lag_days",
         "CAST(n_pairs AS BIGINT) AS n_pairs",
         f"{_XCORR_R} AS corr_ab",
+    )
+
+
+_WSR_Z = (
+    "(CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)"
+    " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+    " - CAST(tt AS DOUBLE) / 48)"
+)
+
+
+@query(
+    "stat_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH diffs AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 1000) AS BIGINT)
+                             ELSE 0 END)
+                  - sum(CASE WHEN event_type = 'click'
+                             THEN CAST(floor(value * 1000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS d
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY user_id
+    ),
+    nz AS (
+        SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+        FROM diffs WHERE d <> 0
+    ),
+    per AS (
+        SELECT ad, sum(pos) AS cp, count(*) AS c FROM nz GROUP BY ad
+    ),
+    ranked AS (
+        SELECT ad, cp, c,
+               coalesce(sum(c) OVER (
+                   ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cumc
+        FROM per
+    ),
+    m AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(cp) AS BIGINT) AS n_pos,
+               CAST(sum(cp * (2 * cumc + c + 1)) AS BIGINT) AS w2p,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tt
+        FROM ranked
+    )
+    SELECT n, n_pos, w2p, tt, {_WSR_Z} AS z_stat FROM m
+    """,
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the per-user purchase-minus-click
+    milli-value difference — the PAIRED twin of stat_mann_whitney_u and
+    the rank-based twin of stat_signflip_permutation's T: same per-user
+    reduction, but the statistic ranks |d| instead of enumerating flips.
+
+    Zero differences drop (the standard convention); |d| gets DOUBLED
+    midranks over its distinct-value count table (2*cumc + c + 1, exactly
+    the Mann-Whitney machinery), and 2*W+ = sum of doubled midranks where
+    d > 0 stays exactly integer. z uses the standard tie-corrected
+    variance n(n+1)(2n+1)/24 - sum(c^3-c)/48 as the one shared double
+    expression.
+
+    Shape at 100 TB: one combinable per-user reduction over facts, then
+    the per-distinct-|d| count table (bounded by the value domain) and
+    one prefix window over it — the drift_ks_exact shape again.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            )
+            .otherwise(-F.floor(F.col("value") * 1000).cast("long"))
+            .alias("sd"),
+        )
+    )
+    diffs = ev.groupBy("user_id").agg(F.sum("sd").cast("long").alias("d"))
+    nz = diffs.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+    )
+    per = nz.groupBy("ad").agg(
+        F.sum("pos").alias("cp"), F.count(F.lit(1)).alias("c")
+    )
+    w = W.orderBy("ad").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per.withColumn("cumc", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    m = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum(F.col("cp") * (2 * F.col("cumc") + F.col("c") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tt"),
+    )
+    return m.selectExpr("n", "n_pos", "w2p", "tt", f"{_WSR_Z} AS z_stat")
+
+
+# The five event types, pinned in literal order — the pivot that turns a
+# k-sample statistic into fixed scalar expressions (no cross-group float
+# aggregation whose order an engine could choose).
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+_KW_H = (
+    "12 / (CAST(n AS DOUBLE) * (n + 1)) * ("
+    + " + ".join(
+        f"CAST(r{j} AS DOUBLE) * r{j} / 4 / n{j}"
+        for j in range(1, len(_ETYPES) + 1)
+    )
+    + ") - 3 * (CAST(n AS DOUBLE) + 1)"
+)
+_KW_HC = (
+    f"({_KW_H}) / (1 - CAST(tt AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * n * n - n))"
+)
+
+
+@query(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS x,
+               {", ".join(
+                   f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END AS i{j}"
+                   for j, t in enumerate(_ETYPES, 1)
+               )}
+        FROM events
+    ),
+    per AS (
+        SELECT x, count(*) AS c,
+               {", ".join(f"sum(i{j}) AS c{j}" for j in range(1, 6))}
+        FROM vals GROUP BY x
+    ),
+    ranked AS (
+        SELECT x, c, {", ".join(f"c{j}" for j in range(1, 6))},
+               coalesce(sum(c) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cumc
+        FROM per
+    ),
+    m AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tt,
+               {", ".join(
+                   f"CAST(sum(c{j}) AS BIGINT) AS n{j},"
+                   f" CAST(sum(c{j} * (2 * cumc + c + 1)) AS BIGINT) AS r{j}"
+                   for j in range(1, 6)
+               )}
+        FROM ranked
+    )
+    SELECT n, tt, {", ".join(f"n{j}, r{j}" for j in range(1, 6))},
+           {_KW_H} AS h_stat, {_KW_HC} AS h_tie_corrected
+    FROM m
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL FIVE event types — the k-sample
+    generalization of stat_mann_whitney_u (k=2 reduces to it exactly).
+
+    The pooled doubled-midrank machinery is shared verbatim; the new move
+    is the k-way PIVOT: per distinct value the count table carries one
+    column per event type (fixed literal order _ETYPES), so the per-group
+    doubled rank-sums r_j are exact integers from ONE prefix window and H
+    (with its tie-corrected twin H / (1 - tt/(n^3-n))) is a fixed scalar
+    expression over 12 exact integers — no cross-group float aggregation
+    whose summation order an engine could pick.
+
+    Shape at 100 TB: identical to Mann-Whitney — facts reduce to the
+    distinct-value count table, one prefix window over values, one row
+    out. The pivot adds k columns, not k passes.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+        *[
+            F.when(F.col("event_type") == t, 1).otherwise(0).alias(f"i{j}")
+            for j, t in enumerate(_ETYPES, 1)
+        ],
+    )
+    per = ev.groupBy("x").agg(
+        F.count(F.lit(1)).alias("c"),
+        *[F.sum(f"i{j}").alias(f"c{j}") for j in range(1, 6)],
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per.withColumn("cumc", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    aggs = [
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tt"),
+    ]
+    for j in range(1, 6):
+        aggs.append(F.sum(f"c{j}").cast("long").alias(f"n{j}"))
+        aggs.append(
+            F.sum(F.col(f"c{j}") * (2 * F.col("cumc") + F.col("c") + 1))
+            .cast("long")
+            .alias(f"r{j}")
+        )
+    m = ranked.agg(*aggs)
+    return m.selectExpr(
+        "n",
+        "tt",
+        *[c for j in range(1, 6) for c in (f"n{j}", f"r{j}")],
+        f"{_KW_H} AS h_stat",
+        f"{_KW_HC} AS h_tie_corrected",
+    )
+
+
+_ANOVA_SB = (
+    "("
+    + " + ".join(
+        f"CAST(s{j} AS DOUBLE) * s{j} / n{j}"
+        for j in range(1, len(_ETYPES) + 1)
+    )
+    + ")"
+)
+_ANOVA_F = (
+    f"(({_ANOVA_SB} - CAST(st AS DOUBLE) * st / n) / {len(_ETYPES) - 1})"
+    f" / ((CAST(qt AS DOUBLE) - {_ANOVA_SB}) / (n - {len(_ETYPES)}))"
+)
+_ANOVA_ETA = (
+    f"({_ANOVA_SB} - CAST(st AS DOUBLE) * st / n)"
+    " / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)"
+)
+
+
+@query(
+    "stat_anova_oneway",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS x,
+               {", ".join(
+                   f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END AS i{j}"
+                   for j, t in enumerate(_ETYPES, 1)
+               )}
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS st,
+               CAST(sum(x * x) AS BIGINT) AS qt,
+               {", ".join(
+                   f"CAST(sum(i{j}) AS BIGINT) AS n{j},"
+                   f" CAST(sum(i{j} * x) AS BIGINT) AS s{j}"
+                   for j in range(1, 6)
+               )}
+        FROM vals
+    )
+    SELECT n, st, qt, {", ".join(f"n{j}, s{j}" for j in range(1, 6))},
+           {_ANOVA_F} AS f_stat, {_ANOVA_ETA} AS eta_squared
+    FROM m
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types — the parametric twin
+    of stat_kruskal_wallis, sharing stats_welch_ttest's exact-moment
+    discipline: every reduction is an exact integer (milli-value sums and
+    sums of squares, per group via the fixed-order pivot), and F plus
+    eta-squared are fixed scalar expressions over those 13 integers.
+
+    SSB = sum_j s_j^2/n_j - S^2/N and SSW = Q - sum_j s_j^2/n_j never
+    materialize as intermediate aggregates — they appear only inside the
+    one shared double expression, so there is no cross-group float
+    summation whose order an engine could choose (the reason this is a
+    pivot, not a groupBy(event_type) + second aggregate).
+
+    Shape at 100 TB: ONE combinable aggregate over facts, 13 numbers out.
+    The cheapest statistic in the module.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+        *[
+            F.when(F.col("event_type") == t, 1).otherwise(0).alias(f"i{j}")
+            for j, t in enumerate(_ETYPES, 1)
+        ],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).cast("long").alias("st"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("long").alias("qt"),
+    ]
+    for j in range(1, 6):
+        aggs.append(F.sum(f"i{j}").cast("long").alias(f"n{j}"))
+        aggs.append(
+            F.sum(dec(F.col(f"i{j}") * F.col("x"))).cast("long").alias(f"s{j}")
+        )
+    m = ev.agg(*aggs)
+    return m.selectExpr(
+        "n",
+        "st",
+        "qt",
+        *[c for j in range(1, 6) for c in (f"n{j}", f"s{j}")],
+        f"{_ANOVA_F} AS f_stat",
+        f"{_ANOVA_ETA} AS eta_squared",
     )

@@ -130,3 +130,86 @@ def test_cross_correlation_matches_numpy(spark, events_pdf):
         assert abs(r["corr_ab"] - np.corrcoef(av, bv)[0, 1]) < 1e-9
     # lag 0 pairs every day with itself: maximal support
     assert out.loc[out.lag_days == 0, "n_pairs"].iloc[0] == len(days)
+
+
+def test_wilcoxon_matches_direct_ranks(spark, events_pdf):
+    from etl_cotrip_signs_spark.operators.stats3 import stat_wilcoxon_signed_rank
+
+    row = stat_wilcoxon_signed_rank(spark, SF_SMALL).toPandas().iloc[0]
+    ev = events_pdf[events_pdf.event_type.isin(["purchase", "click"])]
+    x = np.floor(ev.value.to_numpy() * 1000).astype(np.int64)
+    sd = np.where((ev.event_type == "purchase").to_numpy(), x, -x)
+    d = (
+        pd.DataFrame({"u": ev.user_id.to_numpy(), "d": sd})
+        .groupby("u")["d"]
+        .sum()
+        .to_numpy()
+    )
+    d = d[d != 0]
+    ranks = _midranks(np.abs(d))
+    n = len(d)
+    w_plus = ranks[d > 0].sum()
+    _, counts = np.unique(np.abs(d), return_counts=True)
+    tt = int((counts.astype(object) ** 3 - counts).sum())
+    assert row["n"] == n
+    assert row["n_pos"] == int((d > 0).sum())
+    assert row["w2p"] == pytest.approx(2 * w_plus)
+    assert row["tt"] == tt
+    z = (w_plus - n * (n + 1) / 4) / np.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - tt / 48
+    )
+    assert abs(row["z_stat"] - z) < 1e-9
+
+
+def test_kruskal_wallis_matches_direct_ranks(spark, events_pdf):
+    from etl_cotrip_signs_spark.operators.stats3 import (
+        _ETYPES,
+        stat_kruskal_wallis,
+    )
+
+    row = stat_kruskal_wallis(spark, SF_SMALL).toPandas().iloc[0]
+    x = np.floor(events_pdf.value.to_numpy() * 1000).astype(np.int64)
+    groups = events_pdf.event_type.to_numpy()
+    ranks = _midranks(x)
+    n = len(x)
+    _, counts = np.unique(x, return_counts=True)
+    tt = int((counts.astype(object) ** 3 - counts).sum())
+    assert row["n"] == n and row["tt"] == tt
+    h = 0.0
+    for j, t in enumerate(_ETYPES, 1):
+        sel = groups == t
+        nj = int(sel.sum())
+        rj = ranks[sel].sum()
+        assert row[f"n{j}"] == nj
+        assert row[f"r{j}"] == pytest.approx(2 * rj)
+        h += rj * rj / nj
+    h = 12 / (n * (n + 1)) * h - 3 * (n + 1)
+    assert abs(row["h_stat"] - h) < 1e-9
+    assert abs(row["h_tie_corrected"] - h / (1 - tt / (n**3 - n))) < 1e-9
+
+
+def test_anova_oneway_matches_direct_moments(spark, events_pdf):
+    from etl_cotrip_signs_spark.operators.stats3 import (
+        _ETYPES,
+        stat_anova_oneway,
+    )
+
+    row = stat_anova_oneway(spark, SF_SMALL).toPandas().iloc[0]
+    x = np.floor(events_pdf.value.to_numpy() * 1000).astype(np.int64)
+    groups = events_pdf.event_type.to_numpy()
+    n = len(x)
+    k = len(_ETYPES)
+    assert row["n"] == n
+    assert row["st"] == int(x.sum())
+    assert row["qt"] == int((x.astype(object) ** 2).sum())
+    grand_mean = x.mean()
+    ssb = ssw = 0.0
+    for j, t in enumerate(_ETYPES, 1):
+        g = x[groups == t]
+        assert row[f"n{j}"] == len(g)
+        assert row[f"s{j}"] == int(g.sum())
+        ssb += len(g) * (g.mean() - grand_mean) ** 2
+        ssw += ((g - g.mean()) ** 2).sum()
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(row["f_stat"] - f) < 1e-6 * max(1.0, abs(f))
+    assert abs(row["eta_squared"] - ssb / (ssb + ssw)) < 1e-9
