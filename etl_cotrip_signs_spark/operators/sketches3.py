@@ -456,3 +456,109 @@ def sketch_iblt_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         recovered = rec if recovered is None else recovered.unionByName(rec)
     return recovered.distinct().select(F.col("k").alias("key"), "side")
+
+
+@query(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    byday AS (
+        SELECT day // 7 AS week, day, count(DISTINCT user_id) AS dd
+        FROM f GROUP BY day
+    ),
+    day_stats AS (
+        SELECT week, CAST(count(*) AS BIGINT) AS n_days_active,
+               CAST(sum(dd) AS BIGINT) AS day_distinct_sum
+        FROM byday GROUP BY week
+    ),
+    weekly AS (
+        SELECT day // 7 AS week,
+               CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS distinct_users_merged
+        FROM f GROUP BY day // 7
+    ),
+    words AS (
+        SELECT day // 7 AS week, user_id // 63 AS bucket,
+               bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+        FROM f GROUP BY day // 7, user_id // 63
+    ),
+    checks AS (
+        SELECT week, CAST(bit_xor(word) AS BIGINT) AS bitmap_xor
+        FROM words GROUP BY week
+    )
+    SELECT d.week, d.n_days_active, d.day_distinct_sum,
+           w.distinct_users_merged, c.bitmap_xor
+    FROM day_stats d
+    JOIN weekly w USING (week)
+    JOIN checks c USING (week)
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via fixed-width bitmaps —
+    the exact twin of agg_hll_mergeable's merge property: weekly distinct
+    user counts computed by MERGING per-day bitmaps (bit_or by bucket),
+    never by re-reading facts, then cross-checked against DuckDB's native
+    COUNT(DISTINCT) from the raw table.
+
+    Encoding is the roaring-bitmap chunking idea flattened to SQL: a user
+    occupies bit (user_id % 63) of word (user_id // 63) — 63-bit words
+    because a signed-BIGINT 1<<63 overflows DuckDB (the SimHash-63 rule,
+    dedup.py:471). Each (group, bucket) row is one word; bit_or merges any
+    rollup level; sum(bit_count(word)) reads the count out. bitmap_xor is
+    an order-independent word checksum pinning the merged bitmap CONTENT,
+    not just its popcount.
+
+    Shape at 100 TB: the day-level bitmap build is ONE combinable
+    aggregate on (day, bucket) — shuffle rows are bounded by distinct
+    (day, user) pairs (each id lands in exactly one bucket), so this is
+    never more shuffle than exact count-distinct pays; every coarser
+    rollup (week here; month, quarter, all-time identically) reads the
+    day bitmap table — metadata — not the fact table. That is HLL's merge
+    economics with exact answers, at the price of id-domain/63 words per
+    group (dense small domains; for sparse 64-bit id spaces the bucket
+    key IS the roaring chunk key and stays proportional to distinct ids).
+    """
+    f = load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "user_id",
+    )
+    bm_day = (
+        f.selectExpr(
+            "day DIV 7 AS week",
+            "day",
+            "user_id DIV 63 AS bucket",
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)) AS bit",
+        )
+        .groupBy("week", "day", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .localCheckpoint(eager=True)  # day stats + week merge both read it
+    )
+    day_stats = (
+        bm_day.groupBy("week", "day")
+        .agg(F.expr("sum(bit_count(word))").alias("dd"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_active"),
+            F.sum("dd").cast("long").alias("day_distinct_sum"),
+        )
+    )
+    bm_week = bm_day.groupBy("week", "bucket").agg(
+        F.expr("bit_or(word)").alias("word")
+    )
+    week_stats = bm_week.groupBy("week").agg(
+        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias(
+            "distinct_users_merged"
+        ),
+        F.expr("CAST(bit_xor(word) AS BIGINT)").alias("bitmap_xor"),
+    )
+    return day_stats.join(week_stats, "week").select(
+        "week",
+        "n_days_active",
+        "day_distinct_sum",
+        "distinct_users_merged",
+        "bitmap_xor",
+    )

@@ -135,3 +135,35 @@ def test_iblt_recovers_exact_symmetric_difference(spark):
     assert rec_deleted == deleted
     assert rec_inserted == inserted
     assert len(got) == len(deleted) + len(inserted)
+
+
+def test_bitmap_rollup_matches_pandas_distinct(spark):
+    """Third implementation: pandas nunique per week/day, plus a direct
+    python bitmap build for the xor checksum."""
+    import pandas as pd
+
+    from etl_cotrip_signs_spark.operators.sketches3 import (
+        agg_bitmap_distinct_rollup,
+    )
+
+    out = (
+        agg_bitmap_distinct_rollup(spark, SF_SMALL)
+        .toPandas()
+        .set_index("week")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    day = (ev.ts.dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    df = pd.DataFrame({"week": day // 7, "day": day, "u": ev.user_id})
+    for week, g in df.groupby("week"):
+        row = out.loc[week]
+        assert row["distinct_users_merged"] == g.u.nunique()
+        assert row["n_days_active"] == g.day.nunique()
+        assert row["day_distinct_sum"] == g.groupby("day").u.nunique().sum()
+        words: dict[int, int] = {}
+        for u in g.u.unique():
+            words[u // 63] = words.get(u // 63, 0) | (1 << (u % 63))
+        xor = 0
+        for w in words.values():
+            xor ^= w
+        assert row["bitmap_xor"] == xor
