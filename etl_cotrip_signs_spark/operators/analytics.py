@@ -1242,3 +1242,120 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dec(F.col("n")) * dec(F.col("r")) * dec(F.col("c"))).cast("double")
         ).alias("chi2_cell"),
     )
+
+
+@query(
+    "recsys_item_item_cosine",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nu AS (SELECT count(DISTINCT u) AS n_users FROM ui),
+    deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d FROM ui GROUP BY i),
+    freq AS (
+        SELECT i, d FROM deg, nu WHERE d * 40 >= n_users
+    ),
+    fui AS (SELECT ui.u, ui.i FROM ui JOIN freq ON ui.i = freq.i),
+    co AS (
+        SELECT a.i AS i1, b.i AS i2, CAST(count(*) AS BIGINT) AS co
+        FROM fui a JOIN fui b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    sym AS (
+        SELECT i1 AS ia, i2 AS ib, co FROM co
+        UNION ALL
+        SELECT i2 AS ia, i1 AS ib, co FROM co
+    ),
+    scored AS (
+        SELECT ia, ib, co, da.d AS deg_a, db.d AS deg_b,
+               co * co * 1000000000000 // (da.d * db.d) AS cos2_ppt
+        FROM sym
+        JOIN freq da ON sym.ia = da.i
+        JOIN freq db ON sym.ib = db.i
+    ),
+    ranked AS (
+        SELECT ia, ib, co, deg_a, deg_b, cos2_ppt,
+               row_number() OVER (
+                   PARTITION BY ia ORDER BY cos2_ppt DESC, ib) AS rn
+        FROM scored
+    )
+    SELECT ia AS part_a, deg_a, ib AS part_b, deg_b, co, cos2_ppt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: each frequent part's nearest
+    neighbor by cosine similarity over the customer-part interaction
+    matrix — the recommender primitive beside basket_pair_counts'
+    support counting.
+
+    cos(i,j) = co(i,j)/sqrt(d_i*d_j) is never materialized as a float:
+    the ranking key is the SCALED INTEGER cos2_ppt =
+    co^2 * 10^12 DIV (d_i*d_j) (cosine squared in parts-per-trillion),
+    so the per-item argmax is an exact integer comparison with an id
+    tie-break — no float ordering an engine could resolve differently
+    (the md5-bucket determinism rule applied to ranking).
+
+    Scale shape (100 TB): the apriori move — items are degree-filtered
+    RELATIVE to the user count (d*40 >= n_users, i.e. >= 2.5% reach, so
+    the same query is meaningful at every sf) BEFORE pairing, which
+    bounds the per-user pair explode to C(frequent-per-user, 2); the
+    co-occurrence self-join keys on the user, never item x item; degree
+    tables are dimension-sized (broadcast). The power-law long tail that
+    would blow up the pair space is exactly what the reach filter cuts.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)  # degree, reach, and pair passes share it
+    )
+    n_users = ui.agg(F.countDistinct("u").alias("n_users"))
+    deg = ui.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    freq = (
+        deg.crossJoin(F.broadcast(n_users))
+        .filter(F.col("d") * 40 >= F.col("n_users"))
+        .select("i", "d")
+    )
+    fui = ui.join(F.broadcast(freq.select("i")), "i").select("u", "i")
+    a = fui.select(F.col("u").alias("k"), F.col("i").alias("i1"))
+    b = fui.select(F.col("u").alias("k"), F.col("i").alias("i2"))
+    co = (
+        a.join(b, ["k"])
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    both = co.select(
+        F.col("i1").alias("ia"), F.col("i2").alias("ib"), "co"
+    ).unionAll(co.select(F.col("i2").alias("ia"), F.col("i1").alias("ib"), "co"))
+    scored = (
+        both.join(
+            F.broadcast(freq.select(F.col("i").alias("ia"), F.col("d").alias("deg_a"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("i").alias("ib"), F.col("d").alias("deg_b"))),
+            "ib",
+        )
+        .withColumn(
+            "cos2_ppt",
+            F.expr("co * co * 1000000000000L DIV (deg_a * deg_b)"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("cos2_ppt").desc(), F.col("ib"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ia").alias("part_a"),
+            "deg_a",
+            F.col("ib").alias("part_b"),
+            "deg_b",
+            "co",
+            "cos2_ppt",
+        )
+    )

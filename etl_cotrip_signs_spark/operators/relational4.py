@@ -301,3 +301,46 @@ def stat_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_qty_price"),
     )
+
+
+_NAAJ_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST((SELECT count(*) FROM customer c2
+             WHERE nullif(c2.c_nationkey, 13) NOT IN (
+                 SELECT nullif(n_nationkey, 20) FROM nation
+                 WHERE n_regionkey <> 2)) AS BIGINT)
+           AS n_when_set_has_null
+FROM customer
+WHERE nullif(c_nationkey, 13) NOT IN (
+    SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+GROUP BY c_nationkey
+"""
+
+
+@query("join_null_aware_anti", oracle=_NAAJ_SQL)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs on both sides — the null-aware anti join, a
+    DISTINCT physical operator from the LeftAnti that NOT EXISTS plans
+    (q22's pin): under three-valued logic `x NOT IN (set)` is UNKNOWN
+    when x IS NULL (probe rows dropped) and never-true for every row
+    when the set contains a NULL (whole result empties).
+
+    Both branches are pinned in one result: nation 13 maps to a NULL
+    probe (its customers vanish from the counts — dropped, not kept, the
+    way a naive LeftAnti would keep them), and the scalar-subquery column
+    re-runs the query against a set containing nullif(20, 20) = NULL, so
+    n_when_set_has_null = 0 is itself the second semantic assertion.
+    Catalyst plans the broadcastable set as a null-aware anti join
+    (single-column NAAJ, BuildRight) rather than a cartesian
+    BroadcastNestedLoop — pinned in tests/test_plans.py.
+
+    Shape at 100 TB: the NOT IN set is a dimension (broadcast); the fact
+    side streams map-side through the NAAJ — one shuffle only for the
+    final groupBy. The wrong plan here (BNLJ against an unbroadcast set)
+    is the difference between a scan and a cross product.
+    """
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NAAJ_SQL)

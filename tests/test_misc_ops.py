@@ -153,3 +153,56 @@ def test_arrow_norms_null_and_empty_fallback(spark, tmp_path):
     # must route to the boxed path; DuckDB semantics — sum skips NULLs,
     # len counts them
     assert got[5] == (1000000, 2), got
+
+
+def test_item_item_cosine_matches_pandas(spark):
+    """Third implementation: pandas co-occurrence + float cosine. The
+    float argmax must agree with the scaled-integer ranking wherever the
+    float scores are not within integer-truncation distance (1 ppt)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_cotrip_signs_spark.operators.analytics import (
+        recsys_item_item_cosine,
+    )
+
+    out = recsys_item_item_cosine(spark, SF_SMALL).toPandas()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    ui = (
+        orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"o_custkey": "u", "l_partkey": "i"})
+    )
+    n_users = ui.u.nunique()
+    deg = ui.groupby("i").size()
+    freq = set(deg[deg * 40 >= n_users].index)
+    assert len(out) == len(
+        set(out.part_a)
+    ), "one row per item"
+    fui = ui[ui.i.isin(freq)]
+    by_user = fui.groupby("u").i.apply(set)
+    from collections import Counter
+
+    co: Counter = Counter()
+    for items in by_user:
+        s = sorted(items)
+        for a_i in range(len(s)):
+            for b_i in range(a_i + 1, len(s)):
+                co[(s[a_i], s[b_i])] += 1
+    for _, r in out.iterrows():
+        key = (min(r.part_a, r.part_b), max(r.part_a, r.part_b))
+        assert co[key] == r.co
+        assert deg[r.part_a] == r.deg_a and deg[r.part_b] == r.deg_b
+        assert r.cos2_ppt == (r.co * r.co * 10**12) // (r.deg_a * r.deg_b)
+        # no neighbor of part_a may beat the chosen one by > 1 ppt
+        best = r.cos2_ppt
+        for (x, y), c in co.items():
+            other = y if x == r.part_a else (x if y == r.part_a else None)
+            if other is None:
+                continue
+            score = (c * c * 10**12) // (deg[r.part_a] * deg[other])
+            assert score <= best, (r.part_a, other, score, best)
+    assert len(out) > 0

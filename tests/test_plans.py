@@ -612,3 +612,15 @@ def test_jaccard_link_prediction_degree_joins_broadcast(spark):
     plan = formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_not_in_is_null_aware_anti_join(spark):
+    """NOT IN over a broadcastable set must plan as the single-column
+    null-aware anti join (BroadcastHashJoin ... LeftAnti, BuildRight,
+    isNullAware=true) — NOT a BroadcastNestedLoopJoin, which is the
+    fallback cross-product shape and the 100 TB scale-killer."""
+    df = registry.QUERIES["join_null_aware_anti"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
