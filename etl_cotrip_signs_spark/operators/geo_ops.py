@@ -162,3 +162,130 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("xm").alias("min_xm"),
         F.max("ym").alias("max_ym"),
     )
+
+
+# Literal polygon set (milli-units): a triangle, an axis-aligned square,
+# and a NON-convex L-shape (the case a bbox test alone gets wrong).
+# Vertices are closed rings; edges are consecutive pairs. The same
+# literals appear in the Spark build and the DuckDB oracle.
+_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(10000, 10000), (30000, 10000), (20000, 30000)],
+    2: [(50000, 50000), (80000, 50000), (80000, 80000), (50000, 80000)],
+    3: [
+        (10000, 60000),
+        (40000, 60000),
+        (40000, 70000),
+        (20000, 70000),
+        (20000, 90000),
+        (10000, 90000),
+    ],
+}
+
+
+def _polygon_edges() -> list[tuple[int, int, int, int, int, int, int, int, int]]:
+    """(pid, x1, y1, x2, y2, bbox...) rows, ring-closed."""
+    rows = []
+    for pid, ring in _POLYGONS.items():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        bb = (min(xs), min(ys), max(xs), max(ys))
+        for k in range(len(ring)):
+            x1, y1 = ring[k]
+            x2, y2 = ring[(k + 1) % len(ring)]
+            rows.append((pid, x1, y1, x2, y2, *bb))
+    return rows
+
+
+def _edges_values_sql() -> str:
+    return ", ".join(
+        f"({pid}, {x1}, {y1}, {x2}, {y2}, {bx0}, {by0}, {bx1}, {by1})"
+        for pid, x1, y1, x2, y2, bx0, by0, bx1, by1 in _polygon_edges()
+    )
+
+
+# Even-odd ray cast to +x, all-integer: the edge straddles the scanline
+# ((y1 > ym) != (y2 > ym), a half-open rule so shared vertices count
+# once), and the point lies strictly left of the edge/scanline
+# intersection — px < x1 + (py-y1)(x2-x1)/(y2-y1), cross-multiplied so
+# the division never happens; the inequality flips with sign(y2-y1).
+_CROSSING = (
+    "((y1 > ym) <> (y2 > ym)) AND "
+    "(CASE WHEN y2 > y1 "
+    " THEN (ym - y1) * (x2 - x1) - (xm - x1) * (y2 - y1) > 0 "
+    " ELSE (ym - y1) * (x2 - x1) - (xm - x1) * (y2 - y1) < 0 END)"
+)
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH {_POINTS_SQL},
+    edges(pid, x1, y1, x2, y2, bx0, by0, bx1, by1) AS (
+        VALUES {_edges_values_sql()}
+    ),
+    cand AS (
+        SELECT p.id, p.xm, p.ym, e.*
+        FROM points p JOIN edges e
+          ON p.xm >= e.bx0 AND p.xm <= e.bx1
+         AND p.ym >= e.by0 AND p.ym <= e.by1
+    ),
+    crossings AS (
+        SELECT id, pid,
+               sum(CASE WHEN {_CROSSING} THEN 1 ELSE 0 END) AS k
+        FROM cand GROUP BY id, pid
+    )
+    SELECT CAST(pid AS BIGINT) AS polygon_id,
+           CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(sum(id) AS BIGINT) AS id_checksum
+    FROM crossings WHERE k % 2 = 1
+    GROUP BY pid
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment join — the third spatial primitive
+    beside geo_distance_join (proximity) and geo_cell_density (binning),
+    and the one task.ts's polygon features would need downstream.
+
+    The even-odd ray cast is EXACT integer arithmetic end to end: the
+    strictly-left test is cross-multiplied so the edge/scanline division
+    never happens, and the half-open straddle rule (y1 > ym) != (y2 > ym)
+    counts a vertex-touching scanline exactly once. Polygon 3 is
+    deliberately non-convex — the case where the bbox PREFILTER (stage 1)
+    says maybe and only the crossing parity (stage 2) decides.
+
+    Scale shape (100 TB): polygons are a broadcast dimension; the bbox
+    join prunes points map-side before any edge math (for polygon sets
+    too large to broadcast, the bbox becomes a grid-cell key and this
+    stays an equi join — the geo_distance_join cell discipline); crossing
+    parity is one combinable count per (point, polygon). Output is
+    polygon-sized, never point-sized.
+    """
+    points = derived_points(spark, sf_dir)
+    edges = spark.createDataFrame(
+        _polygon_edges(),
+        "pid INT, x1 INT, y1 INT, x2 INT, y2 INT, "
+        "bx0 INT, by0 INT, bx1 INT, by1 INT",
+    )
+    cand = points.join(
+        F.broadcast(edges),
+        (F.col("xm") >= F.col("bx0"))
+        & (F.col("xm") <= F.col("bx1"))
+        & (F.col("ym") >= F.col("by0"))
+        & (F.col("ym") <= F.col("by1")),
+    )
+    crossings = cand.groupBy("id", "pid").agg(
+        F.sum(F.expr(f"CASE WHEN {_CROSSING} THEN 1 ELSE 0 END")).alias("k")
+    )
+    return (
+        crossings.filter(F.col("k") % 2 == 1)
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inside"),
+            F.sum("id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.col("pid").cast("long").alias("polygon_id"),
+            "n_inside",
+            "id_checksum",
+        )
+    )

@@ -1061,3 +1061,72 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("violates_t20"),
         )
     )
+
+
+_FD_CANDIDATES = (
+    # (name, table, lhs, rhs) — one holding FD (the TPC-H customer name
+    # string encodes its key), one violated dimension FD, one violated
+    # fact FD.
+    ("c_name->c_custkey", "customer", "c_name", "c_custkey"),
+    ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def _fd_branch_sql(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(max(k) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS k
+          FROM {table} GROUP BY {lhs})
+    """
+
+
+@query(
+    "dq_functional_dependency",
+    oracle=" UNION ALL ".join(_fd_branch_sql(*c) for c in _FD_CANDIDATES),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does X -> Y hold, and how badly is it
+    violated when it doesn't — the schema-discovery half of profiling
+    that dq_constraint_report's declared rules can't see.
+
+    Three candidates are checked in one result: c_name -> c_custkey
+    HOLDS by TPC-H construction (the name string encodes the key —
+    n_violating_lhs = 0 is the assertion that survives any sf), while
+    nation -> mktsegment and order -> returnflag are honest violations
+    whose max_rhs_per_lhs quantifies the spread. A real
+    deployment feeds candidate pairs from the catalog; the per-FD audit
+    is the same one aggregate.
+
+    Shape at 100 TB: per FD, one count-distinct aggregate keyed on the
+    LHS (map-side combinable into (lhs, rhs) pairs first — Spark plans
+    the distinct-aggregate expansion itself), then a three-number
+    reduction. FD branches are independent — they parallelize as
+    separate stages of one job, and a violated-early FD can be sampled
+    first at scale before paying the full pass.
+    """
+    parts = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        per_lhs = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("k"))
+        )
+        parts.append(
+            per_lhs.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_lhs"),
+                F.max("k").cast("long").alias("max_rhs_per_lhs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

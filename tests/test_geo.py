@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from etl_cotrip_signs_spark.functions.geo import bounding_box, with_wkt
 
+from .conftest import SF_SMALL
+
 
 def features(spark):
     rows = [
@@ -63,3 +65,48 @@ def test_bounding_box_builtin(spark):
     assert boxes["l"].asDict() == {
         "min_x": 0.0, "min_y": 0.0, "max_x": 1.5, "max_y": 2.5
     }
+
+def test_point_in_polygon_matches_python_raycast(spark):
+    """Third implementation: an independent python even-odd ray cast over
+    the same md5-derived points (float division allowed here — exactness
+    of the SQL form is what's under test, the python replay uses the
+    textbook formulation)."""
+    import hashlib
+
+    from etl_cotrip_signs_spark.operators.geo_ops import (
+        _POLYGONS,
+        geo_point_in_polygon,
+    )
+
+    out = {
+        int(r.polygon_id): (int(r.n_inside), int(r.id_checksum))
+        for r in geo_point_in_polygon(spark, SF_SMALL).collect()
+    }
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+
+    def inside(px, py, ring):
+        k = 0
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 > py) != (y2 > py):
+                xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if px < xi:
+                    k += 1
+        return k % 2 == 1
+
+    expect: dict[int, list[int]] = {pid: [] for pid in _POLYGONS}
+    for okey in orders.o_orderkey:
+        d = hashlib.md5(str(int(okey)).encode()).hexdigest()
+        xm = int(d[0:8], 16) % 100000
+        ym = int(d[8:16], 16) % 100000
+        for pid, ring in _POLYGONS.items():
+            if inside(xm, ym, ring):
+                expect[pid].append(int(okey))
+    for pid, ids in expect.items():
+        if ids:
+            assert out[pid] == (len(ids), sum(ids))
+        else:
+            assert pid not in out
