@@ -1359,3 +1359,126 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos2_ppt",
         )
     )
+
+
+@query(
+    "orders_survival_km",
+    oracle="""
+    WITH RECURSIVE per AS (
+        SELECT o_custkey,
+               CAST(CAST(max(o_orderdate) AS DATE)
+                    - CAST(min(o_orderdate) AS DATE) AS BIGINT) AS dur,
+               CAST(CAST(max(o_orderdate) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS ld
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (SELECT max(ld) AS mx FROM per),
+    flagged AS (
+        SELECT dur, CASE WHEN ld <= mx - 90 THEN 1 ELSE 0 END AS obs
+        FROM per, m
+    ),
+    cnt AS (
+        SELECT dur AS t, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(obs) AS BIGINT) AS d
+        FROM flagged GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(sum(c) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+        FROM cnt
+    ),
+    events AS (
+        SELECT t, n_risk, d,
+               row_number() OVER (ORDER BY t) AS rn
+        FROM risk WHERE d > 0
+    ),
+    km AS (
+        SELECT rn, t, n_risk, d,
+               CAST(1000000000 * (n_risk - d) // n_risk AS BIGINT) AS s
+        FROM events WHERE rn = 1
+        UNION ALL
+        SELECT e.rn, e.t, e.n_risk, e.d,
+               CAST(km.s * (e.n_risk - e.d) // e.n_risk AS BIGINT)
+        FROM km JOIN events e ON e.rn = km.rn + 1
+    )
+    SELECT t AS duration_days, n_risk, d AS d_events, s AS survival_ppb
+    FROM km
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes (first-to-last
+    order span, right-censored within 90 days of the dataset horizon) —
+    the survival-analysis family's entry operator, beside the cohort
+    retention matrix.
+
+    The product-limit estimator is a SEQUENTIAL product — the one shape
+    neither engine's declarative surface likes — and naive float
+    products (or exp-sum-log) would hinge on libm ulp agreement. Instead
+    survival is the exact integer recurrence
+    s_k = s_{k-1} * (n_k - d_k) DIV n_k, ppb-scaled from s_0 = 10^9: the
+    floor at every step is part of the SPEC, so both engines compute
+    bit-identical curves. Spark folds the recurrence with a SQL
+    aggregate() lambda over the sorted event-time array; the DuckDB
+    oracle is a recursive CTE stepping rn -> rn+1 — genuinely different
+    formulations of the same recurrence.
+
+    Shape at 100 TB: one per-customer reduction over orders (combinable
+    min/max), then everything lives on the per-distinct-duration table —
+    calendar-bounded metadata (<= span-in-days rows), which is why the
+    single-group fold is legitimate: the collected array is the risk
+    table, never customer rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(datediff(CAST(max(o_orderdate) AS DATE),"
+            " CAST(min(o_orderdate) AS DATE)) AS BIGINT)"
+        ).alias("dur"),
+        F.expr(
+            "CAST(datediff(CAST(max(o_orderdate) AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)"
+        ).alias("ld"),
+    )
+    m = per.agg(F.max("ld").alias("mx"))
+    flagged = per.crossJoin(F.broadcast(m)).select(
+        "dur",
+        F.when(F.col("ld") <= F.col("mx") - 90, 1).otherwise(0).alias("obs"),
+    )
+    cnt = flagged.groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("obs").cast("long").alias("d"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = cnt.withColumn("n_risk", F.sum("c").over(w).cast("long"))
+    events = risk.filter(F.col("d") > 0).select("t", "n_risk", "d")
+    # Calendar-bounded fold: the event table is <= span-in-days rows.
+    folded = events.agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(named_struct(
+                  't', t, 'n', n_risk, 'd', d))),
+              named_struct(
+                  's', CAST(1000000000 AS BIGINT),
+                  'out', CAST(array() AS
+                      ARRAY<STRUCT<t: BIGINT, n: BIGINT,
+                                   d: BIGINT, s: BIGINT>>)),
+              (acc, x) -> named_struct(
+                  's', CAST(acc.s * (x.n - x.d) DIV x.n AS BIGINT),
+                  'out', array_append(acc.out, named_struct(
+                      't', x.t, 'n', x.n, 'd', x.d,
+                      's', CAST(acc.s * (x.n - x.d) DIV x.n AS BIGINT)))),
+              acc -> acc.out) AS km
+            """
+        )
+    )
+    return folded.selectExpr("inline(km)").select(
+        F.col("t").alias("duration_days"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        F.col("s").alias("survival_ppb"),
+    )
