@@ -562,3 +562,111 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_users_merged",
         "bitmap_xor",
     )
+
+
+@query(
+    "agg_bitmap_retention",
+    oracle="""
+    WITH f AS (
+        SELECT DISTINCT
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+                   AS week,
+               user_id
+        FROM events
+    ),
+    weekly AS (
+        SELECT week, CAST(count(*) AS BIGINT) AS n_active FROM f GROUP BY week
+    ),
+    ret AS (
+        SELECT a.week AS week_from,
+               CAST(count(*) AS BIGINT) AS n_retained
+        FROM f a JOIN f b
+          ON b.user_id = a.user_id AND b.week = a.week + 1
+        GROUP BY a.week
+    )
+    SELECT wa.week AS week_from, wa.week + 1 AS week_to,
+           wa.n_active AS n_active_from, wb.n_active AS n_active_to,
+           r.n_retained,
+           r.n_retained * 1000000 // wa.n_active AS retention_ppm
+    FROM weekly wa
+    JOIN weekly wb ON wb.week = wa.week + 1
+    JOIN ret r ON r.week_from = wa.week
+    """,
+)
+def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retained users via bitmap INTERSECTION — the
+    bit_and half of agg_bitmap_distinct_rollup's algebra: weekly
+    per-bucket words are built once, and |active(w) ∩ active(w+1)| is
+    popcount(word_w & word_{w+1}) summed over buckets — set intersection
+    without touching the fact table or a user-level self-join.
+
+    The DuckDB oracle IS the user-level self-join (distinct week-user
+    pairs joined on user and week+1), so the hash match proves the
+    bitmap algebra against the relational definition. retention_ppm is
+    integer floor (DIV), exact in both engines.
+
+    Shape at 100 TB: the fact table is read ONCE into the weekly bitmap
+    table; every pairwise intersection after that is a bucket-equi-join
+    of word tables (metadata vs facts). The oracle's formulation — the
+    distinct-pair self-join — is what this operator exists to avoid:
+    that join re-shuffles user-grain rows for every week pair.
+    """
+    f = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " DIV 7 AS week",
+            "user_id",
+        )
+        .distinct()
+    )
+    bm = (
+        f.selectExpr(
+            "week",
+            "user_id DIV 63 AS bucket",
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)) AS bit",
+        )
+        .groupBy("week", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .localCheckpoint(eager=True)  # both sides of the week+1 join
+    )
+    weekly = bm.groupBy("week").agg(
+        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n_active")
+    )
+    a = bm.select(
+        F.col("week").alias("week_from"), "bucket", F.col("word").alias("wa")
+    )
+    b = bm.select(
+        (F.col("week") - 1).alias("week_from"),
+        "bucket",
+        F.col("word").alias("wb"),
+    )
+    ret = (
+        a.join(b, ["week_from", "bucket"])
+        .groupBy("week_from")
+        .agg(
+            F.expr("CAST(sum(bit_count(wa & wb)) AS BIGINT)").alias(
+                "n_retained"
+            )
+        )
+    )
+    wa = weekly.select(
+        F.col("week").alias("week_from"), F.col("n_active").alias("n_active_from")
+    )
+    wb = weekly.select(
+        (F.col("week") - 1).alias("week_from"),
+        F.col("n_active").alias("n_active_to"),
+    )
+    return (
+        wa.join(wb, "week_from")
+        .join(ret, "week_from")
+        .filter(F.col("n_retained").isNotNull())
+        .selectExpr(
+            "week_from",
+            "week_from + 1 AS week_to",
+            "n_active_from",
+            "n_active_to",
+            "n_retained",
+            "n_retained * 1000000 DIV n_active_from AS retention_ppm",
+        )
+    )

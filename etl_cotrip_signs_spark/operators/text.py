@@ -1098,3 +1098,110 @@ def entity_match_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * (glen - dist) div glen AS BIGINT)").alias("sim_ppm"),
         (F.col("dist") <= 3).alias("is_match"),
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.i AS i, d.l[t.i] AS w
+        FROM (SELECT doc_id, split(text, ' ') AS l FROM documents) d,
+             UNNEST(range(1, len(d.l) + 1)) AS t(i)
+    ),
+    runs AS (
+        SELECT doc_id, i, w,
+               sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run
+        FROM tok
+    ),
+    pw AS (
+        SELECT doc_id, run, i, w FROM runs WHERE w NOT IN ('the', 'a')
+    ),
+    plen AS (
+        SELECT doc_id, run, CAST(count(*) AS BIGINT) AS len
+        FROM pw GROUP BY doc_id, run
+    ),
+    pw2 AS (
+        SELECT pw.doc_id, pw.run, pw.i, pw.w, plen.len
+        FROM pw JOIN plen USING (doc_id, run)
+    ),
+    deg AS (
+        SELECT w, CAST(sum(len) AS BIGINT) AS deg FROM pw2 GROUP BY w
+    ),
+    scored AS (
+        SELECT pw2.doc_id, pw2.run,
+               string_agg(pw2.w, ' ' ORDER BY pw2.i) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(deg.deg) AS BIGINT) AS score
+        FROM pw2 JOIN deg ON pw2.w = deg.w
+        GROUP BY pw2.doc_id, pw2.run
+    )
+    SELECT phrase, n_words, score
+    FROM scored
+    ORDER BY score DESC, phrase, doc_id, run
+    LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), degree-scoring
+    variant: candidate phrases are maximal stopword-delimited token
+    runs; each word's degree is the total length of the phrases it
+    appears in; a phrase scores the sum of its members' degrees — ALL
+    integers, so the top-20 ranking needs no float tie-breaking (the
+    standard deg/freq ratio would sum rationals in engine-chosen order;
+    the degree variant is the published fallback and keeps the pipeline
+    exact).
+
+    Run segmentation is one prefix window per document (run id = count
+    of stopwords seen); phrase text is reassembled order-stably
+    (sort_array(struct(pos, w)) in Spark, string_agg ORDER BY in
+    DuckDB).
+
+    Shape at 100 TB: tokens shuffle once on (doc, run) for phrase
+    stats; the word-degree table is vocabulary-sized (broadcast); the
+    final top-20 is TakeOrderedAndProject. Degrees double-count
+    repeated words within a phrase by construction — both engines
+    apply the same published rule.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "w"),
+    )
+    runs = tok.withColumn(
+        "run",
+        F.sum(F.when(F.col("w").isin("the", "a"), 1).otherwise(0)).over(
+            W.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    pw = runs.filter(~F.col("w").isin("the", "a")).select(
+        "doc_id", "run", "i", "w"
+    )
+    plen = pw.groupBy("doc_id", "run").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    pw2 = pw.join(plen, ["doc_id", "run"]).localCheckpoint(eager=True)
+    deg = pw2.groupBy("w").agg(F.sum("len").cast("long").alias("deg"))
+    scored = (
+        pw2.join(F.broadcast(deg), "w")
+        .groupBy("doc_id", "run")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(named_struct('i', i, 'w', w))), x -> x.w), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("deg").cast("long").alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("score").desc(), "phrase", "doc_id", "run"
+        )
+        .limit(20)
+        .select("phrase", "n_words", "score")
+    )
