@@ -271,3 +271,108 @@ def ps_api_groupby_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cents").cast("long").alias("sum_cents"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@query(
+    "sql_scripting_topk_bisect",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS c,
+               CAST(sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c, v,
+               row_number() OVER (ORDER BY v DESC, c) AS rn,
+               CAST(sum(v) OVER (ORDER BY v DESC, c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(v) AS BIGINT) AS total_cents
+        FROM per
+    )
+    SELECT t.n_cust,
+           t.total_cents,
+           CAST(min(r.rn) AS BIGINT) AS k_half,
+           CAST(min(r.cum) AS BIGINT) AS topk_cents
+    FROM ranked r, tot t
+    WHERE 2 * r.cum >= t.total_cents
+    GROUP BY t.n_cust, t.total_cents
+    """,
+)
+def sql_scripting_topk_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE) exercised with
+    DATA-DEPENDENT control flow: a scripted binary search for the
+    smallest customer cohort k whose top-k revenue covers half the
+    total. Each probe is a real query against the ranked per-customer
+    view; the loop condition reads the probe's result into a scripting
+    variable — the procedural surface driving the declarative one.
+
+    The DuckDB oracle is the closed form (min rank where 2*cum >= total
+    over the ranked cumulative sum), so the hash match proves the
+    scripted bisection CONVERGES to the declarative answer. All money
+    is exact cents; ranking ties break on custkey.
+
+    Shape at 100 TB: the ranked view is customer-grain — its global
+    row_number would use the two-pass numbering of
+    global_row_number_two_pass (analytics.py:24), not a single-reducer
+    Window; the script then runs log2(n) probes, each a pushdown filter
+    rn <= mid over the numbered table. Scripting cost is driver-side
+    control flow; the data never moves for it.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(
+                (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = per.select(
+        "c",
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), F.col("c")))
+        .alias("rn"),
+    )
+    ranked.createOrReplaceTempView("_scripting_ranked")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_cust BIGINT DEFAULT 0;
+          DECLARE total_cents BIGINT DEFAULT 0;
+          DECLARE lo BIGINT DEFAULT 1;
+          DECLARE hi BIGINT DEFAULT 1;
+          DECLARE mid BIGINT DEFAULT 0;
+          DECLARE probe BIGINT DEFAULT 0;
+          DECLARE topk_cents BIGINT DEFAULT 0;
+          SET n_cust = (SELECT count(*) FROM _scripting_ranked);
+          SET total_cents = (SELECT sum(v) FROM _scripting_ranked);
+          SET hi = n_cust;
+          WHILE lo < hi DO
+            SET mid = (lo + hi) DIV 2;
+            SET probe = (SELECT sum(v) FROM _scripting_ranked
+                         WHERE rn <= mid);
+            IF 2 * probe >= total_cents THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid + 1;
+            END IF;
+          END WHILE;
+          SET topk_cents = (SELECT sum(v) FROM _scripting_ranked
+                            WHERE rn <= lo);
+          SELECT n_cust, total_cents, lo AS k_half, topk_cents;
+        END
+        """
+    )

@@ -1235,3 +1235,114 @@ def stream_datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@query(
+    "stream_bitmap_distinct",
+    # Batch-definition oracle: exact weekly distincts + the bitmap
+    # content checksum, straight from the full events table. The stream
+    # must converge to this no matter how the micro-batches sliced it.
+    oracle="""
+    WITH f AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+                   AS week,
+               user_id
+        FROM events
+    ),
+    words AS (
+        SELECT week, user_id // 63 AS bucket,
+               bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+        FROM f GROUP BY week, user_id // 63
+    )
+    SELECT week,
+           CAST(sum(bit_count(word)) AS BIGINT) AS distinct_users,
+           CAST(bit_xor(word) AS BIGINT) AS bitmap_xor
+    FROM words GROUP BY week
+    """,
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct maintenance: each micro-batch reduces to
+    (week, bucket, word) bitmap rows and bit_or-merges them into the
+    versioned state table — agg_bitmap_distinct_rollup's merge algebra
+    run INCREMENTALLY. bit_or is idempotent and commutative, so the
+    merged state is independent of how micro-batches sliced the input,
+    and a replayed batch re-merges harmlessly ON TOP of the versioned
+    pointer protocol (belt and suspenders: the algebra tolerates what
+    the protocol already prevents).
+
+    This is what replaces approx_count_distinct-with-state when the
+    answer must be exact: per-key state is |id-domain|/63 words instead
+    of an HLL register set, the merge is a groupBy bit_or instead of a
+    register max, and any rollup (week -> month) stays a metadata read.
+
+    Shape at 100 TB: batch work is one combinable aggregate on the
+    batch's own (week, bucket) keys; the merge joins state rows only
+    for buckets the batch touched. State size is bounded by distinct
+    ids, never by event volume.
+    """
+    from ..session import scratch_dir
+
+    ensure_confs(spark)
+    e = read_events_stream(spark, sf_dir).select("ts", "user_id")
+    return run_stream_bitmap(e, scratch_dir("stream_bitmap", sf_dir))
+
+
+def make_bitmap_merge_fn(base: str):
+    """(merge, read_ptr) over a versioned bitmap state directory —
+    separate from the stream driver so tests can replay a batch_id
+    directly (the upsert-sink testing discipline)."""
+    read_ptr, commit_version = versioned_state(base)
+
+    def merge(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ptr = read_ptr()
+        if ptr["batch"] >= batch_id:
+            return  # replay of an already-committed batch
+        bm = (
+            batch_df.selectExpr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+                " DIV 7 AS week",
+                "user_id DIV 63 AS bucket",
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 63 AS INT)) AS bit",
+            )
+            .groupBy("week", "bucket")
+            .agg(F.expr("bit_or(bit)").alias("word"))
+        )
+        if ptr["dir"] is not None:
+            prior = s.read.parquet(ptr["dir"])
+            bm = (
+                prior.unionByName(bm)
+                .groupBy("week", "bucket")
+                .agg(F.expr("bit_or(word)").alias("word"))
+            )
+        commit_version(bm, batch_id)
+
+    return merge, read_ptr
+
+
+def run_stream_bitmap(events_stream: DataFrame, base: str) -> DataFrame:
+    """Core of stream_bitmap_distinct, parameterized over the source
+    stream and state dir so tests can drive multi-batch + replay."""
+    import shutil
+
+    spark = events_stream.sparkSession
+    shutil.rmtree(base, ignore_errors=True)
+    merge, read_ptr = make_bitmap_merge_fn(base)
+    q = (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    final = read_ptr()
+    if final["dir"] is None:
+        raise RuntimeError("stream_bitmap_distinct processed zero batches")
+    state = spark.read.parquet(final["dir"])
+    return state.groupBy("week").agg(
+        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("distinct_users"),
+        F.expr("CAST(bit_xor(word) AS BIGINT)").alias("bitmap_xor"),
+    )

@@ -287,3 +287,45 @@ def test_stream_datasource_writer_manifest_gates_reads(spark):
         .count()
     ).toPandas()
     assert int(back["count"].sum()) == int(before.n_events.sum())
+
+
+def test_bitmap_merge_multi_batch_and_replay(spark, tmp_path):
+    """Bitmap merge across batches: users split across micro-batches and
+    weeks must union exactly; a replayed batch_id is a no-op (and would
+    be harmless anyway — bit_or is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from etl_cotrip_signs_spark.streaming.queries import make_bitmap_merge_fn
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    # epoch week of 2024-01-01 (19723 days // 7 = 2817); 2024-01-08 is next
+    b0 = batch([("2024-01-01 00:00:00", 1), ("2024-01-01 01:00:00", 64)])
+    b1 = batch([("2024-01-01 02:00:00", 1), ("2024-01-08 00:00:00", 2)])
+    merge, read_ptr = make_bitmap_merge_fn(str(tmp_path / "bm"))
+    merge(b0, 0)
+    merge(b0, 0)  # replay
+    merge(b1, 1)
+    merge(b0, 0)  # stale replay
+    assert read_ptr()["batch"] == 1
+    state = spark.read.parquet(read_ptr()["dir"])
+    out = (
+        state.groupBy("week")
+        .agg(F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("n"))
+        .toPandas()
+        .set_index("week")["n"]
+        .to_dict()
+    )
+    # week of Jan 1: users {1, 64} (user 1 seen twice, counted once);
+    # week of Jan 8: user {2}
+    weeks = sorted(out)
+    assert len(weeks) == 2
+    assert out[weeks[0]] == 2 and out[weeks[1]] == 1
+    # user 64 lands in bucket 1 (64 DIV 63), user 1 in bucket 0
+    buckets = {
+        (int(r.week), int(r.bucket)) for r in state.collect()
+    }
+    assert (weeks[0], 0) in buckets and (weeks[0], 1) in buckets
