@@ -24,8 +24,9 @@ table; with a known diameter bound the check can be run every k rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
 from .dedup import NGRAM_PAIRS_ORACLE, dedup_ngram_jaccard
@@ -1738,3 +1739,158 @@ def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hub = _normalize(hraw, "o", "h")
     return auth.select(F.col("p").alias("l_partkey"), F.col("a").alias("auth_ppm"))
+
+
+_WALK_SEED = chain_seed("walk")
+_WALK_STEPS = 4
+
+
+@query(
+    "graph_random_walk_xxh",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH {_MSF_POINTS_SQL},
+    e AS (
+        SELECT a.id AS u, b.id AS v
+        FROM points a JOIN points b ON a.id <> b.id
+        WHERE (a.xm - b.xm) * (a.xm - b.xm)
+                + (a.ym - b.ym) * (a.ym - b.ym)
+              <= {_MSF_RADIUS_MILLI * _MSF_RADIUS_MILLI}
+    ),
+    adj AS (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
+               count(*) OVER (PARTITION BY u) AS deg
+        FROM e
+    ),
+    w0 AS (SELECT id AS walker, id AS cur FROM points),
+    """
+    + ",\n    ".join(
+        f"""w{t} AS (
+        SELECT w.walker, a.v AS cur
+        FROM w{t - 1} w JOIN adj a ON a.u = w.cur
+         AND a.idx = ((xxh64_long((w.walker * 16 + {t}) * 16777216 + w.cur,
+                                  {chain_seed('walk')}::UBIGINT)
+                       % a.deg) + a.deg) % a.deg
+    )"""
+        for t in range(1, _WALK_STEPS + 1)
+    )
+    + f""",
+    visits AS (
+        {" UNION ALL ".join(f"SELECT cur FROM w{t}" for t in range(1, _WALK_STEPS + 1))}
+    )
+    SELECT cur AS node, CAST(count(*) AS BIGINT) AS n_visits
+    FROM visits GROUP BY cur
+    """,
+)
+def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the MSF probe graph — the
+    sampling primitive under DeepWalk/node2vec embeddings, made
+    hash-oracle-checkable: every walker's step-t neighbor choice is
+    xxhash64('walk', (walker*16 + t)*2^24 + cur) mod degree over the
+    id-ordered adjacency index, so both engines traverse the SAME walks
+    (the signflip-permutation determinism rule applied to graph
+    sampling). One walker starts at every node; 4 steps; walkers at
+    isolated nodes terminate (inner join on deg >= 1).
+
+    The combined hash key packs (walker, step, cur) into one long —
+    collision-free while ids < 2^24 and walkers < 2^35 — so the oracle
+    needs ONE xxh64_long call, not a chained-seed pipeline.
+
+    Shape at 100 TB: each step is one equi-join of the walker state
+    (|walkers| rows) with the indexed adjacency on (node, idx) — the
+    state never grows, no path multisets are carried, and steps
+    pipeline as ordinary shuffles. Building the adjacency index is one
+    window over edges; at web scale walks batch thousands of walkers
+    per node with the same join shape.
+    """
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 23 == 0)
+        .select(
+            "id",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("xm"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("ym"),
+        )
+    )
+    r = _MSF_RADIUS_MILLI
+    # Cell-bucketed symmetric edge build (the geo_distance_join shape:
+    # 3x3 probes, shuffle 9x|points|, never the quadratic pair space).
+    a = pts.select(
+        F.col("id").alias("u"),
+        F.col("xm").alias("xa"),
+        F.col("ym").alias("ya"),
+        F.expr(f"xm DIV {r}").alias("ci"),
+        F.expr(f"ym DIV {r}").alias("cj"),
+    ).withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+                    for i in (-1, 0, 1)
+                    for j in (-1, 0, 1)
+                ]
+            )
+        ),
+    ).select(
+        "u",
+        "xa",
+        "ya",
+        (F.col("ci") + F.col("probe.di")).alias("ci"),
+        (F.col("cj") + F.col("probe.dj")).alias("cj"),
+    )
+    b = pts.select(
+        F.col("id").alias("v"),
+        F.col("xm").alias("xb"),
+        F.col("ym").alias("yb"),
+        F.expr(f"xm DIV {r}").alias("ci"),
+        F.expr(f"ym DIV {r}").alias("cj"),
+    )
+    sym = (
+        a.join(b, ["ci", "cj"])
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+                <= r * r
+            )
+        )
+        .select("u", "v")
+    )
+    adj = sym.select(
+        "u",
+        "v",
+        (
+            F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1
+        ).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("deg"),
+    ).localCheckpoint(eager=True)  # every step joins it
+    state = pts.select(F.col("id").alias("walker"), F.col("id").alias("cur"))
+    visits = []
+    for t in range(1, _WALK_STEPS + 1):
+        key = ((F.col("walker") * 16 + t) * 16777216 + F.col("cur")).cast(
+            "long"
+        )
+        nxt = (
+            state.withColumn("h", F.xxhash64(F.lit("walk"), key))
+            .join(adj, F.col("cur") == F.col("u"))
+            .filter(F.pmod(F.col("h"), F.col("deg")) == F.col("idx"))
+            .select("walker", F.col("v").alias("cur"))
+        )
+        state = nxt.localCheckpoint(eager=True)  # next step + visit union
+        visits.append(state.select("cur"))
+    out = visits[0]
+    for vdf in visits[1:]:
+        out = out.unionAll(vdf)
+    return out.groupBy(F.col("cur").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits")
+    )

@@ -863,3 +863,65 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("priority_rank"), F.lit(0)).cast("long").alias("sum_rank"),
         F.sum("price_cents").cast("long").alias("sum_price_cents"),
     )
+
+
+@query(
+    "binaryfile_scan_roundtrip",
+    # Oracle reads the SAME staged blobs via DuckDB's read_blob and
+    # recomputes length + md5 — two engines, two binary readers, one
+    # byte stream. DuckDB's md5 takes VARCHAR only; the staged bytes are
+    # printable ASCII, so BLOB::VARCHAR is the identical byte sequence.
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(content::VARCHAR) AS content_md5
+    FROM read_blob('{SCRATCH:binblobs}/*.bin')
+    """,
+)
+def binaryfile_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — Spark's opaque-blob reader and the
+    ingestion half of the multimodal story (multimodal.py consumes
+    binary columns; THIS is how they arrive from an object store of
+    image/audio files).
+
+    Stages one .bin file per first-32 document (content = utf-8 text
+    bytes, so the fixture needs no codecs), reads them back with
+    format('binaryFile'), and emits (name, length, md5-of-content) —
+    the content column is round-tripped through Spark's binary type and
+    hashed, proving byte fidelity, while the DuckDB oracle re-reads the
+    same files with read_blob.
+
+    Shape at 100 TB: binaryFile splits per-file (a file is one row —
+    the right granularity for media blobs); pair it with
+    spark.sql.files.maxPartitionBytes-style bin packing via the
+    pathGlobFilter/recursiveFileLookup options; decode happens
+    downstream in Arrow-batched mapInPandas (multimodal.py), never in
+    the scan.
+    """
+    import os
+    import shutil
+
+    from ..session import scratch_dir
+
+    base = scratch_dir("binblobs", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 32)
+        .collect()  # 32 fixture rows staged driver-side, metadata-scale
+    )
+    for r in docs:
+        with open(f"{base}/doc_{r['doc_id']:05d}.bin", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+    )
+    return back.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

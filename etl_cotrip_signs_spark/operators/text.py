@@ -1205,3 +1205,89 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("phrase", "n_words", "score")
     )
+
+
+_PHRASES = ("data line", "join key query")
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.i AS pos, d.l[t.i] AS w
+        FROM (SELECT doc_id, split(text, ' ') AS l FROM documents) d,
+             UNNEST(range(1, len(d.l) + 1)) AS t(i)
+    ),
+    p2 AS (
+        SELECT 'data line' AS phrase, a.doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.w = 'data' AND b.w = 'line'
+        GROUP BY a.doc_id
+    ),
+    p3 AS (
+        SELECT 'join key query' AS phrase, a.doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.w = 'join' AND b.w = 'key' AND c.w = 'query'
+        GROUP BY a.doc_id
+    )
+    SELECT phrase, doc_id, n_hits FROM p2
+    UNION ALL
+    SELECT phrase, doc_id, n_hits FROM p3
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over a POSITIONAL inverted index — the
+    search-engine primitive the similarity family doesn't cover: find
+    documents containing a literal word sequence, by adjacency-joining
+    term postings on (doc, pos+1).
+
+    The index is built ONCE (term -> (doc, pos) postings, filtered to
+    the query's terms before any join — the selective-term pushdown all
+    search engines rely on); a k-word phrase is k-1 adjacency
+    equi-joins. Both a bigram and a trigram phrase run in one result so
+    the join-chain generalization is exercised, not just the pairwise
+    case.
+
+    Shape at 100 TB: postings for the QUERY TERMS only leave the scan
+    (predicate pushdown into the token explode); adjacency joins key on
+    (doc, pos) — co-partitioned after one shuffle of the filtered
+    postings, which are corpus-frequency-sized, not corpus-sized. The
+    rarest-term-first join ordering that production engines apply is
+    Catalyst's call here (both sides already tiny after the filter).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    needed = sorted({w for p in _PHRASES for w in p.split()})
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w").isin(*needed))
+        .localCheckpoint(eager=True)  # every phrase branch reads it
+    )
+
+    def phrase_hits(phrase: str) -> DataFrame:
+        words = phrase.split()
+        out = tok.filter(F.col("w") == words[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for k, wd in enumerate(words[1:], 1):
+            nxt = tok.filter(F.col("w") == wd).select(
+                "doc_id", (F.col("pos") - k).alias("p0")
+            )
+            out = out.join(nxt, ["doc_id", "p0"])
+        return out.groupBy("doc_id").agg(
+            F.lit(phrase).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+
+    parts = [phrase_hits(p) for p in _PHRASES]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("phrase", "doc_id", "n_hits")
