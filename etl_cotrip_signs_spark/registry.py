@@ -140,7 +140,8 @@ DRIVER_ORDER: list[str] = [
     # rows-only by nature, green r1-r4; knn_lsh_ann stays as the first-50
     # rows-only representative) — BPE inference freshly graduated to a full
     # hash oracle (functions/bpe_sql.py), straight to a driver slot
-    "stat_corr_moments",            # r4c rotation in (was agg_grouping_sets)
+    "stat_kruskal_wallis",          # r5c4 rotation in (was stat_corr_moments,
+    # green r4) — the k-sample rank statistic over the fixed-order pivot
     "drift_ks_exact",               # r5 rotation in (was agg_collect_first_last)
     "sketch_hll_exact_registers",   # r5 continuation rotation in (was
     # events_rollup_two_level, r4-green; ops-audit keeps table_diff_audit +
@@ -154,7 +155,8 @@ DRIVER_ORDER: list[str] = [
     "sketch_iblt_diff",             # r5 continuation rotation in (was
     # q2_min_cost_supplier, r4-green; TPC-H keeps q1/q21/q9/q8/q16/q20 in
     # the first 50) — IBLT set reconciliation with the unrolled-peel oracle
-    "scd2_temporal_join",           # r4 rotation in (was join_anti_customers)
+    "join_null_aware_anti",         # r5c4 rotation in (was scd2_temporal_join,
+    # green r4) — NOT IN three-valued semantics + NAAJ plan pin
     "q9_product_profit",            # r4b rotation in (was join_theta_price_band);
     # the composite-key fact-to-partsupp join — the one join form with no
     # prior driver evidence
@@ -171,8 +173,11 @@ DRIVER_ORDER: list[str] = [
     "select_token_budget",          # r4 rotation in (was q18_large_volume_customer)
     "split_group_preserving",       # r4 rotation in (was agg_salted_skew)
     "partitioned_sink_roundtrip",
-    "events_ewma_dyadic",           # r4c rotation in (was sessionize_events_batch)
-    "stream_foreach_batch_upsert",  # r4 rotation in (was subquery_max_acctbal)
+    "recsys_item_item_cosine",      # r5c4 rotation in (was events_ewma_dyadic,
+    # green r4) — scaled-integer cosine argmax over the reach-filtered pairs
+    "stream_bitmap_distinct",       # r5c4 rotation in (was
+    # stream_foreach_batch_upsert, green r4) — exact incremental distinct
+    # through the same versioned-state protocol
     "filter_predicate_family",
     "ml_decision_stump_gini",       # r5 continuation rotation in (was
     # cdc_scd2_history, r4-green; CDC keeps cdc_merge_full in the first 50)
@@ -180,17 +185,23 @@ DRIVER_ORDER: list[str] = [
     "string_funcs_part",
     "global_row_number_two_pass",   # r5 rotation in (was knn_lsh_recall, rows-only
     # driver signal; the recall instrumentation stays registered + benched)
-    "udaf_trimmed_mean",             # r3 rotation in (was math_funcs_lineitem)
+    "sql_scripting_topk_bisect",     # r5c4 rotation in (was udaf_trimmed_mean,
+    # green r3+r4; udtf_table_arg_stats stays as the UDF-surface rep) —
+    # Spark 4 SQL scripting with data-dependent control flow
     "stream_pipeline_sessions",      # r5 rotation in (was stream_session_windows)
-    "sample_stratified",             # r3 rotation in (was map_funcs_events)
+    "graph_random_walk_xxh",         # r5c4 rotation in (was sample_stratified,
+    # green r3+r4; training keeps three first-50 reps) — hash-replayed walks
     "sessionize_capped_sessions",    # r5 rotation in (was json_schema_roundtrip)
-    "table_diff_audit",             # r4b rotation in (was dedup_exact_docs;
-    # dedup keeps ngram/components/substring slots below)
+    "agg_bitmap_distinct_rollup",   # r5c4 rotation in (was table_diff_audit,
+    # green r4; ops-audit keeps cdc_merge_full) — exact mergeable bitmap
+    # distinct with the word-xor content checksum
     "dedup_substring_spans",        # r5 rotation in (was dedup_minhash_docs,
     # rows-only driver signal; minhash recall instrumentation stays benched)
     "dedup_ngram_jaccard",
     "dedup_components_ngram",
-    "q8_market_share",              # r4b rotation in (was knn_exact_cosine)
+    "orders_survival_km",           # r5c4 rotation in (was q8_market_share,
+    # green r4; TPC-H keeps q1/q16/q20/q21/q9) — the exact integer
+    # product-limit recurrence
     "knn_lsh_ann",
     "entity_resolution_names",      # r5 rotation in (was similarity_threshold_pairs)
     "udtf_table_arg_stats",         # r5 rotation in (was dedup_embedding_cosine)
@@ -205,6 +216,15 @@ DRIVER_ORDER: list[str] = [
     # freshly graduated layout-deterministic oracle, straight to a driver slot
     "pipeline_training_corpus",
     "stream_tumbling_events",
+    # -- r5 continuation-4 rotation out (all green r4) --
+    "stat_corr_moments",
+    "scd2_temporal_join",
+    "events_ewma_dyadic",
+    "stream_foreach_batch_upsert",
+    "udaf_trimmed_mean",
+    "sample_stratified",
+    "table_diff_audit",
+    "q8_market_share",
     # -- r5 rotation out (all green r4; several green r1-r4) --
     "q5_regional_revenue",
     "signs_pipeline_inline",
