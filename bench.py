@@ -75,6 +75,16 @@ HEADLINE = [
     "sketch_hll_exact_registers",
     "sketch_iblt_diff",
     "ml_decision_stump_gini",
+    # round-5 continuation-4: bitmap distinct algebra, the recommender
+    # pair join, hash-replayed walks, the KM fold, RAKE + phrase search
+    # (token-explode-heavy), and the k-sample rank pivot
+    "agg_bitmap_distinct_rollup",
+    "recsys_item_item_cosine",
+    "graph_random_walk_xxh",
+    "orders_survival_km",
+    "text_rake_keywords",
+    "text_phrase_search",
+    "stat_kruskal_wallis",
 ]
 
 

@@ -533,3 +533,97 @@ def sessionize_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan,
         "user_id long, n_sessions long, n_events long, longest_span_us long",
     )
+
+
+# Allen's 13 interval relations (1983), classified with closed integer
+# intervals. The CASE chain is order-exhaustive: every pair lands in
+# exactly one bucket. Shared verbatim by Spark and the oracle.
+_ALLEN_CASE = """
+    CASE
+      WHEN ea < sb THEN 'precedes'
+      WHEN eb < sa THEN 'preceded_by'
+      WHEN ea = sb THEN 'meets'
+      WHEN eb = sa THEN 'met_by'
+      WHEN sa = sb AND ea = eb THEN 'equals'
+      WHEN sa = sb AND ea < eb THEN 'starts'
+      WHEN sa = sb AND ea > eb THEN 'started_by'
+      WHEN ea = eb AND sa > sb THEN 'finishes'
+      WHEN ea = eb AND sa < sb THEN 'finished_by'
+      WHEN sa > sb AND ea < eb THEN 'during'
+      WHEN sa < sb AND ea > eb THEN 'contains'
+      WHEN sa < sb AND ea > sb AND ea < eb THEN 'overlaps'
+      ELSE 'overlapped_by'
+    END
+"""
+
+_ALLEN_HORIZON = 16  # only pairs with |sa - sb| <= horizon are classified
+
+
+@query(
+    "interval_allen_relations",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS ida,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS sa,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    + o_orderkey % 7 + 1 AS BIGINT) AS ea
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey AS idb,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS sb,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    + o_orderkey % 11 + 1 AS BIGINT) AS eb
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON abs(sa - sb) <= {_ALLEN_HORIZON}
+    GROUP BY 1
+    """,
+)
+def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (1983): classify every near-in-time pair
+    of order validity intervals into the 13 mutually-exclusive temporal
+    relations (precedes/meets/overlaps/starts/during/finishes, their
+    inverses, equals) — the vocabulary under every temporal-join
+    predicate the engine offers (as-of = latest 'precedes', SCD2 =
+    'during', backlog sweep = 'overlaps' counting).
+
+    Intervals derive deterministically from orders (start = order day,
+    duration = key-modular, two disjoint sets by key residue); the CASE
+    chain is order-exhaustive over closed integer intervals, so bucket
+    assignment is pure integer comparison. Pairing is declared
+    horizon-bounded (|start gap| <= 16 days) — the classification,
+    like every real temporal join, is only asked near the diagonal.
+
+    Shape at 100 TB: the horizon IS the band — Spark buckets set A's
+    starts into 16-day cells with 3 neighbor probes and equi-joins set
+    B's cell (the range_join_banded discipline; shuffle is 3x|A| + |B|,
+    never the cross product the oracle's quadratic ON clause implies).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    day = "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+    a = o.filter(F.col("o_orderkey") % 3 == 0).selectExpr(
+        "o_orderkey AS ida",
+        f"{day} AS sa",
+        f"{day} + o_orderkey % 7 + 1 AS ea",
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 1).selectExpr(
+        "o_orderkey AS idb",
+        f"{day} AS sb",
+        f"{day} + o_orderkey % 11 + 1 AS eb",
+    )
+    h = _ALLEN_HORIZON
+    a_probed = a.withColumn("off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))).select(
+        "sa", "ea", (F.expr(f"sa DIV {h}") + F.col("off")).alias("cell")
+    )
+    b_cell = b.select("sb", "eb", F.expr(f"sb DIV {h}").alias("cell"))
+    pairs = a_probed.join(b_cell, "cell").filter(
+        F.abs(F.col("sa") - F.col("sb")) <= h
+    )
+    return pairs.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

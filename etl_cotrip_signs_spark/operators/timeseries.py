@@ -1132,3 +1132,104 @@ def orders_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("step", "day_num", "cents")
     )
+
+
+_HAAR_LEVELS = 6  # 2^6 = 64-day analysis window
+
+
+@query(
+    "events_haar_wavelet",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    d0 AS (SELECT min(day) AS d0 FROM daily),
+    rel AS (
+        SELECT day - d0 AS r, v FROM daily, d0 WHERE day - d0 < 64
+    ),
+    lv AS (SELECT unnest(range(1, {_HAAR_LEVELS + 1})) AS level),
+    coeffs AS (
+        SELECT lv.level,
+               rel.r // (1 << lv.level) AS idx,
+               CAST(sum(CASE WHEN rel.r % (1 << lv.level)
+                                  < (1 << (lv.level - 1))
+                             THEN rel.v ELSE -rel.v END) AS BIGINT) AS coeff
+        FROM rel CROSS JOIN lv
+        GROUP BY lv.level, rel.r // (1 << lv.level)
+    ),
+    approx AS (
+        SELECT CAST({_HAAR_LEVELS + 1} AS BIGINT) AS level,
+               CAST(0 AS BIGINT) AS idx,
+               CAST(sum(v) AS BIGINT) AS coeff
+        FROM rel
+    )
+    SELECT CAST(level AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx, coeff
+    FROM coeffs
+    UNION ALL
+    SELECT level, idx, coeff FROM approx
+    """,
+)
+def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the daily revenue
+    series (64-day dyadic window) — multi-resolution analysis beside the
+    seasonality grid: level-k detail coefficients localize WHERE in time
+    the variance lives (day-scale noise vs month-scale drift), and the
+    full transform is losslessly invertible.
+
+    The recursion a_k = pairwise-sum(a_{k-1}) never materializes: a
+    level-k detail coefficient is sum(v * ±1) over one dyadic block
+    (+ on the first half, − on the second), so the whole 6-level
+    transform is ONE explode (6 rows per day) + ONE combinable integer
+    aggregate — no sequential dependency, unlike the KM fold. The
+    normalization 1/sqrt(2^k) is deliberately omitted (unnormalized
+    integer Haar is exactly invertible; scaling is display-time).
+
+    Shape at 100 TB: facts reduce once per day; the transform runs on
+    the calendar-bounded daily table (64 rows here); levels explode
+    metadata, not facts. For per-key wavelets (a million series), the
+    same expression adds the key to the GROUP BY — still one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    rel = (
+        daily.crossJoin(F.broadcast(d0))
+        .select((F.col("day") - F.col("d0")).alias("r"), "v")
+        .filter(F.col("r") < 64)
+        .localCheckpoint(eager=True)  # detail levels + approx row share it
+    )
+    lv = rel.withColumn(
+        "level", F.explode(F.sequence(F.lit(1), F.lit(_HAAR_LEVELS)))
+    )
+    coeffs = (
+        lv.select(
+            "level",
+            F.expr("r DIV shiftleft(1, level)").alias("idx"),
+            F.when(
+                F.expr("r % shiftleft(1, level) < shiftleft(1, level - 1)"),
+                F.col("v"),
+            )
+            .otherwise(-F.col("v"))
+            .alias("sv"),
+        )
+        .groupBy("level", "idx")
+        .agg(F.sum("sv").cast("long").alias("coeff"))
+    )
+    approx = rel.agg(
+        F.lit(_HAAR_LEVELS + 1).cast("long").alias("level"),
+        F.lit(0).cast("long").alias("idx"),
+        F.sum("v").cast("long").alias("coeff"),
+    )
+    return coeffs.selectExpr(
+        "CAST(level AS BIGINT) AS level", "CAST(idx AS BIGINT) AS idx", "coeff"
+    ).unionAll(approx)

@@ -478,6 +478,33 @@ DRIVER_ORDER: list[str] = [
     "events_rollup_two_level",       # r5c2 rotation out of the first 50 (green r4)
     "q2_min_cost_supplier",          # r5c2 rotation out of the first 50 (green r4)
     "cdc_scd2_history",              # r5c2 rotation out of the first 50 (green r4)
+    # -- round-5 continuation-3 additions --
+    "graph_hits_exact",              # r5c3: HITS hubs/authorities, exact integers
+    "schema_evolution_merge",        # r5c3: mergeSchema evolution twin
+    "kmeans_maximin_init",           # r5c3: deterministic maximin seeding
+    "events_retention_matrix",       # r5c3: cohort-week retention triangle
+    "stats_welch_ttest",             # r5c3: Welch t over exact moments
+    "trend_ols_two_features",        # r5c3: 2-feature OLS, Cramer exact
+    "events_markov_stationary",      # r5c3: stationary distribution, exact
+    "stat_mann_whitney_u",           # r5c3: exact doubled-midrank U test
+    "stat_spearman_rank",            # r5c3: Pearson on doubled midranks
+    "stat_signflip_permutation",     # r5c3: xxh64-replayed permutation test
+    "events_cross_correlation",      # r5c3: lagged daily cross-correlation
+    # -- round-5 continuation-4 additions (first-50 rotations above:
+    # stat_kruskal_wallis, join_null_aware_anti, recsys_item_item_cosine,
+    # stream_bitmap_distinct, sql_scripting_topk_bisect,
+    # graph_random_walk_xxh, agg_bitmap_distinct_rollup, orders_survival_km) --
+    "stat_wilcoxon_signed_rank",     # r5c4: paired rank twin of MWU
+    "stat_anova_oneway",             # r5c4: F over fixed-order pivot moments
+    "agg_bitmap_retention",          # r5c4: bit_and intersection retention
+    "text_rake_keywords",            # r5c4: degree-scoring RAKE
+    "text_phrase_search",            # r5c4: positional phrase retrieval
+    "geo_point_in_polygon",          # r5c4: integer ray-cast containment
+    "dq_functional_dependency",      # r5c4: FD discovery audit
+    "binaryfile_scan_roundtrip",     # r5c4: binaryFile vs read_blob
+    "events_haar_wavelet",           # r5c4: exact integer Haar transform
+    "clean_impute_median",           # r5c4: grouped median imputation audit
+    "interval_allen_relations",      # r5c4: Allen's 13 relations, banded join
 ]
 
 

@@ -206,3 +206,69 @@ def test_item_item_cosine_matches_pandas(spark):
             score = (c * c * 10**12) // (deg[r.part_a] * deg[other])
             assert score <= best, (r.part_a, other, score, best)
     assert len(out) > 0
+
+
+def test_haar_wavelet_matches_numpy_and_inverts(spark):
+    """Third implementation: the classic recursive pairwise-sum/diff
+    pyramid in numpy — and the lossless-invertibility property (the
+    transform carries exactly the information of the input window)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_cotrip_signs_spark.operators.timeseries import events_haar_wavelet
+
+    out = events_haar_wavelet(spark, SF_SMALL).toPandas()
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    day = (ev.ts.dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    v = (
+        pd.Series(
+            np.floor(ev.value.to_numpy() * 1000).astype(np.int64), index=day
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    r = (v.index - v.index.min()).to_numpy()
+    sig = np.zeros(64, dtype=np.int64)
+    keep = r < 64
+    np.add.at(sig, r[keep], v.to_numpy()[keep])
+    a = sig.copy()
+    details = {}
+    for level in range(1, 7):
+        pairs = a.reshape(-1, 2)
+        details[level] = pairs[:, 0] - pairs[:, 1]
+        a = pairs[:, 0] + pairs[:, 1]
+    got = {
+        (int(row.level), int(row.idx)): int(row.coeff)
+        for row in out.itertuples()
+    }
+    # blocks with no events produce NO Spark row (nothing to aggregate);
+    # numpy computes an explicit 0 there — compare with a 0 default
+    for level in range(1, 7):
+        for i, c in enumerate(details[level]):
+            assert got.get((level, i), 0) == c, (level, i)
+    assert got[(7, 0)] == int(a[0]) == int(sig.sum())
+    # no spurious coefficients beyond the 6 detail levels + approx row
+    assert all(1 <= lv <= 7 for lv, _ in got)
+
+
+def test_impute_median_matches_pandas(spark):
+    import pandas as pd
+
+    from etl_cotrip_signs_spark.operators.ops_audit import clean_impute_median
+
+    out = clean_impute_median(spark, SF_SMALL).toPandas().set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    miss = (li.l_orderkey + li.l_linenumber) % 13 == 0
+    q = li.l_quantity.astype("int64").where(~miss)
+    for flag, g in q.groupby(li.l_returnflag):
+        present = g.dropna().astype(int).sort_values().to_numpy()
+        # exact lower median: smallest value with 2*cum >= n
+        k = (len(present) + 1) // 2 - 1
+        median = int(present[k])
+        row = out.loc[flag]
+        assert row["median_used"] == median
+        assert row["n_rows"] == len(g)
+        assert row["n_imputed"] == int(g.isna().sum())
+        assert row["sum_quantity_after"] == int(
+            g.fillna(median).astype(int).sum()
+        )

@@ -67,6 +67,20 @@ QUERIES = [
     "feature_hashing_trick",
     "orders_lttb_downsample",
     "ml_decision_stump_gini",
+    # round-5 continuation-4 families: deterministic walks (the adjacency
+    # row_number index must be id-ordered, not arrival-ordered), the KM
+    # fold (array_sort before the sequential recurrence — collect_list
+    # order is partitioning-dependent by contract), the item-item argmax
+    # (window over a shuffled pair table), RAKE (prefix-window run ids +
+    # phrase reassembly from sort_array, never collect order), the bitmap
+    # rollup (bit_or merge across whatever partitions built the words),
+    # and phrase search (posting adjacency joins under re-bucketing)
+    "graph_random_walk_xxh",
+    "orders_survival_km",
+    "recsys_item_item_cosine",
+    "text_rake_keywords",
+    "agg_bitmap_distinct_rollup",
+    "text_phrase_search",
 ]
 
 HOSTILE = {
