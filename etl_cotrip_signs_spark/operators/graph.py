@@ -1745,6 +1745,77 @@ _WALK_SEED = chain_seed("walk")
 _WALK_STEPS = 4
 
 
+def _msf_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MSF probe point cloud (1/23 orderkey subset, md5 milli coords)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 23 == 0)
+        .select(
+            "id",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("xm"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+                " AS BIGINT) % 100000"
+            ).alias("ym"),
+        )
+    )
+
+
+def _msf_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric radius-5000 edges over the probe cloud, built with the
+    cell-bucket shape (3x3 probes, shuffle 9x|points|, never the
+    quadratic pair space) — shared by the walk and clustering queries."""
+    pts = _msf_points(spark, sf_dir)
+    r = _MSF_RADIUS_MILLI
+    a = pts.select(
+        F.col("id").alias("u"),
+        F.col("xm").alias("xa"),
+        F.col("ym").alias("ya"),
+        F.expr(f"xm DIV {r}").alias("ci"),
+        F.expr(f"ym DIV {r}").alias("cj"),
+    ).withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+                    for i in (-1, 0, 1)
+                    for j in (-1, 0, 1)
+                ]
+            )
+        ),
+    ).select(
+        "u",
+        "xa",
+        "ya",
+        (F.col("ci") + F.col("probe.di")).alias("ci"),
+        (F.col("cj") + F.col("probe.dj")).alias("cj"),
+    )
+    b = pts.select(
+        F.col("id").alias("v"),
+        F.col("xm").alias("xb"),
+        F.col("ym").alias("yb"),
+        F.expr(f"xm DIV {r}").alias("ci"),
+        F.expr(f"ym DIV {r}").alias("cj"),
+    )
+    return (
+        a.join(b, ["ci", "cj"])
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+                <= r * r
+            )
+        )
+        .select("u", "v")
+    )
+
+
 @query(
     "graph_random_walk_xxh",
     oracle=XXH64_MACROS
@@ -1804,68 +1875,8 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over edges; at web scale walks batch thousands of walkers
     per node with the same join shape.
     """
-    pts = (
-        load_table(spark, sf_dir, "orders")
-        .select(F.col("o_orderkey").alias("id"))
-        .filter(F.col("id") % 23 == 0)
-        .select(
-            "id",
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("xm"),
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("ym"),
-        )
-    )
-    r = _MSF_RADIUS_MILLI
-    # Cell-bucketed symmetric edge build (the geo_distance_join shape:
-    # 3x3 probes, shuffle 9x|points|, never the quadratic pair space).
-    a = pts.select(
-        F.col("id").alias("u"),
-        F.col("xm").alias("xa"),
-        F.col("ym").alias("ya"),
-        F.expr(f"xm DIV {r}").alias("ci"),
-        F.expr(f"ym DIV {r}").alias("cj"),
-    ).withColumn(
-        "probe",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
-                    for i in (-1, 0, 1)
-                    for j in (-1, 0, 1)
-                ]
-            )
-        ),
-    ).select(
-        "u",
-        "xa",
-        "ya",
-        (F.col("ci") + F.col("probe.di")).alias("ci"),
-        (F.col("cj") + F.col("probe.dj")).alias("cj"),
-    )
-    b = pts.select(
-        F.col("id").alias("v"),
-        F.col("xm").alias("xb"),
-        F.col("ym").alias("yb"),
-        F.expr(f"xm DIV {r}").alias("ci"),
-        F.expr(f"ym DIV {r}").alias("cj"),
-    )
-    sym = (
-        a.join(b, ["ci", "cj"])
-        .filter(
-            (F.col("u") != F.col("v"))
-            & (
-                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
-                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
-                <= r * r
-            )
-        )
-        .select("u", "v")
-    )
+    sym = _msf_sym_edges(spark, sf_dir)
+    pts = _msf_points(spark, sf_dir)
     adj = sym.select(
         "u",
         "v",
@@ -1893,4 +1904,76 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionAll(vdf)
     return out.groupBy(F.col("cur").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("n_visits")
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_MSF_POINTS_SQL},
+    e AS (
+        SELECT a.id AS u, b.id AS v
+        FROM points a JOIN points b ON a.id <> b.id
+        WHERE (a.xm - b.xm) * (a.xm - b.xm)
+                + (a.ym - b.ym) * (a.ym - b.ym)
+              <= {_MSF_RADIUS_MILLI * _MSF_RADIUS_MILLI}
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    tri AS (
+        SELECT w1.u, CAST(count(*) AS BIGINT) AS n_closed
+        FROM e w1 JOIN e w2 ON w2.u = w1.u AND w1.v < w2.v
+        JOIN e c ON c.u = w1.v AND c.v = w2.v
+        GROUP BY w1.u
+    )
+    SELECT d.u AS node, d.deg,
+           coalesce(t.n_closed, 0) AS n_triangles,
+           coalesce(t.n_closed, 0) * 2000000 // (d.deg * (d.deg - 1))
+               AS cc_ppm
+    FROM deg d LEFT JOIN tri t ON t.u = d.u
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — how tightly each node's
+    neighborhood closes into triangles (Watts-Strogatz 1998), the
+    node-level refinement of graph_triangle_count's global total.
+
+    cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) never materializes as a
+    float: the output is the scaled-integer floor cc_ppm (the
+    recsys_item_item_cosine rule), so ordering and hashing are exact.
+    Wedges enumerate as (v, n1 < n2 neighbors) pairs and close against
+    the edge list — per-node work is C(deg, 2), the honest cost of
+    local triangle counting.
+
+    Shape at 100 TB: wedge enumeration is the degree-skew hotspot —
+    the degree-oriented orientation trick (count each triangle at its
+    lowest-degree vertex, graph_triangle_count_degree) bounds it to
+    O(m^1.5) total; here per-node attribution needs the plain wedge
+    form, so production caps or samples wedges at celebrity nodes. The
+    closing join keys on the (n1, n2) edge — an ordinary equi join of
+    wedge table vs edge list.
+    """
+    sym = _msf_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    w1 = sym.select(F.col("u"), F.col("v").alias("n1"))
+    w2 = sym.select(F.col("u"), F.col("v").alias("n2"))
+    wedges = w1.join(w2, "u").filter(F.col("n1") < F.col("n2"))
+    closing = sym.select(
+        F.col("u").alias("n1"), F.col("v").alias("n2")
+    )
+    tri = (
+        wedges.join(closing, ["n1", "n2"])
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "u", "left")
+        .selectExpr(
+            "u AS node",
+            "deg",
+            "coalesce(n_closed, CAST(0 AS BIGINT)) AS n_triangles",
+            "coalesce(n_closed, CAST(0 AS BIGINT)) * 2000000"
+            " DIV (deg * (deg - 1)) AS cc_ppm",
+        )
     )

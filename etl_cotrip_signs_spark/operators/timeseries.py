@@ -1233,3 +1233,239 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coeffs.selectExpr(
         "CAST(level AS BIGINT) AS level", "CAST(idx AS BIGINT) AS idx", "coeff"
     ).unionAll(approx)
+
+
+@query(
+    "forecast_backtest_rolling",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    d0 AS (SELECT min(day) AS d0, max(day) AS dmax FROM daily),
+    rel AS (SELECT day - d0 AS r, v FROM daily, d0),
+    folds AS (SELECT unnest(range(0, 4)) AS fold),
+    -- fold f tests the 3 days starting at origin_f = 16 + 3*f (the
+    -- fixture spans 30 days); the "models" need only lagged values, so
+    -- training is implicit.
+    test AS (
+        SELECT f.fold, t.r, t.v,
+               coalesce(n1.v, 0) AS pred_naive,
+               coalesce(s7.v, 0) AS pred_seasonal
+        FROM folds f
+        JOIN rel t ON t.r >= 16 + 3 * f.fold AND t.r < 19 + 3 * f.fold
+        LEFT JOIN rel n1 ON n1.r = 16 + 3 * f.fold - 1
+        LEFT JOIN rel s7 ON s7.r = t.r - 7
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(v - pred_naive)) AS BIGINT) AS mae_naive_milli,
+           CAST(sum(abs(v - pred_seasonal)) AS BIGINT)
+               AS mae_seasonal_milli,
+           CAST(CASE WHEN sum(abs(v - pred_seasonal))
+                          <= sum(abs(v - pred_naive))
+                     THEN 1 ELSE 0 END AS BIGINT) AS seasonal_wins
+    FROM test GROUP BY fold
+    """,
+)
+def forecast_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtesting — the evaluation harness every
+    forecasting deployment needs (train on days < T, score the next
+    window, slide T): four 3-day folds over the 30-day fixture span
+    compare the seasonal-naive model
+    (predict from 7 days earlier) against the last-known-value naive,
+    with exact integer milli-unit absolute errors per fold.
+
+    Both 'models' are lag lookups, so the backtest is pure joins — the
+    point of the operator is the FOLD HARNESS (leakage-free by
+    construction: every prediction reads only days strictly before the
+    fold's origin or the aligned seasonal lag inside the test week,
+    never the target day) and the deterministic model-comparison
+    verdict, not the model.
+
+    Shape at 100 TB: facts reduce once to the daily table; folds explode
+    calendar-bounded metadata. Swapping in a real model changes the
+    prediction join, not the harness.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    rel = (
+        daily.crossJoin(F.broadcast(d0))
+        .select((F.col("day") - F.col("d0")).alias("r"), "v")
+        .localCheckpoint(eager=True)  # test rows + both lag joins share it
+    )
+    folds = spark.range(4).select(F.col("id").cast("long").alias("fold"))
+    test = (
+        folds.crossJoin(rel.select(F.col("r"), F.col("v")))
+        .filter(
+            (F.col("r") >= 16 + 3 * F.col("fold"))
+            & (F.col("r") < 19 + 3 * F.col("fold"))
+        )
+    )
+    n1 = rel.select(F.col("r").alias("r_n1"), F.col("v").alias("pv_n1"))
+    s7 = rel.select(F.col("r").alias("r_s7"), F.col("v").alias("pv_s7"))
+    joined = (
+        test.join(
+            F.broadcast(n1),
+            F.col("r_n1") == 16 + 3 * F.col("fold") - 1,
+            "left",
+        )
+        .join(F.broadcast(s7), F.col("r_s7") == F.col("r") - 7, "left")
+        .select(
+            "fold",
+            "v",
+            F.coalesce(F.col("pv_n1"), F.lit(0)).alias("pred_naive"),
+            F.coalesce(F.col("pv_s7"), F.lit(0)).alias("pred_seasonal"),
+        )
+    )
+    return joined.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("v") - F.col("pred_naive")))
+        .cast("long")
+        .alias("mae_naive_milli"),
+        F.sum(F.abs(F.col("v") - F.col("pred_seasonal")))
+        .cast("long")
+        .alias("mae_seasonal_milli"),
+        F.when(
+            F.sum(F.abs(F.col("v") - F.col("pred_seasonal")))
+            <= F.sum(F.abs(F.col("v") - F.col("pred_naive"))),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("seasonal_wins"),
+    )
+
+
+@query(
+    "forecast_conformal_coverage",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    d0 AS (SELECT min(day) AS d0 FROM daily),
+    rel AS (SELECT day - d0 AS r, v FROM daily, d0),
+    resid AS (
+        SELECT t.r, abs(t.v - l.v) AS e,
+               CASE WHEN t.r < 22 THEN 'cal' ELSE 'test' END AS split
+        FROM rel t JOIN rel l ON l.r = t.r - 7
+        WHERE t.r >= 7
+    ),
+    cal AS (
+        SELECT e, count(*) AS c FROM resid WHERE split = 'cal' GROUP BY e
+    ),
+    q AS (
+        SELECT min(e) AS q90
+        FROM (
+            SELECT e,
+                   sum(c) OVER (ORDER BY e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   sum(c) OVER () AS tot
+            FROM cal
+        )
+        WHERE 10 * cum >= 9 * tot
+    )
+    SELECT CAST((SELECT sum(c) FROM cal) AS BIGINT) AS n_cal,
+           q.q90 AS q90_milli,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.e <= q.q90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST(sum(CASE WHEN t.e <= q.q90 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+    FROM resid t, q WHERE t.split = 'test'
+    GROUP BY q.q90
+    """,
+)
+def forecast_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction-interval audit for the seasonal-naive
+    forecaster: the 90th-percentile absolute residual on a calibration
+    window becomes the interval half-width, and the held-out window
+    reports empirical coverage — the distribution-free uncertainty
+    wrapper (Vovk; Lei et al.) any point forecaster gets for free.
+
+    The quantile is the EXACT upper empirical quantile (smallest
+    residual with 10*cum >= 9*total over the per-distinct-residual
+    count table — the clean_impute_median discipline, no interpolation
+    semantics trusted), and coverage is integer ppm. Calibration/test
+    split is temporal (days < 22 vs >= 22), never random — exchange-
+    ability along time is exactly what the audit probes.
+
+    Shape at 100 TB: residuals are one self-join of the daily table on
+    the seasonal lag; the quantile reads the residual-domain count
+    table; coverage is one combinable aggregate. Per-series conformal
+    bands add the key to every GROUP BY — same two passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    rel = (
+        daily.crossJoin(F.broadcast(d0))
+        .select((F.col("day") - F.col("d0")).alias("r"), "v")
+        .localCheckpoint(eager=True)
+    )
+    lag = rel.select(F.col("r").alias("rl"), F.col("v").alias("vl"))
+    resid = (
+        rel.filter(F.col("r") >= 7)
+        .join(F.broadcast(lag), F.col("rl") == F.col("r") - 7)
+        .select(
+            "r",
+            F.abs(F.col("v") - F.col("vl")).alias("e"),
+            F.when(F.col("r") < 22, "cal").otherwise("test").alias("split"),
+        )
+        .localCheckpoint(eager=True)  # quantile + coverage both read it
+    )
+    cal = (
+        resid.filter(F.col("split") == "cal")
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = (
+        cal.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy()))
+        .filter(10 * F.col("cum") >= 9 * F.col("tot"))
+        .agg(F.min("e").alias("q90_milli"))
+    )
+    n_cal = cal.agg(F.sum("c").cast("long").alias("n_cal"))
+    test = resid.filter(F.col("split") == "test")
+    return (
+        test.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(n_cal))
+        .groupBy("n_cal", "q90_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("e") <= F.col("q90_milli"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .selectExpr(
+            "n_cal",
+            "q90_milli",
+            "n_test",
+            "n_covered",
+            "n_covered * 1000000 DIV n_test AS coverage_ppm",
+        )
+    )

@@ -505,6 +505,9 @@ DRIVER_ORDER: list[str] = [
     "events_haar_wavelet",           # r5c4: exact integer Haar transform
     "clean_impute_median",           # r5c4: grouped median imputation audit
     "interval_allen_relations",      # r5c4: Allen's 13 relations, banded join
+    "forecast_backtest_rolling",     # r5c4: rolling-origin CV harness
+    "forecast_conformal_coverage",   # r5c4: split-conformal interval audit
+    "graph_clustering_coefficient",  # r5c4: local CC in exact ppm
 ]
 
 
