@@ -749,3 +749,83 @@ def agg_aqp_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - sum(cents)) div sum(cents) AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@query(
+    "sample_proportional_lrm",
+    oracle="""
+    WITH strata AS (
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM strata),
+    quotas AS (
+        SELECT l_returnflag, l_linestatus, n_rows,
+               n_rows * 1000 // n AS base_alloc,
+               n_rows * 1000 % n AS rem
+        FROM strata, tot
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY rem DESC, l_returnflag, l_linestatus) AS rr,
+               CAST(1000 - sum(base_alloc) OVER () AS BIGINT) AS leftover
+        FROM quotas
+    )
+    SELECT l_returnflag, l_linestatus, n_rows,
+           CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+           CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked
+    """,
+)
+def sample_proportional_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1000-row sample
+    budget across strata — the EXACT allocation arithmetic inside every
+    proportional stratified sampler: floor quotas first, then the
+    leftover slots go to the largest fractional remainders
+    (deterministic ties on the stratum key), so sum(final_alloc) is
+    exactly the budget with no float rounding drift ever.
+
+    This is the integer half of sample_stratified: that query draws the
+    rows (md5-ranked); this one pins WHERE the budget goes, the part
+    that silently skews when implemented as round(n_h * frac).
+
+    Shape at 100 TB: one combinable count per stratum, then all
+    arithmetic runs on the strata table (metadata); the single-partition
+    window is over |strata| rows by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    )
+    strata = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = strata.agg(F.sum("n_rows").cast("long").alias("n"))
+    quotas = strata.crossJoin(F.broadcast(tot)).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "n_rows * 1000 DIV n AS base_alloc",
+        "n_rows * 1000 % n AS rem",
+    )
+    w = W.orderBy(
+        F.col("rem").desc(), F.col("l_returnflag"), F.col("l_linestatus")
+    )
+    ranked = quotas.withColumn("rr", F.row_number().over(w)).withColumn(
+        "leftover",
+        (F.lit(1000) - F.sum("base_alloc").over(W.partitionBy())).cast(
+            "long"
+        ),
+    )
+    return ranked.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "CAST(base_alloc AS BIGINT) AS base_alloc",
+        "CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra",
+        "CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+        " AS BIGINT) AS final_alloc",
+    )

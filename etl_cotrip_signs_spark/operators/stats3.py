@@ -759,3 +759,93 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ANOVA_F} AS f_stat",
         f"{_ANOVA_ETA} AS eta_squared",
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles, as shared literal
+# constants (they are spec inputs, not computed values).
+_Z_ALPHA = "1.9599639845400545"
+_Z_BETA = "0.8416212335729143"
+
+_POWER_N = (
+    f"CAST(ceil(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})"
+    " * (CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na)"
+    " * (CAST(sa AS DOUBLE) / na)"
+    " + CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb)"
+    " * (CAST(sb AS DOUBLE) / nb))"
+    " / ((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+    " * (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb))) AS BIGINT)"
+)
+
+
+@query(
+    "events_ab_power_analysis",
+    oracle=f"""
+    WITH m AS (
+        SELECT
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(floor(value * 1000) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS sa,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(floor(value * 1000) AS BIGINT)
+                               * CAST(floor(value * 1000) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS qa,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nb,
+            CAST(sum(CASE WHEN event_type = 'click'
+                          THEN CAST(floor(value * 1000) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS sb,
+            CAST(sum(CASE WHEN event_type = 'click'
+                          THEN CAST(floor(value * 1000) AS BIGINT)
+                               * CAST(floor(value * 1000) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS qb
+        FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT na, sa, qa, nb, sb, qb, {_POWER_N} AS n_per_arm_required
+    FROM m
+    """,
+)
+def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis: the per-arm sample size required to
+    detect the CURRENTLY OBSERVED purchase-vs-click value gap at
+    alpha = 0.05 (two-sided) and power = 0.80 — the
+    before-you-run-the-experiment arithmetic that pairs with
+    events_ab_test_lift's after-the-fact readout.
+
+    n = (z_a + z_b)^2 * (var_a + var_b) / delta^2, with the z quantiles
+    as shared literal CONSTANTS (spec inputs, not engine-computed —
+    there is no cross-engine erf to disagree about), the moments exact
+    integers, and the whole formula one shared double expression ending
+    in ceil -> BIGINT.
+
+    Shape at 100 TB: ONE combinable aggregate over facts, seven numbers
+    out — the stat_anova_oneway shape.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("ia"),
+            F.floor(F.col("value") * 1000).cast("long").alias("x"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ev.agg(
+        F.sum(F.col("ia")).cast("long").alias("na"),
+        F.sum(dec(F.col("ia") * F.col("x"))).cast("long").alias("sa"),
+        F.sum(dec(F.col("ia") * F.col("x") * F.col("x")))
+        .cast("long")
+        .alias("qa"),
+        F.sum(1 - F.col("ia")).cast("long").alias("nb"),
+        F.sum(dec((1 - F.col("ia")) * F.col("x"))).cast("long").alias("sb"),
+        F.sum(dec((1 - F.col("ia")) * F.col("x") * F.col("x")))
+        .cast("long")
+        .alias("qb"),
+    )
+    return m.selectExpr(
+        "na", "sa", "qa", "nb", "sb", "qb",
+        f"{_POWER_N} AS n_per_arm_required",
+    )

@@ -508,6 +508,8 @@ DRIVER_ORDER: list[str] = [
     "forecast_backtest_rolling",     # r5c4: rolling-origin CV harness
     "forecast_conformal_coverage",   # r5c4: split-conformal interval audit
     "graph_clustering_coefficient",  # r5c4: local CC in exact ppm
+    "sample_proportional_lrm",       # r5c4: largest-remainder apportionment
+    "events_ab_power_analysis",      # r5c4: required-n from exact moments
 ]
 
 
