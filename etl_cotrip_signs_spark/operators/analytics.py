@@ -1482,3 +1482,98 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_events"),
         F.col("s").alias("survival_ppb"),
     )
+
+
+_ABC_MIG_SPLIT = "DATE '1998-01-01'"  # period 1 < split <= period 2
+
+
+def _abc_period_sql(cmp: str) -> str:
+    """Per-period customer ABC classes (the lineitem_abc integer-share
+    rule: A = first 80% of cumulative revenue, B = next 15%, C = tail),
+    as a DuckDB CTE body parameterized on the period predicate."""
+    return f"""
+        SELECT o_custkey, CASE WHEN 10 * cum <= 8 * total THEN 'A'
+                               WHEN 20 * cum <= 19 * total THEN 'B'
+                               ELSE 'C' END AS abc_class
+        FROM (
+            SELECT o_custkey, rev,
+                   sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(rev) OVER () AS total
+            FROM (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders
+                WHERE CAST(o_orderdate AS DATE) {cmp} {_ABC_MIG_SPLIT}
+                GROUP BY o_custkey
+            )
+        )
+    """
+
+
+@query(
+    "abc_class_migration",
+    oracle=f"""
+    WITH p1 AS ({_abc_period_sql('<')}),
+    p2 AS ({_abc_period_sql('>=')})
+    SELECT p1.abc_class AS class_before, p2.abc_class AS class_after,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM p1 JOIN p2 ON p1.o_custkey = p2.o_custkey
+    GROUP BY p1.abc_class, p2.abc_class
+    """,
+)
+def abc_class_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC class migration matrix: each customer classified by the
+    Pareto rule (lineitem_abc_classification's integer-share
+    inequalities — no float boundary) independently in two date periods,
+    then the 3x3 transition counts over customers active in both — the
+    are-my-A-customers-churning readout that turns a static Pareto
+    slice into a flow diagnosis.
+
+    Shape at 100 TB: two per-period combinable customer aggregates, two
+    cumulative windows over customer-grain tables, one equi join on the
+    customer key. The window rides the same caveat as the other
+    Pareto queries: customer-grain at extreme scale wants the two-pass
+    global numbering (analytics.py:24), documented there.
+    """
+
+    def period(cmp_before: bool):
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.expr(
+                f"CAST(o_orderdate AS DATE) "
+                f"{'<' if cmp_before else '>='} {_ABC_MIG_SPLIT}"
+            )
+        )
+        per = o.groupBy("o_custkey").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        w_cum = Window.orderBy(
+            F.col("rev").desc(), F.col("o_custkey")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return per.select(
+            "o_custkey",
+            F.when(
+                10 * F.sum("rev").over(w_cum)
+                <= 8 * F.sum("rev").over(Window.partitionBy()),
+                "A",
+            )
+            .when(
+                20 * F.sum("rev").over(w_cum)
+                <= 19 * F.sum("rev").over(Window.partitionBy()),
+                "B",
+            )
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+
+    p1 = period(True).withColumnRenamed("abc_class", "class_before")
+    p2 = period(False).withColumnRenamed("abc_class", "class_after")
+    return (
+        p1.join(p2, "o_custkey")
+        .groupBy("class_before", "class_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -510,6 +510,7 @@ DRIVER_ORDER: list[str] = [
     "graph_clustering_coefficient",  # r5c4: local CC in exact ppm
     "sample_proportional_lrm",       # r5c4: largest-remainder apportionment
     "events_ab_power_analysis",      # r5c4: required-n from exact moments
+    "abc_class_migration",           # r5c4: Pareto-class transition matrix
 ]
 
 
