@@ -130,6 +130,18 @@ CREATE OR REPLACE MACRO xxh64_signed(b, seed) AS (
               ELSE u::BIGINT END
   FROM (SELECT xxh64_u(b, seed) AS u)
 );
+CREATE OR REPLACE MACRO xxh64_long_u(x, seed) AS (
+  -- Unsigned twin of xxh64_long: returns the raw UBIGINT hash so it can
+  -- feed the next xxh64_* call's seed — Spark's multi-argument xxhash64
+  -- chains the running hash as the next argument's seed, and replicating
+  -- a 2-long chain (e.g. the random-walk (walker, cur) key) needs the
+  -- intermediate hash unsigned.
+  SELECT xx_aval(xx_addm(xx_mulm(xx_rotl(
+           xor(h1, xx_round(0::UBIGINT, u)), 27), {P1}::UBIGINT),
+           {P4}::UBIGINT))
+  FROM (SELECT ((x::HUGEINT + {M64}) % {M64})::UBIGINT AS u,
+               xx_addm(seed::UBIGINT, {(P5 + 8) % M64}::UBIGINT) AS h1)
+);
 CREATE OR REPLACE MACRO xxh64_long(x, seed) AS (
   -- Spark xxhash64 over a LongType arg: XXH64 of the 8 little-endian bytes,
   -- which reduces to one 8-byte-word tail step + avalanche (hash = seed +

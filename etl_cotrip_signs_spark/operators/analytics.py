@@ -1269,7 +1269,8 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT ia, ib, co, da.d AS deg_a, db.d AS deg_b,
-               co * co * 1000000000000 // (da.d * db.d) AS cos2_ppt
+               CAST(co::HUGEINT * co * 1000000000000
+                    // (da.d::HUGEINT * db.d) AS BIGINT) AS cos2_ppt
         FROM sym
         JOIN freq da ON sym.ia = da.i
         JOIN freq db ON sym.ib = db.i
@@ -1342,8 +1343,16 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ib",
         )
         .withColumn(
+            # co*co*1e12 overflows BIGINT once co > ~3.03M (plausible at
+            # large SF under the 2.5%-reach filter) and Spark's non-ANSI
+            # wrap vs DuckDB's overflow error would diverge silently —
+            # widen to DECIMAL(38,0)/HUGEINT for the product, then the
+            # quotient (a cos²·1e12, always ≤ 1e12) casts back to BIGINT.
             "cos2_ppt",
-            F.expr("co * co * 1000000000000L DIV (deg_a * deg_b)"),
+            F.expr(
+                "CAST((CAST(co AS DECIMAL(38,0)) * co * 1000000000000)"
+                " DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_b) AS BIGINT)"
+            ),
         )
     )
     w = Window.partitionBy("ia").orderBy(F.col("cos2_ppt").desc(), F.col("ib"))

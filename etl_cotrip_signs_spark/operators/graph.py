@@ -1840,8 +1840,9 @@ def _msf_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""w{t} AS (
         SELECT w.walker, a.v AS cur
         FROM w{t - 1} w JOIN adj a ON a.u = w.cur
-         AND a.idx = ((xxh64_long((w.walker * 16 + {t}) * 16777216 + w.cur,
-                                  {chain_seed('walk')}::UBIGINT)
+         AND a.idx = ((xxh64_long(w.cur,
+                        xxh64_long_u(w.walker,
+                                     {chain_seed(f'walk:{t}')}::UBIGINT))
                        % a.deg) + a.deg) % a.deg
     )"""
         for t in range(1, _WALK_STEPS + 1)
@@ -1858,15 +1859,18 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks over the MSF probe graph — the
     sampling primitive under DeepWalk/node2vec embeddings, made
     hash-oracle-checkable: every walker's step-t neighbor choice is
-    xxhash64('walk', (walker*16 + t)*2^24 + cur) mod degree over the
-    id-ordered adjacency index, so both engines traverse the SAME walks
-    (the signflip-permutation determinism rule applied to graph
-    sampling). One walker starts at every node; 4 steps; walkers at
-    isolated nodes terminate (inner join on deg >= 1).
+    xxhash64('walk:t', walker, cur) mod degree over the id-ordered
+    adjacency index, so both engines traverse the SAME walks (the
+    signflip-permutation determinism rule applied to graph sampling).
+    One walker starts at every node; 4 steps; walkers at isolated nodes
+    terminate (inner join on deg >= 1).
 
-    The combined hash key packs (walker, step, cur) into one long —
-    collision-free while ids < 2^24 and walkers < 2^35 — so the oracle
-    needs ONE xxh64_long call, not a chained-seed pipeline.
+    The step key hashes walker and cur as TWO chained long arguments
+    (step folded into the literal seed string) — collision-free for any
+    64-bit id, replacing the r5 single-long packing whose 2^24 cur field
+    silently overlapped walker bits once ids exceeded 16M (r5 ADVICE
+    item). The oracle replays the chain via xxh64_long_u (the unsigned
+    intermediate IS Spark's running multi-arg hash seed).
 
     Shape at 100 TB: each step is one equi-join of the walker state
     (|walkers| rows) with the indexed adjacency on (node, idx) — the
@@ -1888,11 +1892,11 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = pts.select(F.col("id").alias("walker"), F.col("id").alias("cur"))
     visits = []
     for t in range(1, _WALK_STEPS + 1):
-        key = ((F.col("walker") * 16 + t) * 16777216 + F.col("cur")).cast(
-            "long"
-        )
         nxt = (
-            state.withColumn("h", F.xxhash64(F.lit("walk"), key))
+            state.withColumn(
+                "h",
+                F.xxhash64(F.lit(f"walk:{t}"), F.col("walker"), F.col("cur")),
+            )
             .join(adj, F.col("cur") == F.col("u"))
             .filter(F.pmod(F.col("h"), F.col("deg")) == F.col("idx"))
             .select("walker", F.col("v").alias("cur"))

@@ -586,11 +586,12 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT wa.week AS week_from, wa.week + 1 AS week_to,
            wa.n_active AS n_active_from, wb.n_active AS n_active_to,
-           r.n_retained,
-           r.n_retained * 1000000 // wa.n_active AS retention_ppm
+           COALESCE(r.n_retained, CAST(0 AS BIGINT)) AS n_retained,
+           COALESCE(r.n_retained, CAST(0 AS BIGINT)) * 1000000 // wa.n_active
+               AS retention_ppm
     FROM weekly wa
     JOIN weekly wb ON wb.week = wa.week + 1
-    JOIN ret r ON r.week_from = wa.week
+    LEFT JOIN ret r ON r.week_from = wa.week
     """,
 )
 def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,16 +658,20 @@ def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("week") - 1).alias("week_from"),
         F.col("n_active").alias("n_active_to"),
     )
+    # LEFT join + coalesce so a week pair with zero common users (or even
+    # zero shared buckets) still emits an n_retained=0 row — mirrored in the
+    # oracle's LEFT JOIN, keeping both engines' row sets identical on the
+    # zero-retention case (r5 ADVICE item).
     return (
         wa.join(wb, "week_from")
-        .join(ret, "week_from")
-        .filter(F.col("n_retained").isNotNull())
+        .join(ret, "week_from", "left")
         .selectExpr(
             "week_from",
             "week_from + 1 AS week_to",
             "n_active_from",
             "n_active_to",
-            "n_retained",
-            "n_retained * 1000000 DIV n_active_from AS retention_ppm",
+            "coalesce(n_retained, CAST(0 AS BIGINT)) AS n_retained",
+            "coalesce(n_retained, CAST(0 AS BIGINT)) * 1000000"
+            " DIV n_active_from AS retention_ppm",
         )
     )

@@ -465,8 +465,8 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WSR_Z = (
     "(CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)"
-    " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
-    " - CAST(tt AS DOUBLE) / 48)"
+    " / nullif(sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+    " - CAST(tt AS DOUBLE) / 48), 0)"
 )
 
 
@@ -567,17 +567,23 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation whose order an engine could choose).
 _ETYPES = ("click", "error", "purchase", "signup", "view")
 
+# Every denominator that can vanish on degenerate data (an absent event
+# type -> n_j = 0, an empty/singleton table -> n(n+1) = 0 or n^3-n = 0,
+# all values tied -> tie correction 1 - tt/(n^3-n) = 0) is wrapped in
+# nullif IN THE SHARED STRING, so both engines agree on NULL rather than
+# each picking its own float div-by-zero convention (DuckDB's depends on
+# ieee_floating_point_ops; r5 ADVICE item).
 _KW_H = (
-    "12 / (CAST(n AS DOUBLE) * (n + 1)) * ("
+    "12 / nullif(CAST(n AS DOUBLE) * (n + 1), 0) * ("
     + " + ".join(
-        f"CAST(r{j} AS DOUBLE) * r{j} / 4 / n{j}"
+        f"CAST(r{j} AS DOUBLE) * r{j} / 4 / nullif(n{j}, 0)"
         for j in range(1, len(_ETYPES) + 1)
     )
     + ") - 3 * (CAST(n AS DOUBLE) + 1)"
 )
 _KW_HC = (
-    f"({_KW_H}) / (1 - CAST(tt AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * n * n - n))"
+    f"({_KW_H}) / nullif(1 - CAST(tt AS DOUBLE)"
+    " / nullif(CAST(n AS DOUBLE) * n * n - n, 0), 0)"
 )
 
 
@@ -671,21 +677,28 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same nullif-in-the-shared-string discipline as _KW_H: absent groups
+# (n_j = 0), empty input (n = 0), n = k exactly, zero within-group
+# variance (SSW = 0), and all-tied data (SST = 0) all yield NULL in both
+# engines instead of engine-specific float div-by-zero behavior.
 _ANOVA_SB = (
     "("
     + " + ".join(
-        f"CAST(s{j} AS DOUBLE) * s{j} / n{j}"
+        f"CAST(s{j} AS DOUBLE) * s{j} / nullif(n{j}, 0)"
         for j in range(1, len(_ETYPES) + 1)
     )
     + ")"
 )
 _ANOVA_F = (
-    f"(({_ANOVA_SB} - CAST(st AS DOUBLE) * st / n) / {len(_ETYPES) - 1})"
-    f" / ((CAST(qt AS DOUBLE) - {_ANOVA_SB}) / (n - {len(_ETYPES)}))"
+    f"(({_ANOVA_SB} - CAST(st AS DOUBLE) * st / nullif(n, 0))"
+    f" / {len(_ETYPES) - 1})"
+    f" / nullif((CAST(qt AS DOUBLE) - {_ANOVA_SB})"
+    f" / nullif(n - {len(_ETYPES)}, 0), 0)"
 )
 _ANOVA_ETA = (
-    f"({_ANOVA_SB} - CAST(st AS DOUBLE) * st / n)"
-    " / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)"
+    f"({_ANOVA_SB} - CAST(st AS DOUBLE) * st / nullif(n, 0))"
+    " / nullif(CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st"
+    " / nullif(n, 0), 0)"
 )
 
 

@@ -130,92 +130,136 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (similarity), pipeline_training_corpus + select_token_budget (training),
 # stream_tumbling_events + stream_foreach_batch_upsert (streaming).
 DRIVER_ORDER: list[str] = [
+    # ROTATION (round 6, VERDICT r5 task 3): 33 proven-green slots swapped
+    # for never-driver-checked queries — the fifteen the verdict named plus
+    # eighteen spanning the remaining uncovered areas (streaming x3, joins
+    # x2, windows, selection, CEP, IO bucketing, text PII, stats x3,
+    # forecast, clustering coefficient, imputation, apportionment, power
+    # analysis, TPC-H q13). 17 area reps kept, including the three queries
+    # whose expressions changed this round (stat_kruskal_wallis's nullif
+    # guards, recsys_item_item_cosine's DECIMAL widening,
+    # graph_random_walk_xxh's chained 2-long hash key) so the fixes earn
+    # fresh driver evidence, and the perf-watch trio (dedup_ngram_jaccard,
+    # dedup_components_ngram, knn_lsh_ann) + stream_tumbling_events whose
+    # targets STATUS tracks.
     "q1_pricing_summary",
-    "q16_supplier_part_counts",     # r5 rotation in (was q5_regional_revenue,
-    # green r1-r4; entry() still runs q5 every round as the smoke check)
-    "q20_excess_availability",      # r5 rotation in (was signs_pipeline_inline)
+    "agg_bitmap_retention",         # r6 rotation in (was q16_supplier_part_counts,
+    # green r5) — the zero-retention LEFT-join fix (r5 ADVICE medium)
+    # straight to a driver slot
+    "stat_anova_oneway",            # r6 rotation in (was q20_excess_availability,
+    # green r5) — nullif-guarded shared F expression (r5 ADVICE)
     "signs_rest_pipeline",
-    "sketch_cms_heavy_hitters",     # r5 rotation in (was agg_stats_orders)
-    "text_bpe_apply",               # r5 late rotation in (was agg_approx_distinct,
-    # rows-only by nature, green r1-r4; knn_lsh_ann stays as the first-50
-    # rows-only representative) — BPE inference freshly graduated to a full
-    # hash oracle (functions/bpe_sql.py), straight to a driver slot
-    "stat_kruskal_wallis",          # r5c4 rotation in (was stat_corr_moments,
-    # green r4) — the k-sample rank statistic over the fixed-order pivot
-    "drift_ks_exact",               # r5 rotation in (was agg_collect_first_last)
-    "sketch_hll_exact_registers",   # r5 continuation rotation in (was
-    # events_rollup_two_level, r4-green; ops-audit keeps table_diff_audit +
-    # cdc_merge_full in the first 50) — the HLL register table hash-checked
-    # cross-engine, straight to a driver slot
-    "hierarchy_closure_doubling",   # r4c rotation in (was join_outer_customers_orders)
-    "q21_waiting_orders",           # r4 rotation in (was q3_shipping_priority)
-    "variant_json_extract",         # r5 late rotation in (was join_broadcast_brand_revenue,
-    # green r1-r4; joins keep six other first-50 forms) — Spark 4 VARIANT
-    # surface straight to a driver slot
-    "sketch_iblt_diff",             # r5 continuation rotation in (was
-    # q2_min_cost_supplier, r4-green; TPC-H keeps q1/q21/q9/q8/q16/q20 in
-    # the first 50) — IBLT set reconciliation with the unrolled-peel oracle
-    "join_null_aware_anti",         # r5c4 rotation in (was scd2_temporal_join,
-    # green r4) — NOT IN three-valued semantics + NAAJ plan pin
-    "q9_product_profit",            # r4b rotation in (was join_theta_price_band);
-    # the composite-key fact-to-partsupp join — the one join form with no
-    # prior driver evidence
-    "fuzzy_join_del1",              # r5 rotation in (was join_asof_latest_order)
-    "window_topk_via_agg",          # r4 rotation in (was window_rank_customers)
-    "graph_bfs_hops",               # r5 late rotation in (was graph_triangle_count,
-    # r4-green; graph keeps kcore's never-checked slot too) — Spark 4
-    # native WITH RECURSIVE straight to a driver slot
-    "dedup_ppjoin_prefix",          # r5 late rotation in (was events_anomaly_iqr,
-    # r4-green) — the lossless prefix-filtered similarity join joins the
-    # dedup family's driver slots
-    "orders_interval_islands",      # r4c rotation in (was sort_topk_orders)
+    "stat_mann_whitney_u",          # r6 rotation in (was sketch_cms_heavy_hitters,
+    # green r5) — doubled-midrank U over the distinct-value count table
+    "stat_wilcoxon_signed_rank",    # r6 rotation in (was text_bpe_apply, green r5)
+    "stat_kruskal_wallis",
+    "events_haar_wavelet",          # r6 rotation in (was drift_ks_exact, green r5)
+    # — the one-explode/one-aggregate integer Haar pyramid
+    "forecast_backtest_rolling",    # r6 rotation in (was sketch_hll_exact_registers,
+    # green r5) — rolling-origin CV harness
+    "forecast_conformal_coverage",  # r6 rotation in (was hierarchy_closure_doubling,
+    # green r4c+r5) — split-conformal intervals, exact ppm coverage
+    "kth_statistic_iterative",      # r6 rotation in (was q21_waiting_orders,
+    # green r4+r5) — exact kth order statistic without a global sort
+    "collation_case_insensitive",   # r6 rotation in (was variant_json_extract,
+    # green r5; spark4 surface keeps sql_scripting via rotation history) —
+    # UTF8_LCASE grouping vs the oracle's lower() twin
+    "ivm_join_delta",               # r6 rotation in (was sketch_iblt_diff, green r5)
+    # — incremental join-view maintenance deltas
+    "range_join_banded",            # r6 rotation in (was join_null_aware_anti,
+    # green r5) — the banded-equi range join, plan-pinned not-BNLJ
+    "bucketed_join_roundtrip",      # r6 rotation in (was q9_product_profit,
+    # green r4b+r5) — bucketed tables, no-Exchange join
+    "q13_customer_distribution",    # r6 rotation in (was fuzzy_join_del1, green r5)
+    # — left-outer distribution with join-side filter
+    "window_rolling_median",        # r6 rotation in (was window_topk_via_agg,
+    # green r4+r5) — bounded-frame trailing median
+    "graph_minimum_spanning_forest",  # r6 rotation in (was graph_bfs_hops,
+    # green r5) — Borůvka MSF vs the Kruskal-unrolled oracle
+    "graph_sssp_frontier",          # r6 rotation in (was dedup_ppjoin_prefix,
+    # green r5) — delta-stepping-shaped frontier SSSP
+    "graph_lpa_communities",        # r6 rotation in (was orders_interval_islands,
+    # green r4c+r5) — label propagation with deterministic tie-breaks
     "setops_all_variants",
-    "select_token_budget",          # r4 rotation in (was q18_large_volume_customer)
-    "split_group_preserving",       # r4 rotation in (was agg_salted_skew)
+    "select_token_budget",
+    "graph_clustering_coefficient", # r6 rotation in (was split_group_preserving,
+    # green r4+r5) — per-node triangle closure over the MSF probe graph
     "partitioned_sink_roundtrip",
-    "recsys_item_item_cosine",      # r5c4 rotation in (was events_ewma_dyadic,
-    # green r4) — scaled-integer cosine argmax over the reach-filtered pairs
-    "stream_bitmap_distinct",       # r5c4 rotation in (was
-    # stream_foreach_batch_upsert, green r4) — exact incremental distinct
-    # through the same versioned-state protocol
+    "recsys_item_item_cosine",
+    "stream_sliding_events",        # r6 rotation in (was stream_bitmap_distinct,
+    # green r5) — overlapping windows vs the DuckDB time_bucket oracle
     "filter_predicate_family",
-    "ml_decision_stump_gini",       # r5 continuation rotation in (was
-    # cdc_scd2_history, r4-green; CDC keeps cdc_merge_full in the first 50)
-    # — exact Gini tree induction over the combinable histogram
+    "stream_static_join",           # r6 rotation in (was ml_decision_stump_gini,
+    # green r5) — per-micro-batch broadcast dim enrichment
     "string_funcs_part",
-    "global_row_number_two_pass",   # r5 rotation in (was knn_lsh_recall, rows-only
-    # driver signal; the recall instrumentation stays registered + benched)
-    "sql_scripting_topk_bisect",     # r5c4 rotation in (was udaf_trimmed_mean,
-    # green r3+r4; udtf_table_arg_stats stays as the UDF-surface rep) —
-    # Spark 4 SQL scripting with data-dependent control flow
-    "stream_pipeline_sessions",      # r5 rotation in (was stream_session_windows)
-    "graph_random_walk_xxh",         # r5c4 rotation in (was sample_stratified,
-    # green r3+r4; training keeps three first-50 reps) — hash-replayed walks
-    "sessionize_capped_sessions",    # r5 rotation in (was json_schema_roundtrip)
-    "agg_bitmap_distinct_rollup",   # r5c4 rotation in (was table_diff_audit,
-    # green r4; ops-audit keeps cdc_merge_full) — exact mergeable bitmap
-    # distinct with the word-xor content checksum
-    "dedup_substring_spans",        # r5 rotation in (was dedup_minhash_docs,
-    # rows-only driver signal; minhash recall instrumentation stays benched)
+    "stream_observed_counts",       # r6 rotation in (was global_row_number_two_pass,
+    # green r5) — streaming observe() metrics vs the batch aggregate
+    "events_cep_click_purchase",    # r6 rotation in (was sql_scripting_topk_bisect,
+    # green r5) — MATCH_RECOGNIZE-shape CEP via running maxima
+    "interval_allen_relations",     # r6 rotation in (was stream_pipeline_sessions,
+    # green r5) — all 13 Allen relations, banded pairing
+    "graph_random_walk_xxh",
+    "geo_point_in_polygon",         # r6 rotation in (was sessionize_capped_sessions,
+    # green r5) — exact integer ray cast behind a bbox prefilter
+    "binaryfile_scan_roundtrip",    # r6 rotation in (was agg_bitmap_distinct_rollup,
+    # green r5) — binaryFile ingestion vs read_blob md5 fidelity
+    "abc_class_migration",          # r6 rotation in (was dedup_substring_spans,
+    # green r5) — the Pareto-class transition matrix
     "dedup_ngram_jaccard",
     "dedup_components_ngram",
-    "orders_survival_km",           # r5c4 rotation in (was q8_market_share,
-    # green r4; TPC-H keeps q1/q16/q20/q21/q9) — the exact integer
-    # product-limit recurrence
+    "pipeline_corpus_fate",         # r6 rotation in (was orders_survival_km,
+    # green r5) — per-document fate lineage through the corpus pipeline
     "knn_lsh_ann",
-    "entity_resolution_names",      # r5 rotation in (was similarity_threshold_pairs)
-    "udtf_table_arg_stats",         # r5 rotation in (was dedup_embedding_cosine)
-    "arrow_vector_norms",           # r5 rotation in (was embedding_centroids)
-    "cdc_merge_full",               # r4b rotation in (was text_token_stats;
-    # text keeps text_quality_score as its green-historied rep)
+    "privacy_t_closeness",          # r6 rotation in (was entity_resolution_names,
+    # green r5) — EMD-based t-closeness gate
+    "feature_hashing_trick",        # r6 rotation in (was udtf_table_arg_stats,
+    # green r5) — dictionary-free feature hashing
+    "clean_impute_median",          # r6 rotation in (was arrow_vector_norms,
+    # green r5) — grouped exact-median imputation with audit trail
+    "sample_proportional_lrm",      # r6 rotation in (was cdc_merge_full,
+    # green r4b+r5) — largest-remainder apportionment, exact budget
     "text_quality_score",
     "multimodal_metadata",
-    "graph_kcore",                  # r5 rotation in (was split_train_test) —
-    # freshly graduated recursive-CTE oracle, straight to a driver slot
-    "file_manifest_stats",          # r5 rotation in (was contamination_check) —
-    # freshly graduated layout-deterministic oracle, straight to a driver slot
+    "events_ab_power_analysis",     # r6 rotation in (was graph_kcore, green r5)
+    # — required-n power analysis from exact integer moments
+    "text_pii_scrub",               # r6 rotation in (was file_manifest_stats,
+    # green r5) — regexp-based PII redaction counts
     "pipeline_training_corpus",
     "stream_tumbling_events",
+    # -- r6 rotation out (all green r5) --
+    "q16_supplier_part_counts",
+    "q20_excess_availability",
+    "sketch_cms_heavy_hitters",
+    "text_bpe_apply",
+    "drift_ks_exact",
+    "sketch_hll_exact_registers",
+    "hierarchy_closure_doubling",
+    "q21_waiting_orders",
+    "variant_json_extract",
+    "sketch_iblt_diff",
+    "join_null_aware_anti",
+    "q9_product_profit",
+    "fuzzy_join_del1",
+    "window_topk_via_agg",
+    "graph_bfs_hops",
+    "dedup_ppjoin_prefix",
+    "orders_interval_islands",
+    "split_group_preserving",
+    "stream_bitmap_distinct",
+    "ml_decision_stump_gini",
+    "global_row_number_two_pass",
+    "sql_scripting_topk_bisect",
+    "stream_pipeline_sessions",
+    "sessionize_capped_sessions",
+    "agg_bitmap_distinct_rollup",
+    "dedup_substring_spans",
+    "orders_survival_km",
+    "entity_resolution_names",
+    "udtf_table_arg_stats",
+    "arrow_vector_norms",
+    "cdc_merge_full",
+    "graph_kcore",
+    "file_manifest_stats",
     # -- r5 continuation-4 rotation out (all green r4) --
     "stat_corr_moments",
     "scd2_temporal_join",
@@ -252,7 +296,6 @@ DRIVER_ORDER: list[str] = [
     "layout_compaction",             # r4b: small-file compaction audit (rows)
     "dq_constraint_report",          # r4b: declarative DQ gate (oracle)
     "events_transition_counts",      # r4b: Markov transition matrix (oracle)
-    "ivm_join_delta",                # r4b: incremental join-view maintenance (oracle)
     "stream_stream_left_join",       # r4b: watermark-evicted outer join (rows)
     "basket_pair_counts",            # r4b: market-basket co-occurrence (oracle)
     "orders_rfm_segments",           # r4b: RFM quartile segmentation (oracle)
@@ -267,21 +310,16 @@ DRIVER_ORDER: list[str] = [
     "agg_mode_deterministic",        # r4c: tie-broken per-group mode (oracle)
     "window_count_distinct_running", # r4c: running COUNT(DISTINCT) trick (oracle)
     "sketch_quantile_mergeable",     # r4c: log-bucket mergeable quantile sketch (oracle)
-    "stream_static_join",            # r4c: broadcast dim enrichment per micro-batch (oracle)
-    "kth_statistic_iterative",       # r4c: exact kth order stat, no global sort (oracle)
     "skyline_price_size",            # r4c: 2D Pareto frontier, window vs NOT-EXISTS (oracle)
     "ivm_agg_delta",                 # r4c: incremental agg-view maintenance (oracle)
-    "window_rolling_median",         # r4c: trailing-7 lower median, bounded frame (oracle)
     "weighted_median_lineitem",      # r4c: weight-mass median via cumulative walk (oracle)
     "agg_histogram_equidepth",       # r4c: CBO-style equi-depth bounds via ntile (oracle)
-    "stream_observed_counts",        # r4c: streaming observe() metrics vs batch agg (oracle)
     "embedding_dim_stats",           # r4c: per-dimension vector stats, exact e6 ints (oracle)
     "trend_daily_revenue",           # r4c: least-squares slope from exact moments (oracle)
     "diag_join_size_estimate",       # r4c: frequency-vector join cardinality (oracle)
     "events_anomaly_mad",            # r4c: MAD robust outliers, lower-median identity (oracle)
     "events_attribution_last_touch", # r4c: 7-day lookback last-touch attribution (oracle)
     "winsorized_mean_events",        # r4c: clip-at-quantiles robust mean (oracle)
-    "events_cep_click_purchase",     # r4c: MATCH_RECOGNIZE-shape pattern via running maxima (oracle)
     "orders_revenue_concentration",  # r4c: 80pct coverage count + exact-moment Gini (oracle)
     "drift_tvd_events",              # r4c: exact total-variation drift, no ln() floats (oracle)
     "events_rolling_active_users",   # r4c: rolling 7d distinct actives via offset explode (oracle)
@@ -331,10 +369,8 @@ DRIVER_ORDER: list[str] = [
     "signs_pipeline_observed_counts",
     "signs_http_sink_roundtrip",
     "signs_config_validation",
-    "range_join_banded",
     "text_lang_id",
     "text_tfidf_top_term",
-    "bucketed_join_roundtrip",
     "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
@@ -347,7 +383,6 @@ DRIVER_ORDER: list[str] = [
     "window_running_revenue",
     # -- round-3 additions --
     "q12_priority_by_flag",
-    "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_dormant_accounts",
     "window_distribution_funcs",
@@ -407,7 +442,6 @@ DRIVER_ORDER: list[str] = [
     "text_bigrams_topk",
     "text_fingerprint_rolling",
     "text_repetition_score",
-    "text_pii_scrub",
     "shuffle_deterministic",
     "pack_sequences",
     "pack_sequences_greedy",
@@ -418,7 +452,6 @@ DRIVER_ORDER: list[str] = [
     "date_tz_convert",
     "dedup_minhash_mllib",
     "knn_brp_lsh_mllib",
-    "stream_sliding_events",
     "stream_partitioned_file_sink",
     "stream_dedup_watermark",
     "stream_stateful_user_totals",
@@ -441,9 +474,7 @@ DRIVER_ORDER: list[str] = [
     "feature_target_encoding_loo",   # r5: LOO + m-estimate target encoding (oracle)
     "feature_quantile_normalize_map",  # r5: quantile-normalization mapping table (oracle)
     "split_time_purged",             # r5: purged K-fold time-series CV split (oracle)
-    "graph_lpa_communities",         # r5: deterministic sync LPA, unrolled oracle (oracle)
     "isotonic_regression_daily",     # r5: loop-free PAVA via the minimax identity (oracle)
-    "pipeline_corpus_fate",          # r5: per-doc pipeline lineage/fate table (oracle)
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
     "layout_hilbert_codes",          # r5: 10-level Hilbert xy2d unroll (oracle)
     "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
@@ -451,7 +482,6 @@ DRIVER_ORDER: list[str] = [
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
     "events_attribution_position",   # r5: U-shaped multi-touch, exact ppm books (oracle)
     "sql_udf_money_pipeline",        # r5: Spark 4 SQL-defined functions, inlined (oracle)
-    "collation_case_insensitive",    # r5: Spark 4 collations vs lower() twin (oracle)
     "join_broadcast_brand_revenue",  # r5 late rotation out of the first 50 (green r1-r4)
     "graph_triangle_count",          # r5 late rotation out of the first 50 (green r4)
     "events_anomaly_iqr",            # r5 late rotation out of the first 50 (green r4)
@@ -460,8 +490,6 @@ DRIVER_ORDER: list[str] = [
     "xml_scan_roundtrip",            # r5c2: Spark 4 native XML datasource
     "partition_overwrite_dynamic",   # r5c2: dynamic partition overwrite semantics
     "graph_link_prediction_jaccard", # r5c2: neighborhood-Jaccard baseline
-    "privacy_t_closeness",           # r5c2: exact-EMD release gate
-    "feature_hashing_trick",         # r5c2: dictionary-free hashed features
     "arrow_grouped_norm_ppm",        # r5c2: applyInArrow grouped kernels
     "udtf_analyze_dynamic_schema",   # r5c2: analyze()-polymorphic UDTF
     "stream_datasource_writer_sink", # r5c2: streaming Python DataSource writer
@@ -470,9 +498,7 @@ DRIVER_ORDER: list[str] = [
     "orders_lttb_downsample",        # r5c2: LTTB dashboard downsampling
     "scalars_try_arithmetic",        # r5c2: ANSI try_* error-path pins
     "graph_components_hashmin_jump", # r5c2: O(log n) pointer-jumping CC
-    "graph_minimum_spanning_forest", # r5c2: Borůvka vs Kruskal, one edge set
     "graph_sssp_weighted",           # r5c2: Bellman-Ford vs 64 unrolled stages
-    "graph_sssp_frontier",           # r5c2: frontier-optimized twin, same oracle
     "agg_grouping_id_levels",        # r5c2: GROUPING bitmask surface
     "ps_api_groupby_twin",           # r5c2: pandas API on Spark, SQL-twin hash
     "events_rollup_two_level",       # r5c2 rotation out of the first 50 (green r4)
@@ -486,7 +512,6 @@ DRIVER_ORDER: list[str] = [
     "stats_welch_ttest",             # r5c3: Welch t over exact moments
     "trend_ols_two_features",        # r5c3: 2-feature OLS, Cramer exact
     "events_markov_stationary",      # r5c3: stationary distribution, exact
-    "stat_mann_whitney_u",           # r5c3: exact doubled-midrank U test
     "stat_spearman_rank",            # r5c3: Pearson on doubled midranks
     "stat_signflip_permutation",     # r5c3: xxh64-replayed permutation test
     "events_cross_correlation",      # r5c3: lagged daily cross-correlation
@@ -494,23 +519,9 @@ DRIVER_ORDER: list[str] = [
     # stat_kruskal_wallis, join_null_aware_anti, recsys_item_item_cosine,
     # stream_bitmap_distinct, sql_scripting_topk_bisect,
     # graph_random_walk_xxh, agg_bitmap_distinct_rollup, orders_survival_km) --
-    "stat_wilcoxon_signed_rank",     # r5c4: paired rank twin of MWU
-    "stat_anova_oneway",             # r5c4: F over fixed-order pivot moments
-    "agg_bitmap_retention",          # r5c4: bit_and intersection retention
     "text_rake_keywords",            # r5c4: degree-scoring RAKE
     "text_phrase_search",            # r5c4: positional phrase retrieval
-    "geo_point_in_polygon",          # r5c4: integer ray-cast containment
     "dq_functional_dependency",      # r5c4: FD discovery audit
-    "binaryfile_scan_roundtrip",     # r5c4: binaryFile vs read_blob
-    "events_haar_wavelet",           # r5c4: exact integer Haar transform
-    "clean_impute_median",           # r5c4: grouped median imputation audit
-    "interval_allen_relations",      # r5c4: Allen's 13 relations, banded join
-    "forecast_backtest_rolling",     # r5c4: rolling-origin CV harness
-    "forecast_conformal_coverage",   # r5c4: split-conformal interval audit
-    "graph_clustering_coefficient",  # r5c4: local CC in exact ppm
-    "sample_proportional_lrm",       # r5c4: largest-remainder apportionment
-    "events_ab_power_analysis",      # r5c4: required-n from exact moments
-    "abc_class_migration",           # r5c4: Pareto-class transition matrix
 ]
 
 
