@@ -1255,60 +1255,12 @@ def graph_minimum_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame
     min-struct aggregate over the live edge list; the edge list shrinks
     as components merge (intra-component edges drop out); contraction is
     the O(log n) CC loop. Everything is eagerly checkpointed per round."""
-    pts = (
-        load_table(spark, sf_dir, "orders")
-        .select(F.col("o_orderkey").alias("id"))
-        .filter(F.col("id") % 23 == 0)
-        .select(
-            "id",
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("xm"),
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("ym"),
-        )
-    )
-    r = _MSF_RADIUS_MILLI
-    indexed = pts.select(
-        F.col("id").alias("id_a"),
-        F.col("xm").alias("xa"),
-        F.col("ym").alias("ya"),
-        (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias("cell"),
-    )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
-            for i in (-1, 0, 1)
-            for j in (-1, 0, 1)
-        ]
-    )
-    probes = (
-        pts.select("id", "xm", "ym", F.explode(offsets).alias("o"))
-        .select(
-            F.col("id").alias("id_b"),
-            F.col("xm").alias("xb"),
-            F.col("ym").alias("yb"),
-            (
-                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
-                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
-            ).alias("cell"),
-        )
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    edges = (
-        indexed.join(probes, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("w", d2)
-        .filter(F.col("w") <= r * r)
-        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"), "w")
+    edges = _msf_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        _msf_points(spark, sf_dir)
+        .select(F.col("id").alias("node"))
         .localCheckpoint(eager=True)
     )
-    nodes = pts.select(F.col("id").alias("node")).localCheckpoint(eager=True)
     mst = spark.createDataFrame([], "u bigint, v bigint, w bigint")
     comp = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
         eager=True
@@ -1439,56 +1391,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. At 100 TB the same loop runs with the frontier-only
     optimization (relax only nodes whose distance changed last round);
     here the full-relax keeps the code identical to the oracle's stages."""
-    pts = (
-        load_table(spark, sf_dir, "orders")
-        .select(F.col("o_orderkey").alias("id"))
-        .filter(F.col("id") % 23 == 0)
-        .select(
-            "id",
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("xm"),
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("ym"),
-        )
-    )
-    r = _MSF_RADIUS_MILLI
-    a = pts.select(
-        F.col("id").alias("u"), F.col("xm").alias("xa"), F.col("ym").alias("ya"),
-        (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias("cell"),
-    )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
-            for i in (-1, 0, 1)
-            for j in (-1, 0, 1)
-        ]
-    )
-    b = (
-        pts.select("id", "xm", "ym", F.explode(offsets).alias("o"))
-        .select(
-            F.col("id").alias("v"), F.col("xm").alias("xb"),
-            F.col("ym").alias("yb"),
-            (
-                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
-                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
-            ).alias("cell"),
-        )
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("u") < F.col("v"))
-        .withColumn("w", d2)
-        .filter(F.col("w") <= r * r)
-        .select("u", "v", "w")
-        .localCheckpoint(eager=True)
-    )
+    edges = _msf_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d"), "w").union(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"), "w")
     ).localCheckpoint(eager=True)
@@ -1536,56 +1439,7 @@ def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_sssp_weighted: two relaxation disciplines in Spark plus the
     unrolled oracle in DuckDB, all three hash-equal (the skyline
     pattern, applied to the algorithm's own optimization)."""
-    pts = (
-        load_table(spark, sf_dir, "orders")
-        .select(F.col("o_orderkey").alias("id"))
-        .filter(F.col("id") % 23 == 0)
-        .select(
-            "id",
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("xm"),
-            F.expr(
-                "CAST(conv(substr(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
-                " AS BIGINT) % 100000"
-            ).alias("ym"),
-        )
-    )
-    r = _MSF_RADIUS_MILLI
-    a = pts.select(
-        F.col("id").alias("u"), F.col("xm").alias("xa"), F.col("ym").alias("ya"),
-        (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias("cell"),
-    )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
-            for i in (-1, 0, 1)
-            for j in (-1, 0, 1)
-        ]
-    )
-    b = (
-        pts.select("id", "xm", "ym", F.explode(offsets).alias("o"))
-        .select(
-            F.col("id").alias("v"), F.col("xm").alias("xb"),
-            F.col("ym").alias("yb"),
-            (
-                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
-                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
-            ).alias("cell"),
-        )
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("u") < F.col("v"))
-        .withColumn("w", d2)
-        .filter(F.col("w") <= r * r)
-        .select("u", "v", "w")
-        .localCheckpoint(eager=True)
-    )
+    edges = _msf_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d"), "w").union(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"), "w")
     ).localCheckpoint(eager=True)
@@ -1765,55 +1619,64 @@ def _msf_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _msf_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric radius-5000 edges over the probe cloud, built with the
-    cell-bucket shape (3x3 probes, shuffle 9x|points|, never the
-    quadratic pair space) — shared by the walk and clustering queries."""
-    pts = _msf_points(spark, sf_dir)
-    r = _MSF_RADIUS_MILLI
-    a = pts.select(
-        F.col("id").alias("u"),
-        F.col("xm").alias("xa"),
-        F.col("ym").alias("ya"),
-        F.expr(f"xm DIV {r}").alias("ci"),
-        F.expr(f"ym DIV {r}").alias("cj"),
-    ).withColumn(
-        "probe",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
-                    for i in (-1, 0, 1)
-                    for j in (-1, 0, 1)
-                ]
-            )
-        ),
-    ).select(
-        "u",
-        "xa",
-        "ya",
-        (F.col("ci") + F.col("probe.di")).alias("ci"),
-        (F.col("cj") + F.col("probe.dj")).alias("cj"),
-    )
-    b = pts.select(
-        F.col("id").alias("v"),
-        F.col("xm").alias("xb"),
-        F.col("ym").alias("yb"),
-        F.expr(f"xm DIV {r}").alias("ci"),
-        F.expr(f"ym DIV {r}").alias("cj"),
-    )
-    return (
-        a.join(b, ["ci", "cj"])
-        .filter(
-            (F.col("u") != F.col("v"))
-            & (
-                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
-                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
-                <= r * r
-            )
+def _msf_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u<v weighted radius-5000 edges (w = exact squared milli distance)
+    over the probe cloud, built with the cell-bucket shape (cell = radius,
+    3x3 neighbor probes — shuffle is 9x|points|, never the quadratic pair
+    space). FIVE registered queries re-derive this identical table (MSF,
+    both SSSPs, the walk, the clustering coefficient), so it is staged
+    once per (sf_dir) under the sweep's opt-in stage-cache discipline
+    (session.staged_intermediate; OFF by default so plan pins and the
+    driver's correctness run see the genuine lineage)."""
+    from ..session import staged_intermediate
+
+    def build() -> DataFrame:
+        pts = _msf_points(spark, sf_dir)
+        r = _MSF_RADIUS_MILLI
+        offsets = F.array(
+            *[
+                F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
         )
-        .select("u", "v")
-    )
+        a = pts.select(
+            F.col("id").alias("u"),
+            F.col("xm").alias("xa"),
+            F.col("ym").alias("ya"),
+            (F.expr(f"xm DIV {r}") * 100000 + F.expr(f"ym DIV {r}")).alias(
+                "cell"
+            ),
+        )
+        b = pts.select("id", "xm", "ym", F.explode(offsets).alias("o")).select(
+            F.col("id").alias("v"),
+            F.col("xm").alias("xb"),
+            F.col("ym").alias("yb"),
+            (
+                (F.expr(f"xm DIV {r}") + F.col("o.di")) * 100000
+                + (F.expr(f"ym DIV {r}") + F.col("o.dj"))
+            ).alias("cell"),
+        )
+        d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+            F.col("ya") - F.col("yb")
+        ) * (F.col("ya") - F.col("yb"))
+        return (
+            a.join(b, "cell")
+            .filter(F.col("u") < F.col("v"))
+            .withColumn("w", d2)
+            .filter(F.col("w") <= r * r)
+            .select("u", "v", "w")
+        )
+
+    return staged_intermediate(spark, build, "msf_edges_uvw_v1", sf_dir)
+
+
+def _msf_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (both-direction) radius edges, derived by mirroring the
+    staged u<v weighted table — shared by the walk and clustering
+    queries."""
+    e = _msf_weighted_edges(spark, sf_dir).select("u", "v")
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 @query(

@@ -765,37 +765,47 @@ def fuzzy_join_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary shuffled equi join. That's the difference between joining
     1.5k names and joining 100M user handles. Verify cost is bounded by
     true-ish candidates, not by n².
+
+    The pair set is the shared input of the name-graph family (k-core,
+    both link predictors, hash-to-min components, entity resolution), so
+    it participates in the sweep's opt-in stage cache
+    (session.staged_intermediate; OFF by default).
     """
-    names = (
-        load_table(spark, sf_dir, "customer")
-        .select(F.col("c_name").alias("n"))
-        .distinct()
-    )
-    # {s} ∪ del1(s): position-i deletion via substring splice
-    variants = names.select(
-        "n",
-        F.explode(
-            F.array_union(
-                F.array(F.col("n")),
-                F.transform(
-                    F.sequence(F.lit(1), F.length("n")),
-                    lambda i: F.concat(
-                        F.col("n").substr(F.lit(1), i - 1),
-                        F.col("n").substr(i + 1, F.length("n")),
+    from ..session import staged_intermediate
+
+    def build() -> DataFrame:
+        names = (
+            load_table(spark, sf_dir, "customer")
+            .select(F.col("c_name").alias("n"))
+            .distinct()
+        )
+        # {s} ∪ del1(s): position-i deletion via substring splice
+        variants = names.select(
+            "n",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("n")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("n")),
+                        lambda i: F.concat(
+                            F.col("n").substr(F.lit(1), i - 1),
+                            F.col("n").substr(i + 1, F.length("n")),
+                        ),
                     ),
-                ),
-            )
-        ).alias("key"),
-    )
-    a = variants.select(F.col("n").alias("name_a"), "key")
-    b = variants.select(F.col("n").alias("name_b"), "key")
-    return (
-        a.join(b, ["key"])
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
-    )
+                )
+            ).alias("key"),
+        )
+        a = variants.select(F.col("n").alias("name_a"), "key")
+        b = variants.select(F.col("n").alias("name_b"), "key")
+        return (
+            a.join(b, ["key"])
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+            .distinct()
+            .filter(F.levenshtein("name_a", "name_b") <= 1)
+        )
+
+    return staged_intermediate(spark, build, "fuzzy_del1_pairs_v1", sf_dir)
 
 
 @query(

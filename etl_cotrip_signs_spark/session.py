@@ -112,3 +112,29 @@ def scratch_dir(tag: str, sf_dir: str) -> str:
         os.chmod(root, 0o700)
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return os.path.join(root, h, tag)
+
+
+def staged_intermediate(spark, build, tag: str, sf_dir: str):
+    """Opt-in parquet staging for expensive DETERMINISTIC intermediates
+    shared by several registered queries (the radius-graph edge list, the
+    edit-distance-1 name pairs): when ``SPARK_GRAFT_STAGE_CACHE=1`` and the
+    input is the immutable testdata tree, materialize ``build()`` once per
+    (tag, sf_dir) under scratch_dir and serve every later consumer from the
+    parquet — the full-catalog sweep re-derives these identical tables
+    dozens of times otherwise (~200 s of its sf0.01 wall in round 5).
+
+    OFF by default: plan-pin tests must see the real build plan, and the
+    driver's correctness run should execute the genuine lineage. Cache keys
+    carry a version suffix in ``tag`` — bump it whenever the builder's
+    semantics change, so a stale directory can never shadow new logic.
+    Mutable inputs (10x probe replicas, scale-ladder dirs) never cache."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_STAGE_CACHE") != "1" or not sf_dir.startswith(
+        "/root/testdata/"
+    ):
+        return build()
+    path = scratch_dir(f"stage_{tag}", sf_dir)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

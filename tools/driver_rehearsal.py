@@ -88,6 +88,12 @@ def dtype_skew(spdf: pd.DataFrame, opdf: pd.DataFrame, otypes: dict[str, str]) -
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "CORRECTNESS_rehearsal.json")
+    # The sweep re-derives the shared deterministic intermediates (radius
+    # edge list x5 consumers, del1 name pairs x6) dozens of times — opt in
+    # to the parquet stage cache for the Spark side. Oracles are unaffected
+    # (they build their own edges in SQL), so a cache bug would surface as
+    # a hash FAIL here, not hide one.
+    os.environ.setdefault("SPARK_GRAFT_STAGE_CACHE", "1")
     registry.load_all()
     spark = get_spark()
     results: dict[str, dict] = {}

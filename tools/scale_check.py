@@ -122,6 +122,29 @@ def _calib(spark) -> float:
     return round(best, 3)
 
 
+# The radius-graph family's x1→x10 wall ratio is dominated by FIXTURE
+# physics, not plan shape: replicating 10x more points into the same
+# 100k x 100k coordinate grid densifies it ~100x in EDGES (every cell
+# holds 10x points → ~100x within-radius pairs). Round 5 adjudicated the
+# walk's 21.9x ratio that way from prose; the ladder now RECORDS the edge
+# counts so the per-edge growth rate is a measured artifact.
+RADIUS_GRAPH_QUERIES = {
+    "graph_random_walk_xxh",
+    "graph_minimum_spanning_forest",
+    "graph_sssp_weighted",
+    "graph_sssp_frontier",
+    "graph_clustering_coefficient",
+}
+
+
+def _radius_edge_count(spark, sf_dir: str, memo: dict[str, int]) -> int:
+    if sf_dir not in memo:
+        from etl_cotrip_signs_spark.operators.graph import _msf_weighted_edges
+
+        memo[sf_dir] = _msf_weighted_edges(spark, sf_dir).count()
+    return memo[sf_dir]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -144,6 +167,7 @@ def main() -> None:
 
     try:
         results = {}
+        edge_memo: dict[str, int] = {}
         for name in names:
             spark = get_spark("scale-check")
             # warm the fresh session once (JVM codegen + parquet footers)
@@ -157,6 +181,17 @@ def main() -> None:
                 "x10": x10,
                 "ratio": round(x10 / x1, 2) if x1 else None,
             }
+            if name in RADIUS_GRAPH_QUERIES:
+                e1 = _radius_edge_count(spark, args.base, edge_memo)
+                e10 = _radius_edge_count(spark, big, edge_memo)
+                results[name]["edges_x1"] = e1
+                results[name]["edges_x10"] = e10
+                # wall growth divided by edge growth: ~1.0 means the plan
+                # scaled linearly in the quantity that actually grew
+                if x1 and e1 and e10:
+                    results[name]["ratio_per_edge"] = round(
+                        (x10 / x1) / (e10 / e1), 3
+                    )
             print(
                 f"# {name}: x1={x1}s x10={x10}s ratio={results[name]['ratio']}",
                 file=sys.stderr,
