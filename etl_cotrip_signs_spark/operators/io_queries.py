@@ -331,8 +331,58 @@ def _zvalue(a_rank: F.Column, b_rank: F.Column) -> F.Column:
     return z
 
 
-@query("layout_zorder_locality")  # rows-only: a filesystem-layout property,
-# not a SQL-expressible relation; pytest pins the locality win
+@query(
+    "layout_zorder_locality",
+    # r6 graduation from rows-only (the layout_compaction discipline):
+    # files-touched for a box predicate is a pure function of the WRITTEN
+    # layout, so DuckDB audits the SAME staged parquet directories the
+    # query wrote — read_parquet(filename=true), apply the identical box,
+    # count distinct files + rows. The box bounds are re-derived in SQL
+    # from the orders table with the same trunc(0.35*width) arithmetic
+    # (both engines compute them in IEEE double, so the literals agree).
+    # The oracle never re-derives the z-order itself — whatever Spark's
+    # round-robin/range exchanges produced, both engines read one truth.
+    oracle=f"""
+    WITH mm AS (
+        SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+               min(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                   AS BIGINT)) AS od_lo,
+               max(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                   AS BIGINT)) AS od_hi
+        FROM orders
+    ),
+    box AS (
+        SELECT ck_lo + CAST(trunc(0.35 * (ck_hi - ck_lo)) AS BIGINT) AS ck_a,
+               ck_lo + CAST(trunc(0.65 * (ck_hi - ck_lo)) AS BIGINT) AS ck_b,
+               od_lo + CAST(trunc(0.35 * (od_hi - od_lo)) AS BIGINT) AS od_a,
+               od_lo + CAST(trunc(0.65 * (od_hi - od_lo)) AS BIGINT) AS od_b
+        FROM mm
+    ),
+    pr AS (
+        SELECT CAST(count(DISTINCT filename) AS INT) AS nf,
+               CAST(count(*) AS INT) AS nr
+        FROM read_parquet('{{SCRATCH:zorder}}/random/*.parquet',
+                          filename=true), box
+        WHERE o_custkey BETWEEN ck_a AND ck_b
+          AND CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+              BETWEEN od_a AND od_b
+    ),
+    pz AS (
+        SELECT CAST(count(DISTINCT filename) AS INT) AS nf,
+               CAST(count(*) AS INT) AS nr
+        FROM read_parquet('{{SCRATCH:zorder}}/zorder/*.parquet',
+                          filename=true), box
+        WHERE o_custkey BETWEEN ck_a AND ck_b
+          AND CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+              BETWEEN od_a AND od_b
+    )
+    SELECT 'random' AS layout, {_Z_FILES} AS n_files_total,
+           nf AS n_files_touched, nr AS n_rows_matched FROM pr
+    UNION ALL
+    SELECT 'zorder' AS layout, {_Z_FILES} AS n_files_total,
+           nf AS n_files_touched, nr AS n_rows_matched FROM pz
+    """,
+)
 def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional data layout: write `orders` twice — round-robin
     (the default layout) and range-partitioned on a Morton z-value over

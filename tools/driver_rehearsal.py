@@ -98,7 +98,15 @@ def main() -> int:
     spark = get_spark()
     results: dict[str, dict] = {}
     t_start = time.time()
-    for name, fn in registry.QUERIES.items():
+    for qi, (name, fn) in enumerate(registry.QUERIES.items()):
+        # Session hygiene: 331 queries in one session accumulate dead
+        # localCheckpoint blocks + codegen/AQE caches that inflate later
+        # queries 2-5x (bench.py measured this in round 5; the r6 sweep
+        # saw isotonic_regression_daily at 25s in-sweep vs 6s in r5).
+        # A periodic restart reclaims everything for ~3s each.
+        if qi and qi % 40 == 0:
+            spark.stop()
+            spark = get_spark()
         t0 = time.time()
         row = {
             "rows_match": None,
