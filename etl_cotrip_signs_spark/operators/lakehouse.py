@@ -1,0 +1,247 @@
+"""Lakehouse table-format read paths: manifest time travel + deletion
+vectors.
+
+Modern table formats (Delta/Iceberg/Hudi — public specs) layer two
+mechanisms over immutable parquet: a MANIFEST that maps snapshot versions
+to live files (time travel, atomic commits) and DELETION VECTORS that
+suppress individual rows by (file, position) without rewriting the file.
+Both are pure read-path contracts over physical layout, which makes them
+ideal cross-engine oracle targets: whatever this engine stages, DuckDB
+re-reads the same bytes through the same contract and must agree.
+
+Reference scope: the reference Lambda (task.ts) has no table format; these
+are part of the training-data-pipeline surface the build mandates (a 100 TB
+corpus store IS a lakehouse table — snapshot reads give reproducible
+training runs, DVs give cheap GDPR deletes between full rewrites).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+from ..session import ensure_confs, scratch_dir
+
+# Exact cents from the double price column: DECIMAL(18,2) cast is exact in
+# both engines (the relational.py agg idiom), then *100 to integer cents.
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _write_named_file(df: DataFrame, target: str) -> None:
+    """Write a DataFrame as ONE plain parquet file at `target` (the
+    manifest/file-slice layout table formats use: named immutable files,
+    not part-file directories)."""
+    tmp = target + "._tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(e for e in os.listdir(tmp) if e.endswith(".parquet"))
+    if os.path.isdir(target) or os.path.isfile(target):
+        (shutil.rmtree if os.path.isdir(target) else os.remove)(target)
+    shutil.move(os.path.join(tmp, part), target)
+    shutil.rmtree(tmp)
+
+
+@query(
+    "table_time_travel",
+    # The oracle re-reads the SAME staged data files and manifest and
+    # applies the same visibility predicate per version — the
+    # layout_compaction discipline extended to snapshot semantics. It
+    # scans the full glob + semi-joins the manifest (an engine without
+    # manifest pruning); the Spark side reads ONLY the live files per
+    # version (manifest pruning — the thing this operator exists to
+    # demonstrate). Same rows either way, which is exactly the claim.
+    oracle="""
+    WITH mf AS (
+        SELECT file, added_v, removed_v
+        FROM read_parquet('{SCRATCH:timetravel}/manifest.parquet')
+    ),
+    d AS (
+        SELECT filename, o_totalprice
+        FROM read_parquet('{SCRATCH:timetravel}/data/*.parquet',
+                          filename=true)
+    ),
+    versions AS (SELECT CAST(v AS INT) AS version FROM (VALUES (1), (2), (3)) t(v)),
+    live AS (
+        SELECT versions.version, mf.file
+        FROM versions JOIN mf
+          ON mf.added_v <= versions.version
+         AND (mf.removed_v IS NULL OR mf.removed_v > versions.version)
+    )
+    SELECT l.version,
+           CAST(count(DISTINCT l.file) AS INT) AS n_files_live,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(d.o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM live l JOIN d ON d.filename = l.file
+    GROUP BY l.version
+    """,
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over a manifest-committed table.
+
+    Stages a 3-commit history of an orders subset as immutable named
+    files plus a manifest of (file, added_v, removed_v): v1 = {f1, f2},
+    v2 adds f3 and removes f1 (a compaction/delete), v3 adds f4. Reading
+    "AS OF v" = reading exactly the files visible at v — the Spark side
+    collects the live file list from the (metadata-scale) manifest and
+    passes ONLY those paths to the parquet scan, so a 1%-live snapshot
+    of a 100 TB table plans 1% of the scan tasks. Version visibility,
+    row counts, and exact-cent sums per snapshot are oracle-checked
+    against an independent reader of the same manifest + bytes.
+
+    At 100 TB: the manifest is the table (Iceberg/Delta public model);
+    commits append manifest rows atomically, files are immutable, and
+    snapshot reads are reproducible forever — which is what makes
+    training corpora versionable.
+    """
+    ensure_confs(spark)
+    base = scratch_dir("timetravel", sf_dir)
+    data_dir = f"{base}/data"
+    os.makedirs(data_dir, exist_ok=True)
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(eager=True)  # four slice writes descend from it
+    )
+    slices = {
+        "f1": o.filter(F.col("o_orderkey") % 4 == 0),
+        "f2": o.filter(F.col("o_orderkey") % 4 == 1),
+        "f3": o.filter(F.col("o_orderkey") % 4 == 2),
+        "f4": o.filter(F.col("o_orderkey") % 4 == 3),
+    }
+    for name, df in slices.items():
+        _write_named_file(df, f"{data_dir}/{name}.parquet")
+
+    manifest_rows = [
+        (f"{data_dir}/f1.parquet", 1, 2),
+        (f"{data_dir}/f2.parquet", 1, None),
+        (f"{data_dir}/f3.parquet", 2, None),
+        (f"{data_dir}/f4.parquet", 3, None),
+    ]
+    manifest = spark.createDataFrame(
+        manifest_rows, "file string, added_v int, removed_v int"
+    )
+    _write_named_file(manifest, f"{base}/manifest.parquet")
+
+    # Snapshot read: live-file list from the manifest (metadata-scale
+    # collect — this is catalog work, not data work), then a scan over
+    # exactly those files.
+    mf = manifest.collect()
+    out = None
+    for v in (1, 2, 3):
+        live = [
+            r["file"]
+            for r in mf
+            if r["added_v"] <= v
+            and (r["removed_v"] is None or r["removed_v"] > v)
+        ]
+        snap = (
+            spark.read.parquet(*live)
+            .selectExpr(f"{_CENTS} AS cents")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(len(live)).cast("int").alias("n_files_live"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+        out = snap if out is None else out.unionAll(snap)
+    return out
+
+
+@query(
+    "deletion_vector_read",
+    # Position agreement is the entire claim: Spark's
+    # _metadata.row_index and DuckDB's file_row_number must identify the
+    # SAME physical rows of the same staged files, or the suppressed
+    # aggregates diverge. The DV is defined positionally (row_index % 10
+    # == 3), not by a content predicate, so neither engine can "cheat"
+    # by re-deriving it from values.
+    oracle="""
+    WITH d AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+               file_row_number AS pos, o_totalprice
+        FROM read_parquet('{SCRATCH:delvec}/data/*.parquet',
+                          filename=true, file_row_number=true)
+    ),
+    dv AS (
+        SELECT file, pos
+        FROM read_parquet('{SCRATCH:delvec}/dv.parquet')
+    ),
+    live AS (
+        SELECT d.* FROM d
+        LEFT JOIN dv ON dv.file = d.file AND dv.pos = d.pos
+        WHERE dv.file IS NULL
+    )
+    SELECT d.file,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           CAST((SELECT count(*) FROM live l WHERE l.file = d.file)
+                AS BIGINT) AS n_rows_live,
+           CAST((SELECT sum(CAST(CAST(l.o_totalprice AS DECIMAL(18,2))
+                * 100 AS BIGINT)) FROM live l WHERE l.file = d.file)
+                AS BIGINT) AS sum_cents_live
+    FROM d
+    GROUP BY d.file
+    """,
+)
+def deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read path: suppress rows by (file, position)
+    without rewriting files.
+
+    Stages an orders subset as 8 immutable parquet files, then a DV
+    table of (file, pos) marking every position with pos % 10 == 3 —
+    positional, like a real DV (a roaring bitmap per file in
+    Delta/Iceberg v3; a parquet side file here). The read is the
+    merge-on-read contract: scan with the file/position metadata columns
+    (`_metadata.file_path`, `_metadata.row_index` — Spark's parquet row
+    index) and LEFT-ANTI join the DV on (file, pos). Per file: total
+    rows, surviving rows, exact-cent surviving sum.
+
+    At 100 TB: DVs turn deletes (GDPR, dedup retro-fixes) from
+    rewrite-the-partition into append-a-bitmap; the anti join is
+    per-file local (DV side is file-partitioned and tiny), and the scan
+    stays full-speed columnar. The oracle proves the position contract
+    cross-engine: DuckDB's file_row_number lands on the same physical
+    rows as Spark's row_index.
+    """
+    ensure_confs(spark)
+    base = scratch_dir("delvec", sf_dir)
+    data_dir = f"{base}/data"
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    o.repartition(8).write.mode("overwrite").parquet(data_dir)
+
+    scan = spark.read.parquet(data_dir).select(
+        F.regexp_extract(F.col("_metadata.file_path"), "([^/]+)$", 1).alias(
+            "file"
+        ),
+        F.col("_metadata.row_index").alias("pos"),
+        "o_totalprice",
+    )
+    dv = scan.filter(F.col("pos") % 10 == 3).select("file", "pos")
+    _write_named_file(dv, f"{base}/dv.parquet")
+
+    dv_read = spark.read.parquet(f"{base}/dv.parquet")
+    live = scan.join(dv_read, ["file", "pos"], "left_anti")
+    totals = scan.groupBy("file").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_total")
+    )
+    survivors = live.groupBy("file").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_live"),
+        F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents_live"),
+    )
+    return totals.join(survivors, "file").select(
+        "file", "n_rows_total", "n_rows_live", "sum_cents_live"
+    )

@@ -862,3 +862,161 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na", "sa", "qa", "nb", "sb", "qb",
         f"{_POWER_N} AS n_per_arm_required",
     )
+
+
+# Poisson(1) inverse-CDF thresholds c_k = e^-1 * sum_{j<=k} 1/j!, k=0..7 —
+# spec constants of the Poisson bootstrap (literals, not computed values),
+# shared verbatim by both engines. P(w > 8) < 1e-8; the tail is clamped.
+_POIS_T = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726562",
+    "0.9994058151824182",
+    "0.999916758850712",
+    "0.9999897508033254",
+)
+_BOOT_B = 64
+_BOOT_SEED = chain_seed("boot")
+
+# u in [0,1) from the signed 64-bit hash: int64 -> double conversion and
+# the two power-of-two literals are IEEE-exact in both engines.
+_BOOT_U = (
+    "((CAST({h} AS DOUBLE) + 9.223372036854775808E18)"
+    " / 1.8446744073709551616E19)"
+)
+# Poisson(1) weight by inverse CDF over the shared thresholds.
+_BOOT_W = (
+    "(CASE "
+    + " ".join(
+        f"WHEN {{u}} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    + " ELSE 8 END)"
+)
+
+
+@query(
+    "stat_bootstrap_ci",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    reps AS (SELECT CAST(b AS BIGINT) AS b FROM range({_BOOT_B}) t(b)),
+    w AS (
+        SELECT p.x, r.b,
+               {_BOOT_W.format(u=_BOOT_U.format(
+                   h=f"xxh64_long(p.user_id * {_BOOT_B} + r.b, "
+                     f"{_BOOT_SEED}::UBIGINT)"))} AS w
+        FROM per p, reps r
+    ),
+    sums AS (
+        SELECT b, CAST(sum(w * x) AS BIGINT) AS num,
+               CAST(sum(w) AS BIGINT) AS den
+        FROM w GROUP BY b
+    ),
+    ranked AS (
+        SELECT num, den,
+               row_number() OVER (
+                   ORDER BY CASE WHEN den = 0 THEN 0
+                                 ELSE CAST(num AS DOUBLE) / den END, b)
+                   AS rn
+        FROM sums
+    ),
+    point AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM per
+    )
+    SELECT n_users,
+           sx // n_users AS point_mean_milli,
+           (SELECT num // den FROM ranked WHERE rn = 4) AS lo_mean_milli,
+           (SELECT num // den FROM ranked WHERE rn = {_BOOT_B - 3})
+               AS hi_mean_milli
+    FROM point
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean per-user purchase
+    spend — Monte-Carlo uncertainty quantification made
+    hash-oracle-checkable, completing the resampling pair started by
+    stat_signflip_permutation.
+
+    The classic bootstrap draws n units with replacement, which is not a
+    per-unit-expressible operation; the POISSON BOOTSTRAP (the standard
+    large-scale substitute: per replicate, each unit gets an independent
+    Poisson(1) weight) is — and that per-(unit, replicate) weight is
+    where the xxh64 determinism rule lands: u = xxhash64('boot',
+    user_id*64 + b) mapped to [0,1), w = Poisson inverse-CDF over eight
+    shared threshold literals. Both engines therefore weigh the SAME 64
+    pseudo-resamples. Replicate means stay exact integer pairs
+    (num = Σ w·x, den = Σ w); the double appears only as the sort key
+    that picks the 4th and 62nd ordered replicates (a 90.6%-coverage
+    percentile interval at B=64, stated resolution 1/64), and the
+    reported bounds are exact floor-divided milli.
+
+    Shape at 100 TB: ONE combinable reduction over facts (per-user
+    totals), then a B-fold explode of the per-user table with a
+    combinable aggregate per replicate — the signflip shape. B bounds
+    the blow-up; at production B=256+ the same plan holds because
+    replicates shuffle (b)-keyed partial sums, never facts.
+    """
+    per = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = (
+        per.select(
+            "user_id",
+            "x",
+            F.explode(F.expr(f"sequence(0L, {_BOOT_B - 1}L)")).alias("b"),
+        )
+        .withColumn(
+            "h",
+            F.xxhash64(
+                F.lit("boot"),
+                (F.col("user_id") * _BOOT_B + F.col("b")).cast("long"),
+            ),
+        )
+        .withColumn("w", F.expr(_BOOT_W.format(u=_BOOT_U.format(h="h"))))
+    )
+    sums = w.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("x")).cast("long").alias("num"),
+        F.sum("w").cast("long").alias("den"),
+    )
+    ranked = sums.selectExpr(
+        "num",
+        "den",
+        "row_number() OVER (ORDER BY CASE WHEN den = 0 THEN 0"
+        " ELSE CAST(num AS DOUBLE) / den END, b) AS rn",
+    )
+    point = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    lo = ranked.filter(F.col("rn") == 4).selectExpr(
+        "num DIV den AS lo_mean_milli"
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 3).selectExpr(
+        "num DIV den AS hi_mean_milli"
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .selectExpr(
+            "n_users",
+            "sx DIV n_users AS point_mean_milli",
+            "lo_mean_milli",
+            "hi_mean_milli",
+        )
+    )

@@ -522,6 +522,10 @@ DRIVER_ORDER: list[str] = [
     "text_rake_keywords",            # r5c4: degree-scoring RAKE
     "text_phrase_search",            # r5c4: positional phrase retrieval
     "dq_functional_dependency",      # r5c4: FD discovery audit
+    # -- round-6 additions (wave 28) --
+    "table_time_travel",             # r6: manifest snapshot reads (oracle)
+    "deletion_vector_read",          # r6: positional DV suppression (oracle)
+    "stat_bootstrap_ci",             # r6: Poisson bootstrap CI, xxh64-replayed (oracle)
 ]
 
 
@@ -560,6 +564,7 @@ def load_all() -> None:
         ml_basic,
         stats2,
         stats3,
+        lakehouse,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
