@@ -975,3 +975,165 @@ def binaryfile_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "layout_packing_plan",
+    oracle="""
+    WITH groups AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    ordered AS (
+        SELECT source, lang, n,
+               coalesce(sum(n) OVER (
+                   ORDER BY n DESC, source, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM groups
+    ),
+    planned AS (
+        SELECT source, lang, n,
+               CAST(cum_before // 120 AS BIGINT) AS bin_id
+        FROM ordered
+    )
+    SELECT bin_id, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS rows_packed,
+           CAST(min(n) AS BIGINT) AS min_group,
+           CAST(max(n) AS BIGINT) AS max_group
+    FROM planned GROUP BY bin_id
+    """,
+)
+def layout_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction bin-packing PLAN: assign (source, lang) document groups
+    to target output files of capacity ~120 rows — the planning half of
+    layout_compaction (which demonstrated the rewrite; this computes WHICH
+    inputs each output should merge).
+
+    True first-fit-decreasing is inherently sequential; the distributable
+    relaxation used by every parallel compactor is prefix-sum next-fit
+    over the size-DESC order: bin_id = floor(cum_before / capacity). A
+    bin can overshoot by at most one group (the standard 2-approximation
+    trade), and the assignment is a pure function of the group-size
+    table, so both engines derive the identical plan — the window's
+    total order is pinned by (n DESC, source, lang).
+
+    At 100 TB the groups table is file-manifest metadata (one row per
+    input file or partition), the plan is one window over it, and the
+    execution stage reads each bin's files in one task — planning cost is
+    O(|manifest|), never data-scale.
+    """
+    ensure_confs(spark)
+    groups = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), "source", "lang").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    planned = groups.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).selectExpr("source", "lang", "n", "cum_before DIV 120 AS bin_id")
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("rows_packed"),
+        F.min("n").cast("long").alias("min_group"),
+        F.max("n").cast("long").alias("max_group"),
+    )
+
+
+@query(
+    "layout_encoding_audit",
+    # Physical storage-order analytics: both engines walk the SAME staged
+    # files in position order (the deletion_vector_read position
+    # contract) and count value runs — the quantity RLE/dictionary
+    # encoding size actually depends on. The oracle never re-derives the
+    # sort; it audits bytes.
+    oracle="""
+    WITH ranked AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS f,
+               file_row_number AS pos, o_orderstatus AS st,
+               'sorted' AS layout
+        FROM read_parquet('{SCRATCH:encaudit}/sorted/*.parquet',
+                          filename=true, file_row_number=true)
+        UNION ALL
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS f,
+               file_row_number AS pos, o_orderstatus AS st,
+               'unsorted' AS layout
+        FROM read_parquet('{SCRATCH:encaudit}/unsorted/*.parquet',
+                          filename=true, file_row_number=true)
+    ),
+    runs AS (
+        SELECT layout, f, st,
+               CASE WHEN lag(st) OVER (PARTITION BY layout, f
+                        ORDER BY pos) IS DISTINCT FROM st
+                    THEN 1 ELSE 0 END AS is_run_start
+        FROM ranked
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT f) AS INT) AS n_files,
+           CAST(sum(is_run_start) AS BIGINT) AS n_runs_status
+    FROM runs GROUP BY layout
+    """,
+)
+def layout_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length layout audit: how many VALUE RUNS does a column have in
+    physical storage order, per layout? Stage an orders subset twice —
+    as-is and sortWithinPartitions(o_orderstatus) — and count runs of
+    o_orderstatus by walking each file in position order
+    (`_metadata.row_index`).
+
+    Run count is the quantity RLE and dictionary-RLE hybrid encodings
+    (parquet's encoding for low-cardinality columns) actually compress
+    by: n_runs ≈ n_rows means the column stores one entry per row;
+    n_runs ≈ n_distinct × n_files means near-ideal clustering. The
+    sorted layout here collapses ~75k runs to ~3 per file without any
+    shuffle (sortWithinPartitions is a narrow, in-task sort — the cheap
+    half of the Z-order story, right whenever one column dominates
+    filters/encodings).
+
+    Cross-engine value: the run count is computed from positions, so the
+    oracle re-walking the same bytes with file_row_number proves both
+    the position contract AND the layout claim.
+    """
+    ensure_confs(spark)
+    base = _scratch(sf_dir, "encaudit")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    o.repartition(4).write.mode("overwrite").parquet(f"{base}/unsorted")
+    (
+        o.repartition(4)
+        .sortWithinPartitions("o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(f"{base}/sorted")
+    )
+    from pyspark.sql import Window as W
+
+    out = None
+    for layout in ("sorted", "unsorted"):
+        scan = spark.read.parquet(f"{base}/{layout}").select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "([^/]+)$", 1
+            ).alias("f"),
+            F.col("_metadata.row_index").alias("pos"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        w = W.partitionBy("f").orderBy("pos")
+        runs = scan.withColumn(
+            "is_run_start",
+            F.when(
+                ~F.lag("st").over(w).eqNullSafe(F.col("st")), 1
+            ).otherwise(0),
+        )
+        agg = runs.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("f").cast("int").alias("n_files"),
+            F.sum("is_run_start").cast("long").alias("n_runs_status"),
+        ).select("layout", "n_rows", "n_files", "n_runs_status")
+        out = agg if out is None else out.unionAll(agg)
+    return out

@@ -344,3 +344,92 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_NAAJ_SQL)
+
+
+@query(
+    "keyset_pagination",
+    # The oracle is the DECLARATIVE form of the same pages: row_number
+    # over the identical total order, bucketed into pages of 100. The
+    # engine's seek predicates ((d > d0) OR (d = d0 AND k > k0)) must
+    # partition the stream identically or page boundaries drift.
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CAST((rn - 1) // 100 + 1 AS INT) AS page,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM ranked WHERE rn <= 300
+    GROUP BY 1
+    """,
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: three 100-row pages of urgent
+    orders ordered by (o_orderdate, o_orderkey), each page fetched with a
+    tuple-seek predicate on the previous page's last key — NOT
+    OFFSET/LIMIT.
+
+    Why this is a 100 TB operator: OFFSET n scans and discards n rows —
+    page 10,000 of an audit feed costs a million-row sort-and-skip per
+    request, and deep pagination is O(pages²) total. The seek predicate
+    (d > d0) OR (d = d0 AND k > k0) is sargable: it pushes to the scan
+    (min/max pruning skips whole files once the table is sorted/clustered
+    on the key), every page costs O(page), and results are stable under
+    concurrent appends (an OFFSET page shifts when rows land before it).
+    The boundary fetch between pages is one 1-row collect — catalog-scale
+    driver work, the same discipline as the time-travel manifest read.
+
+    The oracle computes the SAME pages declaratively (row_number ranges
+    over the identical total order), so the hash proves the seek
+    predicates partition the stream exactly at the declarative page
+    boundaries — the correctness property the seek method must preserve.
+    """
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .selectExpr(
+            "o_orderkey",
+            "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+    )
+    out = None
+    last = None  # (o_orderdate, o_orderkey) of the previous page's tail
+    for page in (1, 2, 3):
+        q = base
+        if last is not None:
+            d0, k0 = last
+            q = q.filter(
+                (F.col("o_orderdate") > F.lit(d0))
+                | (
+                    (F.col("o_orderdate") == F.lit(d0))
+                    & (F.col("o_orderkey") > F.lit(k0))
+                )
+            )
+        rows = (
+            q.orderBy("o_orderdate", "o_orderkey").limit(100)
+        ).localCheckpoint(eager=True)  # page summary + boundary fetch
+        tail = (
+            rows.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+            .limit(1)
+            .collect()
+        )
+        if not tail:
+            break
+        last = (tail[0]["o_orderdate"], tail[0]["o_orderkey"])
+        summary = rows.agg(
+            F.lit(page).cast("int").alias("page"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+            F.max("o_orderkey").cast("long").alias("last_key"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ).select("page", "n_rows", "first_key", "last_key", "sum_cents")
+        out = summary if out is None else out.unionAll(summary)
+    return out

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 from ..registry import query
+from ..session import ensure_confs
 
 
 @query(
@@ -375,4 +376,69 @@ def sql_scripting_topk_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT n_cust, total_cents, lo AS k_half, topk_cents;
         END
         """
+    )
+
+
+@query(
+    "reshape_pivot_unpivot",
+    # The oracle is the DIRECT group-by: the round trip (wide pivot →
+    # UNPIVOT back to long) must be lossless, so its re-aggregation
+    # equals the computation that never left long form.
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+                   AS week,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_weeks_active,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           CAST(max(n) AS BIGINT) AS peak_week_events
+    FROM weekly GROUP BY event_type
+    """,
+)
+def reshape_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT round trip (Spark's native relational reshape
+    surface): weekly event counts pivot to one wide column per event
+    type, then `unpivot` (Spark 3.4+/4 native, not a stack() string
+    hack) melts the wide table back to long, and the re-aggregation must
+    equal the direct group-by that never reshaped — losslessness of the
+    reshape pair is the verified property.
+
+    The pivot uses EXPLICIT values (the five fixture event types): at
+    100 TB an implicit pivot is a two-pass plan (distinct scan to
+    discover columns, then the pivot scan); explicit values make it one
+    pass, which is why production pivots always declare their columns.
+    Nulls from absent (week, type) cells are dropped by unpivot
+    (includeNulls=False), which is exactly what makes the round trip
+    exact: absent cells were never rows in the long form either.
+    """
+    ensure_confs(spark)
+    weekly = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " DIV 7 AS week",
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        weekly.groupBy("week")
+        .pivot("event_type", types)
+        .agg(F.first("n"))
+    )
+    long_again = wide.unpivot(
+        ids=["week"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).filter(F.col("n").isNotNull())
+    return long_again.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks_active"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.max("n").cast("long").alias("peak_week_events"),
     )

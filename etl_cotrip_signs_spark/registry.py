@@ -526,6 +526,11 @@ DRIVER_ORDER: list[str] = [
     "table_time_travel",             # r6: manifest snapshot reads (oracle)
     "deletion_vector_read",          # r6: positional DV suppression (oracle)
     "stat_bootstrap_ci",             # r6: Poisson bootstrap CI, xxh64-replayed (oracle)
+    # -- round-6 additions (wave 29) --
+    "layout_packing_plan",           # r6: prefix-sum NFD compaction plan (oracle)
+    "layout_encoding_audit",         # r6: physical run-length audit per layout (oracle)
+    "reshape_pivot_unpivot",         # r6: lossless PIVOT/UNPIVOT round trip (oracle)
+    "keyset_pagination",             # r6: seek-method pages vs row_number oracle (oracle)
 ]
 
 
