@@ -313,3 +313,111 @@ def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             'n_nationkey int, n_name string, n_regionkey int') p
         """
     )
+
+
+@query(
+    "cogroup_asof_interp",
+    # Oracle: the correlated greatest-lower-bound subquery — the
+    # declarative definition of a backward as-of match (DuckDB plans it
+    # as its native ASOF machinery). Micros bridge: Spark unix_micros ↔
+    # DuckDB epoch_us (the events_interarrival_stats idiom).
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS tp
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS tc
+        FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.user_id, p.tp,
+               (SELECT max(c.tc) FROM c
+                WHERE c.user_id = p.user_id AND c.tc <= p.tp) AS tc
+        FROM p
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(tc) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(tp - tc), 0) AS BIGINT) AS sum_gap_us,
+           CAST(coalesce(max(tp - tc), 0) AS BIGINT) AS max_gap_us
+    FROM m GROUP BY user_id
+    """,
+)
+def cogroup_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped as-of alignment: per user, match every purchase to the
+    most recent click at-or-before it — THROUGH THE COGROUP SURFACE
+    (``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas``), the one
+    vectorized-Python flavor the module ladder was missing (sixth after
+    pandas_udf / mapInPandas / applyInPandas / mapInArrow / applyInArrow).
+
+    Cogroup is Spark's primitive for ALIGNING two tables group-by-group
+    in one shuffle each, handing the pair of per-key pandas frames to
+    arbitrary kernel code — here ``pd.merge_asof`` (backward, exact
+    matches allowed), the idiomatic pandas as-of. This is the escape
+    hatch for per-key logic that needs BOTH sides materialized (state
+    machine replays, per-entity model scoring against feature history,
+    custom interpolation): the composition-based as-of joins
+    (join_asof_latest_order and kin) stay the declarative fast path, and
+    this pin proves the kernel path agrees with the declarative
+    definition (the correlated max-subquery oracle).
+
+    Shape at 100 TB: one shuffle per side on the group key, then kernels
+    run per key with NO cross-key state; skewed users are the hazard (a
+    whale user's two frames must fit one task) — the same boundedness
+    argument applyInPandas always carries, stated here rather than
+    hidden.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tp"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tc"),
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "n_purchases",
+                    "n_matched",
+                    "sum_gap_us",
+                    "max_gap_us",
+                ]
+            )
+        lp = left.sort_values("tp")
+        rc = right.sort_values("tc")
+        merged = pd.merge_asof(
+            lp, rc.rename(columns={"user_id": "uid_r"}),
+            left_on="tp", right_on="tc", direction="backward",
+            allow_exact_matches=True,
+        )
+        gaps = merged.tp - merged.tc
+        matched = merged.tc.notna()
+        return pd.DataFrame(
+            {
+                "user_id": [int(left.user_id.iloc[0])],
+                "n_purchases": [len(lp)],
+                "n_matched": [int(matched.sum())],
+                "sum_gap_us": [int(gaps[matched].sum()) if matched.any() else 0],
+                "max_gap_us": [int(gaps[matched].max()) if matched.any() else 0],
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "user_id long, n_purchases long, n_matched long,"
+            " sum_gap_us long, max_gap_us long",
+        )
+    )

@@ -282,3 +282,97 @@ def kmeans_maximin_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sel_order int, vec_id long, maximin_d2 long"
     )
+
+
+@query(
+    "ml_knn_classifier_exact",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce, label AS cl
+        FROM embeddings WHERE vec_id >= 20
+    ),
+    s AS (
+        SELECT query_id, true_label, cid, cl,
+               round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                            CAST(ce AS DOUBLE[])), 5) AS cos
+        FROM q, c
+    ),
+    r AS (
+        SELECT query_id, true_label, cl,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
+        FROM s
+    ),
+    votes AS (
+        SELECT query_id, true_label, cl, CAST(count(*) AS BIGINT) AS v
+        FROM r WHERE rn <= 5 GROUP BY query_id, true_label, cl
+    ),
+    pred AS (
+        SELECT query_id, true_label, cl AS pred_label, v,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY v DESC, cl) AS pr
+        FROM votes
+    )
+    SELECT query_id, true_label, pred_label, v AS n_votes
+    FROM pred WHERE pr = 1
+    """,
+)
+def ml_knn_classifier_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, majority vote) over the embedding
+    corpus: each of the 20 probe vectors is labeled by its 5 exact
+    nearest corpus neighbors (probes excluded from the corpus — no
+    self-vote leakage), tie-broken by the smallest label. The lazy
+    classifier that needs no training pass — the baseline every learned
+    classifier must beat, and the direct consumer of the kNN machinery
+    (exact here; at scale the LSH/IVF candidate generators feed the
+    same vote).
+
+    Ranking discipline is knn_exact_cosine's: 5-dp-rounded cosine with
+    id tie-break so both engines pick identical neighbor sets; the vote
+    and its (count DESC, label) argmax are exact integers.
+
+    Shape at 100 TB: bounded query set broadcast against the corpus
+    (the documented oracle-baseline shape); production swaps the
+    cross-probe for knn_lsh_ann's bucket join and keeps the vote
+    unchanged — votes are a groupBy over candidate ids, never vectors.
+    """
+    from ..functions.vectors import cosine, to_double
+    from pyspark.sql import Window as W
+
+    src = load_table(spark, sf_dir, "embeddings")
+    q = src.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        to_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    c = src.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"),
+        to_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "cid")
+    top = scored.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top.groupBy("query_id", "true_label", "cl").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("v").desc(), "cl")
+    return (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cl").alias("pred_label"),
+            F.col("v").alias("n_votes"),
+        )
+    )

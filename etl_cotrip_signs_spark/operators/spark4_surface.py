@@ -442,3 +442,50 @@ def reshape_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total_events"),
         F.max("n").cast("long").alias("peak_week_events"),
     )
+
+
+@query(
+    "sql_identifier_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_identifier_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL + the IDENTIFIER clause (Spark 4 surface): one
+    query TEMPLATE executed twice with different named-parameter
+    bindings — the table name bound through ``IDENTIFIER(:tbl)`` (the
+    injection-safe way to parameterize an identifier, where a string
+    substitution would be the classic SQL-injection hole) and the
+    filter value through an ordinary ``:prio`` marker.
+
+    Why it matters at scale: production query services template one
+    audited statement over thousands of (tenant table, parameter)
+    pairs; parameter markers keep the plan cache keyed on the template
+    while IDENTIFIER keeps catalog references out of string-concat
+    territory. The oracle is the equivalent static SQL, so the hash
+    proves binding semantics change nothing about the result.
+    """
+    ensure_confs(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sg_param_orders"
+    )
+    template = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderpriority = :prio
+        GROUP BY o_orderpriority
+    """
+    out = None
+    for prio in ("1-URGENT", "2-HIGH"):
+        part = spark.sql(template, args={"tbl": "sg_param_orders", "prio": prio})
+        out = part if out is None else out.unionAll(part)
+    return out

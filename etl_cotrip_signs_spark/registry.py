@@ -531,6 +531,10 @@ DRIVER_ORDER: list[str] = [
     "layout_encoding_audit",         # r6: physical run-length audit per layout (oracle)
     "reshape_pivot_unpivot",         # r6: lossless PIVOT/UNPIVOT round trip (oracle)
     "keyset_pagination",             # r6: seek-method pages vs row_number oracle (oracle)
+    # -- round-6 additions (wave 30) --
+    "cogroup_asof_interp",           # r6: cogrouped merge_asof kernel vs GLB oracle (oracle)
+    "ml_knn_classifier_exact",       # r6: 5-NN majority-vote classifier (oracle)
+    "sql_identifier_parameterized",  # r6: IDENTIFIER + named param markers (oracle)
 ]
 
 
