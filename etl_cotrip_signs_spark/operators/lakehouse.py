@@ -245,3 +245,86 @@ def deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(survivors, "file").select(
         "file", "n_rows_total", "n_rows_live", "sum_cents_live"
     )
+
+
+@query(
+    "partition_evolution_read",
+    # Same discipline as table_time_travel: the oracle re-reads the SAME
+    # staged bytes — here through hive_partitioning=true so the partition
+    # values parsed from DIRECTORY NAMES must agree with what Spark both
+    # wrote and read back. Two different physical layouts, one logical
+    # table, one answer.
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+        FROM read_parquet('{SCRATCH:partevo}/v1/*/*.parquet',
+                          hive_partitioning=true)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+        FROM read_parquet('{SCRATCH:partevo}/v2/*/*.parquet',
+                          hive_partitioning=true)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM unioned GROUP BY o_orderpriority
+    """,
+)
+def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: the table's early commit is
+    hive-partitioned by o_orderpriority, the later commit by
+    o_orderstatus — the layout change every long-lived table eventually
+    makes (Iceberg calls it partition evolution; plain Spark tables get
+    it by unioning generations) — and a read spanning both generations
+    must still behave as ONE logical table.
+
+    The mechanics under test: partition VALUES live in directory names,
+    not data files, so each generation's read must re-materialize its
+    own partition column from its own layout; unionByName then aligns
+    the generations' differing column orders. Per-priority counts and
+    exact-cent sums span both generations; rows are split by orderkey
+    parity so every output row genuinely mixes layouts.
+
+    At 100 TB: partition evolution is why readers must never assume one
+    physical spec — filters on the OLD key prune only the old
+    generation's directories, filters on the new key only the new one's,
+    and the union plan shows exactly that (each side keeps its own
+    PartitionFilters).
+    """
+    ensure_confs(spark)
+    base = scratch_dir("partevo", sf_dir)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        )
+        .localCheckpoint(eager=True)  # two generation writes descend
+    )
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    gen1.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        f"{base}/v1"
+    )
+    gen2.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        f"{base}/v2"
+    )
+    r1 = spark.read.parquet(f"{base}/v1").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    r2 = spark.read.parquet(f"{base}/v2").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return (
+        r1.unionByName(r2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+        )
+    )

@@ -829,3 +829,96 @@ def sample_proportional_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
         " AS BIGINT) AS final_alloc",
     )
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH domains AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    weighted AS (
+        SELECT source, lang, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+                   AS milli_w
+        FROM domains
+    ),
+    tot AS (SELECT CAST(sum(milli_w) AS BIGINT) AS tw FROM weighted),
+    quotas AS (
+        SELECT source, lang, n_docs, milli_w,
+               milli_w * 10000 // tw AS base_alloc,
+               milli_w * 10000 % tw AS rem
+        FROM weighted, tot
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source, lang) AS rr,
+               CAST(10000 - sum(base_alloc) OVER () AS BIGINT) AS leftover
+        FROM quotas
+    )
+    SELECT source, lang, n_docs, milli_w,
+           CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (tau = 0.5): domain sampling
+    weights proportional to n_docs^tau instead of n_docs — the standard
+    LLM-pretraining rebalance that up-weights small domains (multilingual
+    sampling in public LM literature) without the winner-take-all of raw
+    proportional mixing.
+
+    Exactness discipline: n^0.5 is the ONE shared double expression per
+    domain row (domains are metadata-scale), floored to integer
+    milli-weights immediately; the 10,000-sample budget is then
+    apportioned by the largest-remainder method over those integers
+    (sample_proportional_lrm's machinery), so sum(final_alloc) == budget
+    exactly and both engines allocate identically — a float-weighted
+    sampler made hash-checkable.
+
+    At 100 TB: the domain table is a groupBy over the corpus manifest;
+    the per-document sampling that CONSUMES these allocations is the
+    md5-bucket determinism rule (sample_stratified), one scan.
+    """
+    domains = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    weighted = domains.selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)"
+        " AS milli_w",
+    )
+    tot = weighted.agg(F.sum("milli_w").cast("long").alias("tw"))
+    quotas = weighted.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "milli_w",
+        "milli_w * 10000 DIV tw AS base_alloc",
+        "milli_w * 10000 % tw AS rem",
+    )
+    from pyspark.sql import Window as W
+
+    ranked = quotas.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("rem").desc(), "source", "lang"))
+        .alias("rr"),
+        (10000 - F.sum("base_alloc").over(W.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return ranked.selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "milli_w",
+        "CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+        " AS BIGINT) AS final_alloc",
+    )

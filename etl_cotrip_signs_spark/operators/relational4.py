@@ -433,3 +433,73 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("page", "n_rows", "first_key", "last_key", "sum_cents")
         out = summary if out is None else out.unionAll(summary)
     return out
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS prio,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100000 AS band
+        FROM orders
+    ),
+    ranked AS (
+        SELECT prio, band,
+               rank() OVER (PARTITION BY prio ORDER BY band DESC) AS rk,
+               row_number() OVER (
+                   PARTITION BY prio ORDER BY band DESC) AS rn
+        FROM o
+    )
+    SELECT prio,
+           CAST(count(*) FILTER (WHERE rk <= 3) AS BIGINT) AS n_with_ties,
+           CAST(count(*) FILTER (WHERE rn <= 3) AS BIGINT) AS n_exact,
+           CAST(max(band) AS BIGINT) AS top_band,
+           CAST(min(band) FILTER (WHERE rk <= 3) AS BIGINT) AS kth_band
+    FROM ranked GROUP BY prio
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES vs exactly-k: per priority, the top 3
+    thousand-dollar price BANDS selected by rank() (every row tying the
+    3rd band survives — SQL's FETCH FIRST ... WITH TIES semantics) next
+    to row_number()'s exactly-3. The banding makes ties dense, so the
+    two answers genuinely diverge and the query pins WHICH semantics
+    each window function implements.
+
+    The distinction matters operationally at scale: WITH TIES is the
+    deterministic one under non-unique keys (row_number's arbitrary
+    tie-pick depends on sort-tie order unless the ORDER BY is total),
+    and it is the semantics audit/report SQL usually means by "top k".
+    Here row_number's ORDER BY is intentionally non-total (band only),
+    but only tie-INSENSITIVE aggregates of the rn<=3 set are emitted
+    (its count), so the result stays engine-deterministic while the
+    with-ties column shows the honest selection.
+
+    One shuffle on the partition key; rank and row_number share the
+    single window sort.
+    """
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS prio",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100000 AS band",
+    )
+    w = Window.partitionBy("prio").orderBy(F.col("band").desc())
+    ranked = o.select(
+        "prio",
+        "band",
+        F.rank().over(w).alias("rk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.groupBy("prio").agg(
+        F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_ties"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.max("band").cast("long").alias("top_band"),
+        F.min(F.when(F.col("rk") <= 3, F.col("band")))
+        .cast("long")
+        .alias("kth_band"),
+    )

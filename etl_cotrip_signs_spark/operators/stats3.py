@@ -1020,3 +1020,79 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_mean_milli",
         )
     )
+
+
+# Shannon entropy over the five fixed event-type counts: each term
+# (n_j/n)·ln(n/n_j) is written out per pivot column in the ONE shared
+# expression (the _KW_H discipline applied to information theory); an
+# absent class contributes 0 by convention — expressed branchlessly with
+# nullif so both engines agree on the degenerate cases too.
+_ENT_H = (
+    "("
+    + " + ".join(
+        f"coalesce(CAST(n{j} AS DOUBLE) / nullif(n, 0)"
+        f" * ln(CAST(n AS DOUBLE) / nullif(n{j}, 0)), 0)"
+        for j in range(1, len(_ETYPES) + 1)
+    )
+    + ")"
+)
+
+
+@query(
+    "events_type_entropy",
+    oracle=f"""
+    WITH vals AS (
+        SELECT {", ".join(
+            f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END AS i{j}"
+            for j, t in enumerate(_ETYPES, 1)
+        )}
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               {", ".join(
+                   f"CAST(sum(i{j}) AS BIGINT) AS n{j}"
+                   for j in range(1, 6)
+               )}
+        FROM vals
+    )
+    SELECT n, {", ".join(f"n{j}" for j in range(1, 6))},
+           {_ENT_H} AS entropy_nats,
+           exp({_ENT_H}) AS perplexity,
+           {_ENT_H} / ln(5) AS entropy_normalized
+    FROM m
+    """,
+)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution — the
+    distribution-shape summary under drift monitors and mixture
+    balancing (a corpus mixer reports exactly this over domain shares;
+    perplexity = exp(H) is the 'effective number of classes').
+
+    Float-summation discipline: entropy is a SUM OF LOGS, and letting an
+    engine aggregate ln-terms in its own order would diverge — so the
+    five event types PIVOT into fixed columns (the stat_kruskal_wallis
+    move) and H is one textually shared expression over six exact
+    integers, with nullif/coalesce making absent classes contribute
+    exactly 0 in both engines rather than engine-specific NaN.
+
+    Shape at 100 TB: ONE combinable aggregate, six numbers out, three
+    shared scalar expressions. The cheapest drift statistic there is.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        *[
+            F.when(F.col("event_type") == t, 1).otherwise(0).alias(f"i{j}")
+            for j, t in enumerate(_ETYPES, 1)
+        ]
+    )
+    m = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(f"i{j}").cast("long").alias(f"n{j}") for j in range(1, 6)],
+    )
+    return m.selectExpr(
+        "n",
+        *[f"n{j}" for j in range(1, 6)],
+        f"{_ENT_H} AS entropy_nats",
+        f"exp({_ENT_H}) AS perplexity",
+        f"{_ENT_H} / ln(5) AS entropy_normalized",
+    )

@@ -1301,3 +1301,63 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("phrase", "doc_id", "n_hits")
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                    AS BIGINT) AS s_en,
+               CAST((length(text) - length(replace(text, ' data ', ''))) / 6
+                    AS BIGINT) AS s_data,
+               CAST((length(text) - length(replace(text, ' row ', ''))) / 5
+                    AS BIGINT) AS s_row
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_data AND s_en >= s_row THEN 'en'
+                    WHEN s_data >= s_row THEN 'datish'
+                    ELSE 'rowish' END AS predicted
+        FROM scored
+    ),
+    cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_class
+            FROM pred GROUP BY lang)
+    SELECT p.lang, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000000 // c.n_class AS BIGINT) AS class_ppm
+    FROM pred p JOIN cls c ON c.lang = p.lang
+    GROUP BY p.lang, p.predicted, c.n_class
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: the CONFUSION
+    MATRIX of text_lang_id's marker-score argmax against the corpus's
+    lang labels, each cell also as an integer ppm share of its true
+    class (the row-normalized matrix recall reads off of).
+
+    Every model that gates a 100 TB corpus (language filters, quality
+    classifiers, toxicity gates) needs exactly this evaluation run AT
+    CORPUS SCALE, not on a dev sample — filter biases live in the tail
+    domains a sample misses. Shape: the per-doc scoring scan composes
+    with ONE (label, prediction) groupBy — the matrix is k² metadata
+    rows regardless of corpus size, and the class-size join is a
+    broadcast.
+    """
+    pred = text_lang_id(spark, sf_dir).select("lang", "predicted")
+    cls = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(cls), "lang")
+        .selectExpr(
+            "lang",
+            "predicted",
+            "n_docs",
+            "n_docs * 1000000 DIV n_class AS class_ppm",
+        )
+    )

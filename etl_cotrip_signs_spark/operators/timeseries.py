@@ -1469,3 +1469,107 @@ def forecast_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_covered * 1000000 DIV n_test AS coverage_ppm",
         )
     )
+
+
+# Between-segment objective for a split after prefix index i (1 <= i < N):
+# J(i) = S1^2/n1 + S2^2/n2 - S^2/N  (the variance-decomposition identity:
+# maximizing J minimizes total within-segment SSE). One shared double
+# expression over exact integer prefix sums; the argmax tie-breaks on day.
+_CHG_J = (
+    "CAST(s1 AS DOUBLE) * s1 / n1"
+    " + (CAST(s AS DOUBLE) - s1) * (CAST(s AS DOUBLE) - s1) / (n - n1)"
+    " - CAST(s AS DOUBLE) * s / n"
+)
+
+
+@query(
+    "events_changepoint_argmax",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    pref AS (
+        SELECT day, v,
+               CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS s1,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n1
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    scored AS (
+        SELECT day, s1, n1, s, n, {_CHG_J} AS j
+        FROM pref, tot WHERE n1 < n
+    ),
+    best AS (
+        SELECT *, row_number() OVER (ORDER BY j DESC, day) AS rn FROM scored
+    )
+    SELECT day AS split_after_day, n1 AS n_left, n - n1 AS n_right,
+           s1 AS sum_left_milli, s - s1 AS sum_right_milli,
+           j AS j_stat
+    FROM best WHERE rn = 1
+    """,
+)
+def events_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily purchase-revenue
+    series: the split that maximizes the between-segment variance
+    J(i) = S1²/n1 + S2²/n2 − S²/N (equivalently, minimizes total
+    within-segment SSE — the binary-segmentation step every changepoint
+    method iterates). The level-shift localizer that pairs with
+    events_cusum_drift's drift detector: CUSUM says WHETHER the mean
+    moved; this says WHERE the single best break is.
+
+    Exactness: prefix sums and counts are exact integer milli; J is one
+    shared double expression evaluated per candidate split (|days| − 1
+    candidates), and the argmax tie-breaks on day, so both engines pick
+    the identical split even under float-equal plateaus.
+
+    Shape at 100 TB: facts reduce to the daily table (combinable), one
+    prefix window over |days| rows (calendar-bounded metadata), one
+    top-1. Recursing binary segmentation re-runs this on each side —
+    O(log k) rounds for k changepoints, never re-scanning facts.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " AS day",
+            "CAST(floor(value * 1000) AS BIGINT) AS v_milli",
+        )
+        .groupBy("day")
+        .agg(F.sum("v_milli").cast("long").alias("v"))
+    )
+    w = Window.orderBy("day")
+    pref = daily.select(
+        "day",
+        F.sum("v").over(w).cast("long").alias("s1"),
+        F.row_number().over(w).cast("long").alias("n1"),
+    )
+    tot = daily.agg(
+        F.sum("v").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    scored = (
+        pref.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("n"))
+        .selectExpr("day", "s1", "n1", "s", "n", f"{_CHG_J} AS j")
+    )
+    best = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("j").desc(), "day"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.selectExpr(
+        "day AS split_after_day",
+        "n1 AS n_left",
+        "n - n1 AS n_right",
+        "s1 AS sum_left_milli",
+        "s - s1 AS sum_right_milli",
+        "j AS j_stat",
+    )

@@ -535,6 +535,15 @@ DRIVER_ORDER: list[str] = [
     "cogroup_asof_interp",           # r6: cogrouped merge_asof kernel vs GLB oracle (oracle)
     "ml_knn_classifier_exact",       # r6: 5-NN majority-vote classifier (oracle)
     "sql_identifier_parameterized",  # r6: IDENTIFIER + named param markers (oracle)
+    # -- round-6 additions (wave 31) --
+    "mix_temperature_sampling",      # r6: n^0.5 domain weights + LRM budget (oracle)
+    "graph_degree_assortativity",    # r6: Newman r from exact degree moments (oracle)
+    "window_topk_with_ties",         # r6: rank() WITH TIES vs row_number exactly-k (oracle)
+    "events_changepoint_argmax",     # r6: binary-segmentation split argmax (oracle)
+    # -- round-6 additions (wave 32) --
+    "text_langid_confusion",         # r6: classifier confusion matrix + class ppm (oracle)
+    "events_type_entropy",           # r6: pivot-shared Shannon entropy/perplexity (oracle)
+    "partition_evolution_read",      # r6: two partition specs, one logical table (oracle)
 ]
 
 
