@@ -536,3 +536,84 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("value"))
         .filter(F.col("value") != 0)
     )
+
+
+# Per-mode WOE and IV term as ONE shared double expression each over the
+# row's exact integers plus the broadcast totals; nullif guards the
+# empty-cell degenerate cases identically in both engines.
+_WOE = (
+    "ln(CAST(n_good AS DOUBLE) * b_tot"
+    " / nullif(CAST(n_bad AS DOUBLE) * g_tot, 0))"
+)
+_IV_TERM = (
+    "(CAST(n_good AS DOUBLE) / nullif(g_tot, 0)"
+    f" - CAST(n_bad AS DOUBLE) / nullif(b_tot, 0)) * ({_WOE})"
+)
+
+
+@query(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_bad
+        FROM orders
+    ),
+    per AS (
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE is_bad = 0) AS BIGINT) AS n_good,
+               CAST(count(*) FILTER (WHERE is_bad = 1) AS BIGINT) AS n_bad
+        FROM base GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+               CAST(sum(n_bad) AS BIGINT) AS b_tot
+        FROM per
+    )
+    SELECT o_orderpriority, n_good, n_bad,
+           {_WOE} AS woe,
+           {_IV_TERM} AS iv_term
+    FROM per, tot
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value per order priority against
+    the fulfilled-status target (o_orderstatus = 'F') — the
+    credit-scoring / feature-selection encoding: WOE_j =
+    ln((g_j/G)/(b_j/B)) says which way category j leans, its IV term
+    (g_j/G - b_j/B)*WOE_j says how much separating power it carries.
+    The supervised sibling of feature_target_encoding_loo (which encodes
+    the RATE; WOE encodes the log-odds SHIFT, additive in logistic
+    models - why scorecards use it).
+
+    Float discipline: per-category counts are exact integers from ONE
+    combinable aggregate; WOE and the IV term are one shared double
+    expression each, evaluated per category row against the broadcast
+    totals, nullif-guarded for empty cells. No float is ever aggregated
+    ACROSS categories inside the query (the IV total is a k-term sum a
+    consumer adds at metadata scale - k is the category count).
+
+    Shape at 100 TB: one groupBy over facts, a 1-row broadcast of
+    totals, k output rows.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_bad"),
+    )
+    per = base.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("is_bad") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum("is_bad").cast("long").alias("n_bad"),
+    )
+    tot = per.agg(
+        F.sum("n_good").cast("long").alias("g_tot"),
+        F.sum("n_bad").cast("long").alias("b_tot"),
+    )
+    return per.crossJoin(F.broadcast(tot)).selectExpr(
+        "o_orderpriority",
+        "n_good",
+        "n_bad",
+        f"{_WOE} AS woe",
+        f"{_IV_TERM} AS iv_term",
+    )

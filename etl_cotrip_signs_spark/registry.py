@@ -544,6 +544,9 @@ DRIVER_ORDER: list[str] = [
     "text_langid_confusion",         # r6: classifier confusion matrix + class ppm (oracle)
     "events_type_entropy",           # r6: pivot-shared Shannon entropy/perplexity (oracle)
     "partition_evolution_read",      # r6: two partition specs, one logical table (oracle)
+    # -- round-6 additions (wave 33) --
+    "drift_wasserstein_exact",       # r6: exact W1 via decimal prefix-CDF integral (oracle)
+    "feature_woe_iv",                # r6: WOE/IV per category, shared-expression floats (oracle)
 ]
 
 
