@@ -85,6 +85,17 @@ HEADLINE = [
     "text_rake_keywords",
     "text_phrase_search",
     "stat_kruskal_wallis",
+    # round-6 additions: the resampling estimator, the cogroup kernel,
+    # the kNN vote, the W1 drift integral, temperature mixing, and the
+    # changepoint scan — the compute-shaped flagships of waves 28-33
+    # (the lakehouse/staging ops are IO-dominated and benchmark their
+    # own staging, so they stay out of the wall-clock headline set)
+    "stat_bootstrap_ci",
+    "cogroup_asof_interp",
+    "ml_knn_classifier_exact",
+    "drift_wasserstein_exact",
+    "mix_temperature_sampling",
+    "events_changepoint_argmax",
 ]
 
 
