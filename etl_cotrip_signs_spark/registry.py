@@ -547,6 +547,7 @@ DRIVER_ORDER: list[str] = [
     # -- round-6 additions (wave 33) --
     "drift_wasserstein_exact",       # r6: exact W1 via decimal prefix-CDF integral (oracle)
     "feature_woe_iv",                # r6: WOE/IV per category, shared-expression floats (oracle)
+    "stream_scd2_history",           # r6: streaming CDC-log -> SCD2, slice-independent (oracle)
 ]
 
 
