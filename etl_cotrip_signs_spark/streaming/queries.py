@@ -1494,3 +1494,137 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "event_id", "value")
     return run_stream_scd2(e, scratch_dir("stream_scd2", sf_dir))
+
+
+_MH_K = 16
+
+
+def make_minhash_merge_fn(base: str):
+    """(merge, read_ptr) for weekly MinHash signature state: each batch
+    reduces to per-(week, k) signature minima and min-merges into state.
+    min is the third idempotent+commutative merge algebra in this module
+    (bit_or -> exact distinct, max-struct -> CDC log, min-hash ->
+    similarity sketches): slice-independent and replay-tolerant by
+    construction."""
+    read_ptr, commit_version = versioned_state(base)
+
+    def merge(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ptr = read_ptr()
+        if ptr["batch"] >= batch_id:
+            return
+        sig = (
+            batch_df.selectExpr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+                " DIV 7 AS week",
+                "user_id",
+                f"explode(sequence(0, {_MH_K - 1})) AS k",
+            )
+            .select(
+                "week",
+                "k",
+                F.xxhash64(
+                    F.concat(F.lit("mh"), F.col("k").cast("string")),
+                    F.col("user_id"),
+                ).alias("h"),
+            )
+            .groupBy("week", "k")
+            .agg(F.min("h").alias("sig"))
+        )
+        if ptr["dir"] is not None:
+            prior = s.read.parquet(ptr["dir"])
+            sig = (
+                prior.unionByName(sig)
+                .groupBy("week", "k")
+                .agg(F.min("sig").alias("sig"))
+            )
+        commit_version(sig, batch_id)
+
+    return merge, read_ptr
+
+
+def run_stream_minhash(events_stream: DataFrame, base: str) -> DataFrame:
+    import shutil
+
+    spark = events_stream.sparkSession
+    shutil.rmtree(base, ignore_errors=True)
+    merge, read_ptr = make_minhash_merge_fn(base)
+    q = (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    final = read_ptr()
+    if final["dir"] is None:
+        raise RuntimeError("stream_minhash_weekly processed zero batches")
+    return (
+        spark.read.parquet(final["dir"])
+        .select("week", "k", "sig")
+    )
+
+
+def _mh_seed_case() -> str:
+    """16-branch CASE mapping k to XXH64(utf8('mh{k}'), 42) — Spark's
+    chained string+long hash replayed with per-k precomputed seeds."""
+    from ..functions.xxh64_sql import chain_seed
+
+    branches = " ".join(
+        f"WHEN k = {k} THEN xxh64_long(user_id,"
+        f" {chain_seed(f'mh{k}')}::UBIGINT)"
+        for k in range(_MH_K)
+    )
+    return f"(CASE {branches} END)"
+
+
+def _stream_minhash_oracle() -> str:
+    from ..functions.xxh64_sql import XXH64_MACROS
+
+    return (
+        XXH64_MACROS
+        + f"""
+    WITH perms AS (SELECT CAST(k AS INT) AS k FROM range({_MH_K}) t(k)),
+    hashed AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+                   AS week,
+               perms.k,
+               {_mh_seed_case()} AS h
+        FROM events, perms
+    )
+    SELECT week, k, CAST(min(h) AS BIGINT) AS sig
+    FROM hashed GROUP BY week, k
+    """
+    )
+
+
+@query("stream_minhash_weekly", oracle=_stream_minhash_oracle())
+def stream_minhash_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash signature maintenance: per week, the 16-permutation
+    MinHash sketch of the active-user SET, maintained incrementally — each
+    micro-batch min-merges its own (week, k) minima into versioned state.
+    The signature estimates week-over-week Jaccard (matching coordinates /
+    16) without storing user sets — agg_bitmap_retention's EXACT
+    intersection trades state size |id-domain|/63 words for this sketch's
+    16 longs per key, the classic exact-vs-sketch state trade at 100 TB
+    key cardinalities.
+
+    Determinism: permutation k's hash is Spark xxhash64('mh'||k, user_id)
+    — the DuckDB oracle replays each chain with per-k precomputed seeds
+    (xxh64_long + chain_seed('mh{k}')), so the SKETCH ITSELF is
+    hash-checked cross-engine, not just its estimates. min is commutative
+    and idempotent, making the state slice-independent and replay-safe on
+    top of the pointer protocol (the bitmap/SCD2 discipline; min-merge is
+    this module's third idempotent state algebra).
+
+    Shape at 100 TB: batch work is one combinable min per (week, k)
+    touched; state is 16 longs per week, mergeable forever (month rollup
+    = min over weeks, a metadata read).
+    """
+    from ..session import scratch_dir
+
+    ensure_confs(spark)
+    e = read_events_stream(spark, sf_dir).select("ts", "user_id")
+    return run_stream_minhash(e, scratch_dir("stream_minhash", sf_dir))

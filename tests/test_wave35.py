@@ -1,0 +1,89 @@
+"""Pins for wave 35: streaming MinHash slice-independence + python hash
+replay, and JSD against scipy-free numpy."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from etl_cotrip_signs_spark.functions.xxh64_ref import xxh64
+from etl_cotrip_signs_spark.functions.xxh64_sql import chain_seed
+from etl_cotrip_signs_spark.operators.stats3 import drift_jsd_events
+from etl_cotrip_signs_spark.session import scratch_dir
+from etl_cotrip_signs_spark.streaming.queries import (
+    _MH_K,
+    make_minhash_merge_fn,
+)
+
+from .conftest import SF_SMALL
+
+
+def _events(spark):
+    from etl_cotrip_signs_spark.io import load_table
+
+    return load_table(spark, SF_SMALL, "events").select("ts", "user_id")
+
+
+def _signatures(spark, tag, slices):
+    base = scratch_dir(tag, SF_SMALL)
+    shutil.rmtree(base, ignore_errors=True)
+    merge, read_ptr = make_minhash_merge_fn(base)
+    for bid, df in enumerate(slices):
+        merge(df, bid)
+    sig = spark.read.parquet(read_ptr()["dir"]).toPandas()
+    return sig.sort_values(["week", "k"]).reset_index(drop=True)
+
+
+def test_minhash_slice_independent_and_replays_python(spark):
+    ev = _events(spark)
+    one = _signatures(spark, "mh_test_one", [ev])
+    two = _signatures(
+        spark,
+        "mh_test_two",
+        [ev.filter(F.col("user_id") % 2 == 0), ev.filter(F.col("user_id") % 2 == 1)],
+    )
+    pd.testing.assert_frame_equal(one, two)
+
+    # python replay of one (week, k) cell from the raw parquet
+    pdf = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    days = (
+        pd.to_datetime(pdf.ts).dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    pdf = pdf.assign(week=days // 7)
+    wk = int(one.week.iloc[0])
+    users = pdf[pdf.week == wk].user_id.unique()
+    for k in (0, _MH_K - 1):
+        seed = chain_seed(f"mh{k}")
+        hs = []
+        for u in users:
+            h = xxh64(int(u).to_bytes(8, "little", signed=True), seed)
+            if h >= 1 << 63:
+                h -= 1 << 64
+            hs.append(h)
+        expect = min(hs)
+        got = int(one[(one.week == wk) & (one.k == k)].sig.iloc[0])
+        assert got == expect
+
+
+def test_jsd_matches_numpy(spark):
+    row = drift_jsd_events(spark, SF_SMALL).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    early = pd.to_datetime(ev.ts).dt.date < pd.Timestamp("2024-01-16").date()
+    types = ["click", "error", "purchase", "signup", "view"]
+    a = np.array([(early & (ev.event_type == t)).sum() for t in types], float)
+    b = np.array([(~early & (ev.event_type == t)).sum() for t in types], float)
+    p, q = a / a.sum(), b / b.sum()
+    m = (p + q) / 2
+
+    def _h(x, y):
+        mask = x > 0
+        return float((x[mask] / 2 * np.log(x[mask] / y[mask])).sum())
+
+    jsd = _h(p, m) + _h(q, m)
+    assert row.na == int(a.sum()) and row.nb == int(b.sum())
+    assert abs(row.jsd_nats - jsd) < 1e-12
+    assert 0.0 <= row.jsd_nats <= np.log(2) + 1e-12
+    assert abs(row.js_distance - np.sqrt(jsd)) < 1e-9
