@@ -1415,3 +1415,106 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inertia_e12",
         cs[F.col("cluster")].cast("long").alias("centroid_sum"),
     )
+
+
+@query(
+    "embedding_prefix_recall",
+    # Matryoshka-style truncation evaluation: rank the 20 probe queries'
+    # top-5 neighbors with FULL 64-dim cosine and with PREFIX 16-dim
+    # cosine, and count the overlap. Both rankings use the module's
+    # rounded-cosine + id tie-break discipline, so the neighbor sets —
+    # and therefore the overlap — are deterministic in both engines.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id >= 20
+    ),
+    s AS (
+        SELECT qid, cid,
+               round(list_cosine_similarity(
+                   CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])), 5) AS cf,
+               round(list_cosine_similarity(
+                   CAST(qe[1:16] AS DOUBLE[]),
+                   CAST(ce[1:16] AS DOUBLE[])), 5) AS cp
+        FROM q, c
+    ),
+    rf AS (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cf DESC, cid)
+                   AS rn
+        FROM s
+    ),
+    rp AS (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cp DESC, cid)
+                   AS rn
+        FROM s
+    )
+    SELECT rf.qid AS query_id,
+           CAST(count(rp.cid) AS BIGINT) AS n_overlap_top5
+    FROM rf LEFT JOIN rp
+      ON rp.qid = rf.qid AND rp.cid = rf.cid AND rp.rn <= 5
+    WHERE rf.rn <= 5
+    GROUP BY rf.qid
+    """,
+)
+def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: how much of each query's exact
+    top-5 (full 64-dim cosine) survives when ranking by the FIRST 16
+    DIMENSIONS only? Prefix-truncation is the standard memory/compute
+    lever for ANN fleets (MRL-trained embeddings are built so prefixes
+    stay usable; this measures whether YOURS are) — recall@5-under-
+    truncation is the acceptance metric before shipping a 4x-smaller
+    index.
+
+    Both rankings share the knn_exact_cosine discipline (5-dp rounded
+    cosine, id tie-break), so the per-query overlap count is an exact
+    integer both engines agree on. Spark computes both cosines in one
+    pass over the broadcast probe set (slice twice, rank twice, join the
+    rank tables); the corpus is scanned once.
+
+    Shape at 100 TB: evaluation runs on a bounded probe set against the
+    corpus — the documented oracle-baseline shape; a production sweep
+    feeds the same overlap join from the ANN index's candidate lists
+    instead of the exact ranking.
+    """
+    src = load_table(spark, sf_dir, "embeddings")
+    q = src.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        to_double(F.col("embedding")).alias("qv"),
+    )
+    c = src.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        to_double(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cf", F.round(cosine(F.col("qv"), F.col("cv")), 5))
+        .withColumn(
+            "cp",
+            F.round(
+                cosine(F.slice("qv", 1, 16), F.slice("cv", 1, 16)), 5
+            ),
+        )
+        .select("qid", "cid", "cf", "cp")
+        .localCheckpoint(eager=True)  # two rankings descend from it
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cf").desc(), "cid")
+    wp = W.partitionBy("qid").orderBy(F.col("cp").desc(), "cid")
+    rf = scored.withColumn("rn", F.row_number().over(wf)).filter(
+        F.col("rn") <= _TOP_K
+    )
+    rp = scored.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= _TOP_K
+    )
+    hits = rp.select("qid", "cid", F.lit(1).alias("hit"))
+    return (
+        rf.select("qid", "cid")
+        .join(hits, ["qid", "cid"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(F.count("hit").cast("long").alias("n_overlap_top5"))
+    )

@@ -551,6 +551,7 @@ DRIVER_ORDER: list[str] = [
     # -- round-6 additions (wave 35) --
     "stream_minhash_weekly",         # r6: min-merge streaming MinHash sketch (oracle)
     "drift_jsd_events",              # r6: Jensen-Shannon drift, shared 10-term ln expr (oracle)
+    "embedding_prefix_recall",       # r6: Matryoshka truncation recall@5 (oracle)
 ]
 
 

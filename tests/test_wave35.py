@@ -87,3 +87,34 @@ def test_jsd_matches_numpy(spark):
     assert abs(row.jsd_nats - jsd) < 1e-12
     assert 0.0 <= row.jsd_nats <= np.log(2) + 1e-12
     assert abs(row.js_distance - np.sqrt(jsd)) < 1e-9
+
+
+def test_prefix_recall_numpy_replay(spark):
+    from etl_cotrip_signs_spark.operators.similarity import (
+        embedding_prefix_recall,
+    )
+
+    out = (
+        embedding_prefix_recall(spark, SF_SMALL)
+        .toPandas()
+        .set_index("query_id")
+        .sort_index()
+    )
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb[emb.vec_id < 20]
+    c = emb[emb.vec_id >= 20].reset_index(drop=True)
+    cv = np.vstack(c.embedding.map(lambda v: np.array(v, float)))
+
+    def top5(qv, dims):
+        a, b = qv[:dims], cv[:, :dims]
+        cos = np.round(
+            (b @ a) / (np.linalg.norm(b, axis=1) * np.linalg.norm(a)), 5
+        )
+        order = sorted(range(len(c)), key=lambda i: (-cos[i], c.vec_id.iloc[i]))
+        return {int(c.vec_id.iloc[i]) for i in order[:5]}
+
+    for _, row in q.iterrows():
+        qv = np.array(row.embedding, float)
+        full, pref = top5(qv, 64), top5(qv, 16)
+        assert out.loc[int(row.vec_id), "n_overlap_top5"] == len(full & pref)
+    assert out.n_overlap_top5.between(0, 5).all()
