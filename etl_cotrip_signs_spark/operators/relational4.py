@@ -503,3 +503,78 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kth_band"),
     )
+
+
+@query(
+    "rollup_share_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, cents,
+           CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_of_region_ppm,
+           CAST(sum(cents) OVER (PARTITION BY region) * 1000000
+                // sum(cents) OVER () AS BIGINT) AS region_share_of_total_ppm
+    FROM rev
+    """,
+)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent across the region → nation hierarchy: every
+    nation's exact-ppm share of its region's revenue AND its region's
+    share of the world, in one result — the drill-down ratio every OLAP
+    report renders next to raw subtotals (a number is only meaningful
+    relative to its parent level).
+
+    Two layered window sums over the ALREADY-AGGREGATED nation table
+    (25 rows at any scale factor — the hierarchy's width, never fact
+    rows) deliver both levels without a second scan or a rollup
+    self-join; shares are exact integer ppm over exact-cent sums, so
+    ppm-per-parent sums to ≤ 1e6 with the floor remainder accounted.
+
+    Shape at 100 TB: the fact scan aggregates once into |nations| rows
+    (broadcast dims, one combinable agg — the q5 star shape); everything
+    after is metadata-scale window arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "CAST(cents * 1000000 DIV sum(cents) OVER"
+            " (PARTITION BY region) AS BIGINT)"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "CAST(sum(cents) OVER (PARTITION BY region) * 1000000"
+            " DIV sum(cents) OVER () AS BIGINT)"
+        ).alias("region_share_of_total_ppm"),
+    )

@@ -552,6 +552,7 @@ DRIVER_ORDER: list[str] = [
     "stream_minhash_weekly",         # r6: min-merge streaming MinHash sketch (oracle)
     "drift_jsd_events",              # r6: Jensen-Shannon drift, shared 10-term ln expr (oracle)
     "embedding_prefix_recall",       # r6: Matryoshka truncation recall@5 (oracle)
+    "rollup_share_of_parent",        # r6: exact-ppm share across the dim hierarchy (oracle)
 ]
 
 

@@ -118,3 +118,27 @@ def test_prefix_recall_numpy_replay(spark):
         full, pref = top5(qv, 64), top5(qv, 16)
         assert out.loc[int(row.vec_id), "n_overlap_top5"] == len(full & pref)
     assert out.n_overlap_top5.between(0, 5).all()
+
+
+def test_share_of_parent_identities(spark):
+    from etl_cotrip_signs_spark.operators.relational4 import (
+        rollup_share_of_parent,
+    )
+
+    out = rollup_share_of_parent(spark, SF_SMALL).toPandas()
+    # per-region nation shares sum to <= 1e6 with floor remainder < k
+    for region, g in out.groupby("region"):
+        assert 1_000_000 - len(g) < g.share_of_region_ppm.sum() <= 1_000_000
+        # every nation in a region reports the SAME region share
+        assert g.region_share_of_total_ppm.nunique() == 1
+    # region shares (deduped) also sum to <= 1e6
+    rs = out.groupby("region").region_share_of_total_ppm.first()
+    assert 1_000_000 - len(rs) < rs.sum() <= 1_000_000
+    # cents reconcile with the raw tables
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    total_cents = (
+        (orders.o_totalprice * 100).round().astype("int64").sum()
+    )
+    assert out.cents.sum() == total_cents
