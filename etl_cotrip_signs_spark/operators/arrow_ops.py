@@ -413,8 +413,13 @@ def cogroup_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             direction="backward",
             allow_exact_matches=True,
         )
-        gaps = merged.t - merged.tc
-        merged = merged.assign(gap=gaps, matched=merged.tc.notna())
+        # difference in nullable Int64, NOT NaN-promoted float64 (ADVICE
+        # r6): a float sum of gap-µs is exact only below 2^53; a whale
+        # user at scale would silently diverge from the oracle's exact
+        # BIGINT sum(tp - tc)
+        tc_int = merged.tc.astype("Int64")
+        gaps = merged.t.astype("Int64") - tc_int
+        merged = merged.assign(gap=gaps, matched=tc_int.notna())
         out = (
             merged.groupby("user_id", as_index=False)
             .agg(

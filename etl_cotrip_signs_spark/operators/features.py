@@ -539,10 +539,12 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Per-mode WOE and IV term as ONE shared double expression each over the
-# row's exact integers plus the broadcast totals; nullif guards the
-# empty-cell degenerate cases identically in both engines.
+# row's exact integers plus the broadcast totals; nullif guards BOTH the
+# numerator and the denominator (ADVICE r6): a category with n_good = 0
+# makes the log argument exactly 0, which DuckDB rejects out-of-range
+# while Spark returns NULL — nullif makes it NULL in both engines.
 _WOE = (
-    "ln(CAST(n_good AS DOUBLE) * b_tot"
+    "ln(nullif(CAST(n_good AS DOUBLE) * b_tot, 0)"
     " / nullif(CAST(n_bad AS DOUBLE) * g_tot, 0))"
 )
 _IV_TERM = (

@@ -73,10 +73,10 @@ def _write_named_file(df: DataFrame, target: str) -> None:
     )
     SELECT l.version,
            CAST(count(DISTINCT l.file) AS INT) AS n_files_live,
-           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(d.filename) AS BIGINT) AS n_rows,
            CAST(sum(CAST(CAST(d.o_totalprice AS DECIMAL(18,2)) * 100
                 AS BIGINT)) AS BIGINT) AS sum_cents
-    FROM live l JOIN d ON d.filename = l.file
+    FROM live l LEFT JOIN d ON d.filename = l.file
     GROUP BY l.version
     """,
 )

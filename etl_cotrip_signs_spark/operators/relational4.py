@@ -519,9 +519,11 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name, n.n_name
     )
     SELECT region, nation, cents,
-           CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY region)
+           CAST(CAST(cents AS HUGEINT) * 1000000
+                // sum(cents) OVER (PARTITION BY region)
                 AS BIGINT) AS share_of_region_ppm,
-           CAST(sum(cents) OVER (PARTITION BY region) * 1000000
+           CAST(CAST(sum(cents) OVER (PARTITION BY region) AS HUGEINT)
+                * 1000000
                 // sum(cents) OVER () AS BIGINT) AS region_share_of_total_ppm
     FROM rev
     """,
@@ -569,12 +571,16 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "nation",
         "cents",
+        # ppm numerators widened to DECIMAL(38,0)/HUGEINT (ADVICE r6):
+        # region/total cent sums pass ~9.2e12 cents at large sf, where a
+        # BIGINT cents*1e6 wraps silently in Spark while DuckDB errors
         F.expr(
-            "CAST(cents * 1000000 DIV sum(cents) OVER"
-            " (PARTITION BY region) AS BIGINT)"
+            "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 DIV sum(cents)"
+            " OVER (PARTITION BY region) AS BIGINT)"
         ).alias("share_of_region_ppm"),
         F.expr(
-            "CAST(sum(cents) OVER (PARTITION BY region) * 1000000"
+            "CAST(CAST(sum(cents) OVER (PARTITION BY region)"
+            " AS DECIMAL(38,0)) * 1000000"
             " DIV sum(cents) OVER () AS BIGINT)"
         ).alias("region_share_of_total_ppm"),
     )

@@ -1112,9 +1112,12 @@ def _jsd_expr() -> str:
         p = f"(CAST(a{j} AS DOUBLE) / nullif(na, 0))"
         q = f"(CAST(b{j} AS DOUBLE) / nullif(nb, 0))"
         m = f"(({p} + {q}) / 2)"
+        # nullif the NUMERATOR too (ADVICE r6): with p = 0, Spark's ln(0)
+        # is NULL (coalesced to 0) but DuckDB raises out-of-range; a zero
+        # share must become ln(NULL) -> NULL -> 0 in BOTH engines
         terms.append(
-            f"coalesce({p} / 2 * ln({p} / nullif({m}, 0)), 0)"
-            f" + coalesce({q} / 2 * ln({q} / nullif({m}, 0)), 0)"
+            f"coalesce({p} / 2 * ln(nullif({p}, 0) / nullif({m}, 0)), 0)"
+            f" + coalesce({q} / 2 * ln(nullif({q}, 0) / nullif({m}, 0)), 0)"
         )
     return "(" + " + ".join(terms) + ")"
 
