@@ -130,6 +130,102 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (similarity), pipeline_training_corpus + select_token_budget (training),
 # stream_tumbling_events + stream_foreach_batch_upsert (streaming).
 DRIVER_ORDER: list[str] = [
+    # ROTATION (round 7, VERDICT r6 task 1): the driver reads exactly the
+    # first 50 names, so this block IS the round's driver-evidence plan.
+    # 36 slots rotate to first-timers: all 24 round-6 operators (none had
+    # driver history; the five ADVICE-r6 fixes land straight in slots) plus
+    # 12 never-driver-checked long-tail queries spanning uncovered areas
+    # (signs config matrix, skew join, window distributions, TWAP, TVD,
+    # quantile sketch, geo join, TPC-H q10, int8 quantization, containment
+    # dedup, Merkle audit, streaming UPDATE mode). 14 area/perf reps keep
+    # green history and the STATUS perf targets under driver watch.
+    "q1_pricing_summary",             # area rep: TPC-H agg (green r1-r6)
+    "signs_rest_pipeline",            # area rep: reference Part A pipeline (green r2-r6)
+    "filter_predicate_family",        # area rep: filters/predicates (green r1-r6)
+    "string_funcs_part",              # area rep: scalar functions (green r1-r6)
+    "setops_all_variants",            # area rep: set operations (green r1-r6)
+    "partitioned_sink_roundtrip",     # area rep: IO sinks (green r2-r6)
+    "text_quality_score",             # area rep: text analysis (green r2-r6)
+    "multimodal_metadata",            # area rep: multimodal (green r2-r6)
+    "pipeline_training_corpus",       # area rep: training pipeline (green r3-r6)
+    "select_token_budget",            # area rep: selection/budget (green r4-r6)
+    "dedup_ngram_jaccard",            # perf-watch rep: STATUS target (green r2-r6)
+    "dedup_components_ngram",         # perf-watch rep: STATUS target (green r2-r6)
+    "knn_lsh_ann",                    # perf-watch rep: STATUS target (rows-only by nature)
+    "stream_tumbling_events",         # perf-watch rep: streaming (green r2-r6)
+    "table_time_travel",              # r7 in, r6 wave: manifest snapshot reads + the r6-ADVICE oracle fix
+    "deletion_vector_read",           # r7 in, r6 wave: positional DV suppression
+    "partition_evolution_read",       # r7 in, r6 wave: mixed-spec partition read
+    "stat_bootstrap_ci",              # r7 in, r6 wave: Poisson-bootstrap CI
+    "layout_packing_plan",            # r7 in, r6 wave: compaction bin packing
+    "layout_encoding_audit",          # r7 in, r6 wave: run-length physical audit
+    "reshape_pivot_unpivot",          # r7 in, r6 wave: PIVOT/UNPIVOT round trip
+    "keyset_pagination",              # r7 in, r6 wave: seek-method pagination
+    "cogroup_asof_interp",            # r7 in, r6 wave: cogroup kernel + the r6-ADVICE Int64 gap fix
+    "ml_knn_classifier_exact",        # r7 in, r6 wave: exact-cosine k-NN vote
+    "sql_identifier_parameterized",   # r7 in, r6 wave: IDENTIFIER() parameterized SQL
+    "mix_temperature_sampling",       # r7 in, r6 wave: temperature corpus mixing
+    "graph_degree_assortativity",     # r7 in, r6 wave: Newman assortativity
+    "window_topk_with_ties",          # r7 in, r6 wave: rank-based WITH TIES
+    "events_changepoint_argmax",      # r7 in, r6 wave: CUSUM argmax changepoint
+    "text_langid_confusion",          # r7 in, r6 wave: classifier confusion matrix
+    "events_type_entropy",            # r7 in, r6 wave: entropy/perplexity
+    "drift_wasserstein_exact",        # r7 in, r6 wave: exact W1 drift
+    "feature_woe_iv",                 # r7 in, r6 wave: WOE/IV + the r6-ADVICE ln-guard fix
+    "stream_scd2_history",            # r7 in, r6 wave: streaming SCD2 maintenance
+    "stream_minhash_weekly",          # r7 in, r6 wave: streaming MinHash sketches
+    "drift_jsd_events",               # r7 in, r6 wave: JSD drift + the r6-ADVICE ln-guard fix
+    "embedding_prefix_recall",        # r7 in, r6 wave: Matryoshka prefix recall
+    "rollup_share_of_parent",         # r7 in, r6 wave: ppm hierarchy shares + the r6-ADVICE DECIMAL widening
+    "signs_allowlist_matrix",         # r7 in, long tail: Part A config allow-list (A4)
+    "join_salted_skew",               # r7 in, long tail: salted skew join
+    "window_distribution_funcs",      # r7 in, long tail: cume_dist/percent_rank family
+    "events_twap",                    # r7 in, long tail: time-weighted average
+    "drift_tvd_events",               # r7 in, long tail: exact TVD drift
+    "sketch_quantile_mergeable",      # r7 in, long tail: log-bucket quantile sketch
+    "geo_distance_join",              # r7 in, long tail: grid-cell spatial join
+    "q10_returned_items",             # r7 in, long tail: TPC-H returned-items
+    "embedding_quantize_int8",        # r7 in, long tail: int8 embedding quantization
+    "dedup_containment_ngram",        # r7 in, long tail: asymmetric containment
+    "table_merkle_summary",           # r7 in, long tail: anti-entropy Merkle tree
+    "stream_update_mode_counts",      # r7 in, long tail: UPDATE output mode
+    # -- r7 rotation out (the 36 r6-slot greens; all pass r6) --
+    "agg_bitmap_retention",
+    "stat_anova_oneway",
+    "stat_mann_whitney_u",
+    "stat_wilcoxon_signed_rank",
+    "stat_kruskal_wallis",
+    "events_haar_wavelet",
+    "forecast_backtest_rolling",
+    "forecast_conformal_coverage",
+    "kth_statistic_iterative",
+    "collation_case_insensitive",
+    "ivm_join_delta",
+    "range_join_banded",
+    "bucketed_join_roundtrip",
+    "q13_customer_distribution",
+    "window_rolling_median",
+    "graph_minimum_spanning_forest",
+    "graph_sssp_frontier",
+    "graph_lpa_communities",
+    "graph_clustering_coefficient",
+    "recsys_item_item_cosine",
+    "stream_sliding_events",
+    "stream_static_join",
+    "stream_observed_counts",
+    "events_cep_click_purchase",
+    "interval_allen_relations",
+    "graph_random_walk_xxh",
+    "geo_point_in_polygon",
+    "binaryfile_scan_roundtrip",
+    "abc_class_migration",
+    "pipeline_corpus_fate",
+    "privacy_t_closeness",
+    "feature_hashing_trick",
+    "clean_impute_median",
+    "sample_proportional_lrm",
+    "events_ab_power_analysis",
+    "text_pii_scrub",
     # ROTATION (round 6, VERDICT r5 task 3): 33 proven-green slots swapped
     # for never-driver-checked queries — the fifteen the verdict named plus
     # eighteen spanning the remaining uncovered areas (streaming x3, joins
@@ -142,90 +238,6 @@ DRIVER_ORDER: list[str] = [
     # fresh driver evidence, and the perf-watch trio (dedup_ngram_jaccard,
     # dedup_components_ngram, knn_lsh_ann) + stream_tumbling_events whose
     # targets STATUS tracks.
-    "q1_pricing_summary",
-    "agg_bitmap_retention",         # r6 rotation in (was q16_supplier_part_counts,
-    # green r5) — the zero-retention LEFT-join fix (r5 ADVICE medium)
-    # straight to a driver slot
-    "stat_anova_oneway",            # r6 rotation in (was q20_excess_availability,
-    # green r5) — nullif-guarded shared F expression (r5 ADVICE)
-    "signs_rest_pipeline",
-    "stat_mann_whitney_u",          # r6 rotation in (was sketch_cms_heavy_hitters,
-    # green r5) — doubled-midrank U over the distinct-value count table
-    "stat_wilcoxon_signed_rank",    # r6 rotation in (was text_bpe_apply, green r5)
-    "stat_kruskal_wallis",
-    "events_haar_wavelet",          # r6 rotation in (was drift_ks_exact, green r5)
-    # — the one-explode/one-aggregate integer Haar pyramid
-    "forecast_backtest_rolling",    # r6 rotation in (was sketch_hll_exact_registers,
-    # green r5) — rolling-origin CV harness
-    "forecast_conformal_coverage",  # r6 rotation in (was hierarchy_closure_doubling,
-    # green r4c+r5) — split-conformal intervals, exact ppm coverage
-    "kth_statistic_iterative",      # r6 rotation in (was q21_waiting_orders,
-    # green r4+r5) — exact kth order statistic without a global sort
-    "collation_case_insensitive",   # r6 rotation in (was variant_json_extract,
-    # green r5; spark4 surface keeps sql_scripting via rotation history) —
-    # UTF8_LCASE grouping vs the oracle's lower() twin
-    "ivm_join_delta",               # r6 rotation in (was sketch_iblt_diff, green r5)
-    # — incremental join-view maintenance deltas
-    "range_join_banded",            # r6 rotation in (was join_null_aware_anti,
-    # green r5) — the banded-equi range join, plan-pinned not-BNLJ
-    "bucketed_join_roundtrip",      # r6 rotation in (was q9_product_profit,
-    # green r4b+r5) — bucketed tables, no-Exchange join
-    "q13_customer_distribution",    # r6 rotation in (was fuzzy_join_del1, green r5)
-    # — left-outer distribution with join-side filter
-    "window_rolling_median",        # r6 rotation in (was window_topk_via_agg,
-    # green r4+r5) — bounded-frame trailing median
-    "graph_minimum_spanning_forest",  # r6 rotation in (was graph_bfs_hops,
-    # green r5) — Borůvka MSF vs the Kruskal-unrolled oracle
-    "graph_sssp_frontier",          # r6 rotation in (was dedup_ppjoin_prefix,
-    # green r5) — delta-stepping-shaped frontier SSSP
-    "graph_lpa_communities",        # r6 rotation in (was orders_interval_islands,
-    # green r4c+r5) — label propagation with deterministic tie-breaks
-    "setops_all_variants",
-    "select_token_budget",
-    "graph_clustering_coefficient", # r6 rotation in (was split_group_preserving,
-    # green r4+r5) — per-node triangle closure over the MSF probe graph
-    "partitioned_sink_roundtrip",
-    "recsys_item_item_cosine",
-    "stream_sliding_events",        # r6 rotation in (was stream_bitmap_distinct,
-    # green r5) — overlapping windows vs the DuckDB time_bucket oracle
-    "filter_predicate_family",
-    "stream_static_join",           # r6 rotation in (was ml_decision_stump_gini,
-    # green r5) — per-micro-batch broadcast dim enrichment
-    "string_funcs_part",
-    "stream_observed_counts",       # r6 rotation in (was global_row_number_two_pass,
-    # green r5) — streaming observe() metrics vs the batch aggregate
-    "events_cep_click_purchase",    # r6 rotation in (was sql_scripting_topk_bisect,
-    # green r5) — MATCH_RECOGNIZE-shape CEP via running maxima
-    "interval_allen_relations",     # r6 rotation in (was stream_pipeline_sessions,
-    # green r5) — all 13 Allen relations, banded pairing
-    "graph_random_walk_xxh",
-    "geo_point_in_polygon",         # r6 rotation in (was sessionize_capped_sessions,
-    # green r5) — exact integer ray cast behind a bbox prefilter
-    "binaryfile_scan_roundtrip",    # r6 rotation in (was agg_bitmap_distinct_rollup,
-    # green r5) — binaryFile ingestion vs read_blob md5 fidelity
-    "abc_class_migration",          # r6 rotation in (was dedup_substring_spans,
-    # green r5) — the Pareto-class transition matrix
-    "dedup_ngram_jaccard",
-    "dedup_components_ngram",
-    "pipeline_corpus_fate",         # r6 rotation in (was orders_survival_km,
-    # green r5) — per-document fate lineage through the corpus pipeline
-    "knn_lsh_ann",
-    "privacy_t_closeness",          # r6 rotation in (was entity_resolution_names,
-    # green r5) — EMD-based t-closeness gate
-    "feature_hashing_trick",        # r6 rotation in (was udtf_table_arg_stats,
-    # green r5) — dictionary-free feature hashing
-    "clean_impute_median",          # r6 rotation in (was arrow_vector_norms,
-    # green r5) — grouped exact-median imputation with audit trail
-    "sample_proportional_lrm",      # r6 rotation in (was cdc_merge_full,
-    # green r4b+r5) — largest-remainder apportionment, exact budget
-    "text_quality_score",
-    "multimodal_metadata",
-    "events_ab_power_analysis",     # r6 rotation in (was graph_kcore, green r5)
-    # — required-n power analysis from exact integer moments
-    "text_pii_scrub",               # r6 rotation in (was file_manifest_stats,
-    # green r5) — regexp-based PII redaction counts
-    "pipeline_training_corpus",
-    "stream_tumbling_events",
     # -- r6 rotation out (all green r5) --
     "q16_supplier_part_counts",
     "q20_excess_availability",
@@ -300,16 +312,12 @@ DRIVER_ORDER: list[str] = [
     "basket_pair_counts",            # r4b: market-basket co-occurrence (oracle)
     "orders_rfm_segments",           # r4b: RFM quartile segmentation (oracle)
     "events_ab_test_lift",           # r4b: md5-arm A/B readout, exact ppm (oracle)
-    "geo_distance_join",             # r4b: grid-cell spatial self-join (oracle)
     "geo_cell_density",              # r4b: heatmap tile binning (oracle)
-    "stream_update_mode_counts",     # r4b: UPDATE output mode, max-fold oracle
     "events_funnel_duration",        # r4b: time-to-convert percentiles (oracle)
     # -- round-4c additions (continuation session 3) --
-    "events_twap",                   # r4c: time-weighted average, exact micros (oracle)
     "events_cusum_drift",            # r4c: CUSUM via prefix-minus-running-min (oracle)
     "agg_mode_deterministic",        # r4c: tie-broken per-group mode (oracle)
     "window_count_distinct_running", # r4c: running COUNT(DISTINCT) trick (oracle)
-    "sketch_quantile_mergeable",     # r4c: log-bucket mergeable quantile sketch (oracle)
     "skyline_price_size",            # r4c: 2D Pareto frontier, window vs NOT-EXISTS (oracle)
     "ivm_agg_delta",                 # r4c: incremental agg-view maintenance (oracle)
     "weighted_median_lineitem",      # r4c: weight-mass median via cumulative walk (oracle)
@@ -321,13 +329,10 @@ DRIVER_ORDER: list[str] = [
     "events_attribution_last_touch", # r4c: 7-day lookback last-touch attribution (oracle)
     "winsorized_mean_events",        # r4c: clip-at-quantiles robust mean (oracle)
     "orders_revenue_concentration",  # r4c: 80pct coverage count + exact-moment Gini (oracle)
-    "drift_tvd_events",              # r4c: exact total-variation drift, no ln() floats (oracle)
     "events_rolling_active_users",   # r4c: rolling 7d distinct actives via offset explode (oracle)
-    "table_merkle_summary",          # r4c: anti-entropy Merkle leaves+root (oracle)
     "diag_join_strategy_advice",     # r4c: CBO pre-flight, stats + broadcast rule (oracle)
     "lineitem_abc_classification",   # r4c: ABC/Pareto classes, integer thresholds (oracle)
     "events_interarrival_stats",     # r4c: burstiness p50/p90 gaps via shared quantile helper (oracle)
-    "dedup_containment_ngram",       # r4c: asymmetric containment near-dup (oracle)
     "orders_backlog_sweep",          # r4c: sweep-line concurrent-interval count (oracle)
     "events_seasonality_profile",    # r4c: arithmetic-dow seasonality grid, ppm shares (oracle)
     "orders_cohort_ltv",             # r4c: cohort LTV curve, linearized months (oracle)
@@ -364,7 +369,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_recall",
     "knn_ivf_recall",
     "signs_rest_stream_pipeline",
-    "signs_allowlist_matrix",
     "signs_capabilities_matrix",
     "signs_pipeline_observed_counts",
     "signs_http_sink_roundtrip",
@@ -374,10 +378,8 @@ DRIVER_ORDER: list[str] = [
     "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
-    "embedding_quantize_int8",
     "dedup_survivors_quality",
     "q4_order_priority",
-    "q10_returned_items",
     "q14_promo_revenue",
     "window_topk_orders_per_cust",
     "window_running_revenue",
@@ -385,13 +387,11 @@ DRIVER_ORDER: list[str] = [
     "q12_priority_by_flag",
     "q17_small_quantity_revenue",
     "q22_dormant_accounts",
-    "window_distribution_funcs",
     "window_time_range_events",
     "mix_domain_weights",
     "upsample_fractional",
     "curriculum_buckets",
     "events_funnel_conversion",
-    "join_salted_skew",
     "cross_partition_duplicate_audit",
     "agg_approx_error_bounds",
     "sort_within_partitions_check",
@@ -523,36 +523,12 @@ DRIVER_ORDER: list[str] = [
     "text_phrase_search",            # r5c4: positional phrase retrieval
     "dq_functional_dependency",      # r5c4: FD discovery audit
     # -- round-6 additions (wave 28) --
-    "table_time_travel",             # r6: manifest snapshot reads (oracle)
-    "deletion_vector_read",          # r6: positional DV suppression (oracle)
-    "stat_bootstrap_ci",             # r6: Poisson bootstrap CI, xxh64-replayed (oracle)
     # -- round-6 additions (wave 29) --
-    "layout_packing_plan",           # r6: prefix-sum NFD compaction plan (oracle)
-    "layout_encoding_audit",         # r6: physical run-length audit per layout (oracle)
-    "reshape_pivot_unpivot",         # r6: lossless PIVOT/UNPIVOT round trip (oracle)
-    "keyset_pagination",             # r6: seek-method pages vs row_number oracle (oracle)
     # -- round-6 additions (wave 30) --
-    "cogroup_asof_interp",           # r6: cogrouped merge_asof kernel vs GLB oracle (oracle)
-    "ml_knn_classifier_exact",       # r6: 5-NN majority-vote classifier (oracle)
-    "sql_identifier_parameterized",  # r6: IDENTIFIER + named param markers (oracle)
     # -- round-6 additions (wave 31) --
-    "mix_temperature_sampling",      # r6: n^0.5 domain weights + LRM budget (oracle)
-    "graph_degree_assortativity",    # r6: Newman r from exact degree moments (oracle)
-    "window_topk_with_ties",         # r6: rank() WITH TIES vs row_number exactly-k (oracle)
-    "events_changepoint_argmax",     # r6: binary-segmentation split argmax (oracle)
     # -- round-6 additions (wave 32) --
-    "text_langid_confusion",         # r6: classifier confusion matrix + class ppm (oracle)
-    "events_type_entropy",           # r6: pivot-shared Shannon entropy/perplexity (oracle)
-    "partition_evolution_read",      # r6: two partition specs, one logical table (oracle)
     # -- round-6 additions (wave 33) --
-    "drift_wasserstein_exact",       # r6: exact W1 via decimal prefix-CDF integral (oracle)
-    "feature_woe_iv",                # r6: WOE/IV per category, shared-expression floats (oracle)
-    "stream_scd2_history",           # r6: streaming CDC-log -> SCD2, slice-independent (oracle)
     # -- round-6 additions (wave 35) --
-    "stream_minhash_weekly",         # r6: min-merge streaming MinHash sketch (oracle)
-    "drift_jsd_events",              # r6: Jensen-Shannon drift, shared 10-term ln expr (oracle)
-    "embedding_prefix_recall",       # r6: Matryoshka truncation recall@5 (oracle)
-    "rollup_share_of_parent",        # r6: exact-ppm share across the dim hierarchy (oracle)
 ]
 
 
