@@ -328,3 +328,113 @@ def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").cast("long").alias("min_key"),
         )
     )
+
+
+@query(
+    "table_clone_shallow",
+    # Both manifests + the shared data files are re-read by DuckDB; the
+    # claim is metadata-only divergence: after the source's post-clone
+    # commit (add f4, remove f1), source@latest and clone@latest read
+    # DIFFERENT row sets out of the SAME immutable bytes, and f1's bytes
+    # still serve the clone even though the source dropped the file.
+    oracle="""
+    WITH src_mf AS (
+        SELECT file, added_v, removed_v
+        FROM read_parquet('{SCRATCH:clone}/manifest_src.parquet')
+    ),
+    clone_mf AS (
+        SELECT file, added_v, removed_v
+        FROM read_parquet('{SCRATCH:clone}/manifest_clone.parquet')
+    ),
+    d AS (
+        SELECT filename, o_totalprice
+        FROM read_parquet('{SCRATCH:clone}/data/*.parquet', filename=true)
+    ),
+    live AS (
+        SELECT 'source' AS table_name, file FROM src_mf
+        WHERE added_v <= 2 AND (removed_v IS NULL OR removed_v > 2)
+        UNION ALL
+        SELECT 'clone', file FROM clone_mf
+        WHERE added_v <= 1 AND (removed_v IS NULL OR removed_v > 1)
+    )
+    SELECT l.table_name,
+           CAST(count(DISTINCT l.file) AS INT) AS n_files_live,
+           CAST(count(d.filename) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(d.o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM live l LEFT JOIN d ON d.filename = l.file
+    GROUP BY l.table_name
+    """,
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow (zero-copy) table clone: the clone is a COPY OF THE
+    MANIFEST, not of any data — Delta's SHALLOW CLONE / Iceberg snapshot
+    ref (public specs). Staging: v1 commits files {f1, f2, f3}; the clone
+    snapshots v1 by copying the three manifest rows; the SOURCE then
+    commits v2 (adds f4, removes f1). Reading both tables afterwards
+    proves the two lakehouse invariants that make clones safe: (1)
+    isolation — the source's later commit does not leak into the clone
+    (clone still reads f1+f2+f3); (2) immutability — dropping f1 from the
+    source manifest does NOT delete bytes the clone still references
+    (vacuum must consult every manifest, which is why retention policies
+    exist). This is how a 100 TB training corpus gets a frozen,
+    bit-reproducible eval snapshot for the cost of a manifest write.
+
+    Scale shape: the clone operation itself touches |manifest| rows —
+    pure metadata; reads plan only each table's live files.
+    """
+    ensure_confs(spark)
+    base = scratch_dir("clone", sf_dir)
+    data_dir = f"{base}/data"
+    os.makedirs(data_dir, exist_ok=True)
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(eager=True)  # four slice writes descend from it
+    )
+    for i, name in enumerate(("f1", "f2", "f3", "f4")):
+        _write_named_file(
+            o.filter(F.col("o_orderkey") % 4 == i), f"{data_dir}/{name}.parquet"
+        )
+
+    # source history: v1 = {f1,f2,f3}; v2 adds f4, removes f1
+    src_rows = [
+        (f"{data_dir}/f1.parquet", 1, 2),
+        (f"{data_dir}/f2.parquet", 1, None),
+        (f"{data_dir}/f3.parquet", 1, None),
+        (f"{data_dir}/f4.parquet", 2, None),
+    ]
+    schema = "file string, added_v int, removed_v int"
+    src_mf = spark.createDataFrame(src_rows, schema)
+    _write_named_file(src_mf, f"{base}/manifest_src.parquet")
+    # the shallow clone: v1's manifest rows, verbatim — no data copied
+    clone_mf = spark.createDataFrame(
+        [r for r in src_rows if r[1] <= 1], schema
+    )
+    _write_named_file(clone_mf, f"{base}/manifest_clone.parquet")
+
+    out = None
+    for table_name, mf, v in (("source", src_rows, 2), ("clone", [r for r in src_rows if r[1] <= 1], 1)):
+        live = [
+            f
+            for f, added, removed in mf
+            if added <= v and (removed is None or removed > v)
+        ]
+        snap = (
+            spark.read.parquet(*live)
+            .selectExpr(f"{_CENTS} AS cents")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(len(live)).cast("int").alias("n_files_live"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+        out = snap if out is None else out.unionAll(snap)
+    return out

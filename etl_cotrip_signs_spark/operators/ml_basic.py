@@ -376,3 +376,123 @@ def ml_knn_classifier_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("n_votes"),
         )
     )
+
+
+_NB_CLASSES = ("click", "error", "purchase", "signup", "view")
+_NB_VBUCKETS = 5
+_NB_DOWS = 7
+# Laplace-smoothed posterior score as ONE shared double expression over the
+# row's exact integer counts: prior * p(dow|c) * p(vb|c). Pure * and / of
+# integers in IEEE double — both exactly-rounded operations, so the score
+# is bit-identical across engines (no ln, whose last ULP is libm's choice).
+_NB_SCORE = (
+    "(CAST(n_c + 1 AS DOUBLE) / (n_all + {k}))"
+    " * (CAST(n_cd + 1 AS DOUBLE) / (n_c + {d}))"
+    " * (CAST(n_cv + 1 AS DOUBLE) / (n_c + {v}))"
+).format(k=len(_NB_CLASSES), d=_NB_DOWS, v=_NB_VBUCKETS)
+
+
+@query(
+    "ml_naive_bayes_events",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type AS c,
+               (epoch(CAST(ts AS DATE)) // 86400) % 7 AS dow,
+               least(CAST(floor(value * 1000) AS BIGINT) // 20000,
+                     {_NB_VBUCKETS - 1}) AS vb
+        FROM events
+    ),
+    tot AS (SELECT count(*) AS n_all FROM base),
+    per_c AS (SELECT c, count(*) AS n_c FROM base GROUP BY c),
+    per_cd AS (SELECT c, dow, count(*) AS n_cd FROM base GROUP BY c, dow),
+    per_cv AS (SELECT c, vb, count(*) AS n_cv FROM base GROUP BY c, vb),
+    cells AS (SELECT dow, vb, count(*) AS n_cell FROM base GROUP BY dow, vb),
+    classes AS (SELECT unnest(['click','error','purchase','signup','view']) AS c),
+    scored AS (
+        SELECT cl.dow, cl.vb, cl.n_cell, k.c,
+               (SELECT n_all FROM tot) AS n_all,
+               coalesce(pc.n_c, 0) AS n_c,
+               coalesce(pd.n_cd, 0) AS n_cd,
+               coalesce(pv.n_cv, 0) AS n_cv
+        FROM cells cl CROSS JOIN classes k
+        LEFT JOIN per_c pc ON pc.c = k.c
+        LEFT JOIN per_cd pd ON pd.c = k.c AND pd.dow = cl.dow
+        LEFT JOIN per_cv pv ON pv.c = k.c AND pv.vb = cl.vb
+    ),
+    ranked AS (
+        SELECT dow, vb, n_cell, c, {_NB_SCORE} AS score,
+               row_number() OVER (
+                   PARTITION BY dow, vb ORDER BY {_NB_SCORE} DESC, c
+               ) AS rn
+        FROM scored
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(vb AS BIGINT) AS vb,
+           CAST(n_cell AS BIGINT) AS n_cell, c AS pred_class,
+           round(score, 9) AS score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ml_naive_bayes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes, trained and applied in one pass: predict
+    the event type from (day-of-week, value bucket) with Laplace-smoothed
+    count estimates — the classic first classifier over categorical
+    features, and the canonical example of ML that IS just aggregation
+    (training = three groupBys; inference = an argmax over a score that
+    multiplies count ratios).
+
+    Engine-safety: the usual log-likelihood sum is avoided entirely —
+    with two features the posterior is a product of THREE integer ratios,
+    computed as one shared double expression (IEEE * and / are
+    exactly-rounded, unlike ln, so the score is bit-identical across
+    engines and the per-cell argmax cannot flip on a ULP). Day-of-week is
+    epoch-day mod 7 (unix_date vs epoch()//86400 — pure integers; both
+    engines' calendar DOW functions disagree on week start). Ties break on class name.
+
+    Scale shape: three map-combinable count aggregates over facts (class,
+    class x dow, class x vb) — each k-bounded output; scoring joins the
+    35-cell grid against BROADCAST count tables; the argmax is a window
+    over 175 rows. Facts are scanned once (Spark caches nothing here; the
+    three aggregates share the one scan via the same source).
+    """
+    base = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type AS c",
+        "unix_date(CAST(ts AS DATE)) % 7 AS dow",
+        f"least(CAST(floor(value * 1000) AS BIGINT) DIV 20000,"
+        f" {_NB_VBUCKETS - 1}) AS vb",
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n_all"))
+    per_c = base.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    per_cd = base.groupBy("c", "dow").agg(F.count(F.lit(1)).alias("n_cd"))
+    per_cv = base.groupBy("c", "vb").agg(F.count(F.lit(1)).alias("n_cv"))
+    cells = base.groupBy("dow", "vb").agg(F.count(F.lit(1)).alias("n_cell"))
+    classes = spark.createDataFrame([(c,) for c in _NB_CLASSES], "c string")
+    scored = (
+        cells.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(per_c), "c", "left")
+        .join(F.broadcast(per_cd), ["c", "dow"], "left")
+        .join(F.broadcast(per_cv), ["c", "vb"], "left")
+        .select(
+            "dow",
+            "vb",
+            "n_cell",
+            "c",
+            "n_all",
+            F.coalesce("n_c", F.lit(0)).alias("n_c"),
+            F.coalesce("n_cd", F.lit(0)).alias("n_cd"),
+            F.coalesce("n_cv", F.lit(0)).alias("n_cv"),
+        )
+    )
+    ranked = scored.withColumn("score", F.expr(_NB_SCORE)).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("dow", "vb").orderBy(F.col("score").desc(), "c")
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("vb").cast("long").alias("vb"),
+        F.col("n_cell").cast("long").alias("n_cell"),
+        F.col("c").alias("pred_class"),
+        F.round("score", 9).alias("score"),
+    )

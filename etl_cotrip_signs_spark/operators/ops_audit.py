@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.money import sql_sum_fixed, sum_fixed
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
 
@@ -1234,4 +1235,78 @@ def clean_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_used",
             "sum_quantity_after",
         )
+    )
+
+
+_DP_SEED = chain_seed("dplap")
+_DP_EPS_INV = 2.0  # b = sensitivity/epsilon = 1 / 0.5
+# Laplace noise via inverse CDF of a hash-uniform: u01 = (uh + 0.5)/2^64 in
+# (0,1); noise = -b * sign(u01 - 0.5) * ln(1 - 2|u01 - 0.5|). ONE shared
+# expression; ln feeds an OUTPUT value only (rounded to 4 decimals, far
+# above any libm ULP), never an ordering.
+_DP_NOISE = (
+    "(-{b}) * sign(u01 - 0.5) * ln(1 - 2 * abs(u01 - 0.5))"
+).format(b=_DP_EPS_INV)
+
+
+@query(
+    "privacy_dp_laplace_counts",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH per AS (
+        SELECT o_orderpriority, count(*) AS n_exact FROM orders
+        GROUP BY o_orderpriority
+    ),
+    u AS (
+        SELECT o_orderpriority, n_exact,
+               ((xxh64_u(encode(o_orderpriority), {_DP_SEED}::UBIGINT)
+                 % 4503599627370496)::DOUBLE + 0.5) / 4503599627370496 AS u01
+        FROM per
+    )
+    SELECT o_orderpriority,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round({_DP_NOISE}, 4) AS noise,
+           round(n_exact + {_DP_NOISE}, 4) AS noisy_count,
+           0.5 AS epsilon
+    FROM u
+    """,
+)
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts per order priority: exact count plus
+    Laplace(Δ/ε) noise with Δ=1 (a count query's sensitivity), ε=0.5 —
+    the Dwork et al. 2006 mechanism, completing the privacy-gate family
+    (k-anonymity / l-diversity / t-closeness audit the DATA; DP perturbs
+    the RELEASE). The "randomness" is the repo's determinism rule applied
+    once more: u ~ U(0,1) comes from xxhash64 of the group key, so the
+    released values are reproducible AND cross-engine hash-checkable —
+    in production the seed would be drawn per release, and the noise
+    column dropped (it is an honesty column here, as is n_exact: this
+    query demonstrates the mechanism, not a privacy boundary).
+
+    Scale shape: one combinable count aggregate over facts; the noise is
+    per-OUTPUT-row scalar arithmetic (k rows). Nothing else moves.
+    """
+    per = load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    # low 52 hash bits only: a 52-bit integer converts to double EXACTLY
+    # in both engines (no double-rounding at the 2^63 boundary), so u01 is
+    # bit-identical before the one exactly-rounded division
+    u = per.withColumn(
+        "u01",
+        (
+            F.expr(
+                "CAST(xxhash64('dplap', o_orderpriority)"
+                " & 4503599627370495 AS DOUBLE)"
+            )
+            + 0.5
+        )
+        / float(1 << 52),
+    )
+    return u.select(
+        "o_orderpriority",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(F.expr(_DP_NOISE), 4).alias("noise"),
+        F.round(F.col("n_exact") + F.expr(_DP_NOISE), 4).alias("noisy_count"),
+        F.lit(0.5).alias("epsilon"),
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
 
@@ -277,4 +278,70 @@ def file_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+_RSV_K = 1000
+_RSV_SEED = chain_seed("rsv")
+
+
+@query(
+    "sample_reservoir_hash",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH h AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               xxh64_long(o_orderkey, {_RSV_SEED}::UBIGINT) AS hk
+        FROM orders
+    ),
+    picked AS (
+        SELECT * FROM h
+        ORDER BY (hk < 0), hk
+        LIMIT {_RSV_K}
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM picked
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir sampling: a uniform size-k sample WITHOUT
+    replacement as "the k rows with the smallest xxhash64(seed, key)" —
+    the mergeable formulation of Vitter's Algorithm R (any hash-prefix of
+    a uniform permutation is a uniform sample; Efraimidis & Spirakis 2006
+    give the weighted generalization). Deterministic (the md5/xxh64
+    determinism rule applied to sampling), so the sample is REPRODUCIBLE
+    across reruns and engines — which is what makes sampled debugging /
+    eval-set carving auditable, unlike rand().
+
+    Scale shape: orderBy(hash).limit(k) plans as TakeOrderedAndProject —
+    every partition keeps its local top-k by hash (a bounded heap, ONE
+    pass, map-side), and the driver merges |partitions| x k candidates.
+    No global sort, no shuffle of the fact table; this is exactly the
+    mergeable-reservoir algebra (union of reservoirs = reservoir of the
+    union), so it streams and shards without coordination. The unsigned
+    hash order is expressed as ((hk < 0), hk) — nonnegative longs are
+    unsigned-smaller than negative ones, and each half orders by the
+    signed value — so neither engine needs 128-bit arithmetic.
+
+    Output is the per-priority profile of the sample (counts sum to k),
+    which also makes the uniformity visible: priorities arrive ~equally.
+    """
+    h = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.xxhash64(F.lit("rsv"), F.col("o_orderkey")).alias("hk"),
+    )
+    picked = h.orderBy((F.col("hk") < 0).cast("int"), "hk").limit(_RSV_K)
+    return picked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.sum("cents").cast("long").alias("sum_cents"),
     )

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
 from ..functions.vectors import cosine, sq_norm, to_double
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
 
@@ -1517,4 +1518,97 @@ def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, ["qid", "cid"], "left")
         .groupBy(F.col("qid").alias("query_id"))
         .agg(F.count("hit").cast("long").alias("n_overlap_top5"))
+    )
+
+
+_JL_OUT_DIMS = 16
+_JL_SEED = chain_seed("jl")
+
+
+@query(
+    "embedding_jl_projection",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+               END AS q
+        FROM scaled
+    ),
+    -- the 16x64 sign matrix is hashed ONCE into a 1024-row table and
+    -- joined (the xxh64 macros expand to subqueries, which DuckDB lambdas
+    -- reject — and re-hashing per vector would be quadratic work anyway)
+    signs AS (
+        SELECT j.j, i.i,
+               CASE WHEN xxh64_long((j.j * 64 + (i.i - 1))::BIGINT,
+                                    {_JL_SEED}::UBIGINT) < 0
+                    THEN -1 ELSE 1 END AS sgn
+        FROM (SELECT unnest(range(0, {_JL_OUT_DIMS})) AS j) j
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+    )
+    SELECT q.vec_id, CAST(s.j AS INT) AS j,
+           CAST(sum(s.sgn * q.q[s.i::INT]) AS BIGINT) AS proj
+    FROM quant q CROSS JOIN signs s
+    GROUP BY q.vec_id, s.j
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a +/-1
+    sign matrix (Achlioptas 2001: database-friendly random projections —
+    a Rademacher matrix preserves pairwise distances within 1+/-eps like
+    a Gaussian one, but needs no float matrix at all), over the int8-
+    quantized vectors, so every output coordinate is an EXACT integer:
+    proj[j] = sum_d sign(j, d) * q[d], sign = the top bit of
+    xxhash64('jl', j*64 + d). The dimensionality-reduction front end for
+    ANN at 100 TB — project once, index the 4x-smaller vectors, verify
+    candidates against the originals.
+
+    Scale shape: NO shuffle at all — each vector emits its 16 projected
+    coordinates via an explode over output dims and a builtin aggregate()
+    fold over the quantized array, all inside one narrow map stage. The
+    sign matrix is never materialized: it is re-hashed on the fly (the
+    same trick as feature_hashing_trick's dictionary-free encoder), so
+    there is nothing to broadcast and nothing to keep consistent across
+    1000 executors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), F.abs)) / 127
+    )
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("long"))
+    )
+    d = d.select("vec_id", q.alias("q")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(_JL_OUT_DIMS - 1)))
+    )
+    # hash input must be LongType: Spark's xxhash64 hashes IntegerType as
+    # 4 bytes, but the DuckDB macro replays the 8-byte long layout
+    signed = F.transform(
+        F.col("q"),
+        lambda x, i: F.when(
+            F.xxhash64(
+                F.lit("jl"), (F.col("j") * 64 + i).cast("long")
+            ) < 0,
+            -x,
+        ).otherwise(x),
+    )
+    return d.select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.aggregate(
+            signed, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("proj"),
     )

@@ -675,3 +675,191 @@ def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV n_active_from AS retention_ppm",
         )
     )
+
+
+_KMV_K = 64
+_KMV_SEED = chain_seed("kmv")
+# (k-1) * 2^64 as exact text both engines can parse into wide integers
+_KMV_NUM = (_KMV_K - 1) * (1 << 64)
+# unsigned reinterpretation of the signed hash, as DECIMAL(38,0)/HUGEINT
+_KMV_UH_SPARK = (
+    "CAST(h AS DECIMAL(38,0))"
+    " + CASE WHEN h < 0 THEN CAST('18446744073709551616' AS DECIMAL(38,0))"
+    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+)
+_KMV_UH_DUCK = "(h::HUGEINT + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH ev AS (
+        SELECT DISTINCT event_type AS t, user_id AS uid
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    hashed AS (
+        SELECT t, xxh64_long(uid, {_KMV_SEED}::UBIGINT) AS h FROM ev
+    ),
+    sk AS (
+        SELECT t, h FROM (
+            SELECT t, h,
+                   row_number() OVER (PARTITION BY t ORDER BY (h < 0), h) AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMV_K}
+    ),
+    usk AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY (h < 0), h) AS rn
+            FROM (SELECT DISTINCT h FROM sk)
+        ) WHERE rn <= {_KMV_K}
+    ),
+    exacts AS (
+        SELECT t AS scope, count(*) AS n_exact FROM ev GROUP BY t
+        UNION ALL
+        SELECT 'union', count(DISTINCT uid) FROM ev
+        UNION ALL
+        SELECT 'intersect', count(*) FROM (
+            SELECT uid FROM ev GROUP BY uid HAVING count(DISTINCT t) = 2
+        )
+    ),
+    per_est AS (
+        SELECT t AS scope, count(*) AS n_in_sketch,
+               CASE WHEN count(*) < {_KMV_K} THEN count(*)::HUGEINT
+                    ELSE {_KMV_NUM}::HUGEINT // max({_KMV_UH_DUCK})
+               END AS est
+        FROM sk GROUP BY t
+    ),
+    u_est AS (
+        SELECT 'union' AS scope, count(*) AS n_in_sketch,
+               CASE WHEN count(*) < {_KMV_K} THEN count(*)::HUGEINT
+                    ELSE {_KMV_NUM}::HUGEINT // max({_KMV_UH_DUCK})
+               END AS est
+        FROM usk
+    ),
+    common AS (
+        SELECT count(*) AS n_common FROM usk
+        WHERE h IN (SELECT h FROM sk WHERE t = 'click')
+          AND h IN (SELECT h FROM sk WHERE t = 'purchase')
+    ),
+    i_est AS (
+        SELECT 'intersect' AS scope,
+               (SELECT n_common FROM common) AS n_in_sketch,
+               (SELECT n_common FROM common)::HUGEINT
+                   * (SELECT est FROM u_est) // {_KMV_K} AS est
+    ),
+    ests AS (
+        SELECT * FROM per_est UNION ALL SELECT * FROM u_est
+        UNION ALL SELECT * FROM i_est
+    )
+    SELECT e.scope, CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(e.n_in_sketch AS BIGINT) AS n_in_sketch,
+           CAST(e.est AS BIGINT) AS est_distinct
+    FROM ests e JOIN exacts x ON x.scope = e.scope
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketches over the
+    click and purchase user sets, with the UNION and INTERSECTION
+    estimated purely from the two 64-value sketches — the set-operation
+    algebra HyperLogLog famously lacks (HLL unions losslessly but cannot
+    intersect; bottom-k sketches do both, which is why theta sketches are
+    the warehouse standard for audience overlap). Estimator: D-hat =
+    (k-1) * 2^64 / U(k) with U(k) the kth smallest unsigned hash
+    (Bar-Yossef et al. 2002); union sketch = bottom-k of the MERGED
+    sketches (never re-reads facts — that is the mergeability claim);
+    intersect-hat = |X ∩ K_A ∩ K_B| / k * union-hat (the theta-sketch
+    rule). Everything is exact integer arithmetic on deterministic
+    xxhash64 values, so the estimates themselves hash-match DuckDB's
+    replay; the exact distinct counts ride along as honesty columns.
+
+    Scale shape: one distinct-projection shuffle builds the per-type
+    sketches (bounded heap per group after map-side partial distinct);
+    union/intersection run on 128 sketch rows — metadata. The unsigned
+    order is ((h < 0), h) — no 128-bit compare; only the final division
+    widens to DECIMAL(38,0)/HUGEINT.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("event_type").alias("t"), F.col("user_id").alias("uid"))
+        .distinct()
+    )
+    hashed = ev.select("t", F.xxhash64(F.lit("kmv"), F.col("uid")).alias("h"))
+    from pyspark.sql import Window as _W
+
+    rn_t = F.row_number().over(
+        _W.partitionBy("t").orderBy((F.col("h") < 0).cast("int"), "h")
+    )
+    sk = hashed.withColumn("rn", rn_t).filter(F.col("rn") <= _KMV_K).select("t", "h")
+    sk = sk.localCheckpoint(eager=True)  # 4 downstream consumers
+    usk = (
+        sk.select("h")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.orderBy((F.col("h") < 0).cast("int"), "h")
+            ),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("h")
+        .localCheckpoint(eager=True)
+    )
+
+    def est_agg(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_in_sketch"),
+            F.expr(
+                f"CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS BIGINT)"
+                f" ELSE CAST(CAST('{_KMV_NUM}' AS DECIMAL(38,0))"
+                f" DIV max({_KMV_UH_SPARK}) AS BIGINT) END"
+            ).alias("est"),
+        )
+
+    per_est = None
+    for t in ("click", "purchase"):
+        e = est_agg(sk.filter(F.col("t") == t)).select(
+            F.lit(t).alias("scope"), "n_in_sketch", "est"
+        )
+        per_est = e if per_est is None else per_est.unionAll(e)
+    u_est = est_agg(usk).select(
+        F.lit("union").alias("scope"), "n_in_sketch", "est"
+    )
+    common = (
+        usk.join(sk.filter(F.col("t") == "click").select("h"), "h", "left_semi")
+        .join(sk.filter(F.col("t") == "purchase").select("h"), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    i_est = common.crossJoin(F.broadcast(u_est.select(F.col("est").alias("uest")))).select(
+        F.lit("intersect").alias("scope"),
+        F.col("n_common").alias("n_in_sketch"),
+        F.expr(f"CAST(CAST(n_common AS DECIMAL(38,0)) * uest DIV {_KMV_K} AS BIGINT)").alias(
+            "est"
+        ),
+    )
+    ests = per_est.unionAll(u_est).unionAll(i_est)
+    exacts = (
+        ev.groupBy(F.col("t").alias("scope"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .unionAll(
+            ev.agg(F.count_distinct("uid").alias("n_exact")).select(
+                F.lit("union").alias("scope"), "n_exact"
+            )
+        )
+        .unionAll(
+            ev.groupBy("uid")
+            .agg(F.count_distinct("t").alias("nt"))
+            .filter(F.col("nt") == 2)
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .select(F.lit("intersect").alias("scope"), "n_exact")
+        )
+    )
+    return ests.join(exacts, "scope").select(
+        "scope",
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_in_sketch").cast("long").alias("n_in_sketch"),
+        F.col("est").cast("long").alias("est_distinct"),
+    )

@@ -1201,3 +1201,119 @@ def drift_jsd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_JSD} AS jsd_nats",
         f"sqrt({_JSD}) AS js_distance",
     )
+
+
+# Brown-Forsythe reuses the one-way ANOVA machinery verbatim: W IS the
+# ANOVA F statistic computed on absolute deviations from the GROUP MEDIAN
+# (Brown & Forsythe 1974; Levene 1960 used the mean). Deviations are kept
+# integer by doubling: z = |2x - (m_lo + m_hi)| where m_lo/m_hi are the two
+# middle order statistics, so even-count medians (.5 values) never touch a
+# float. The shared _ANOVA_F string then applies unchanged because the
+# moment columns carry the same names (n, st, qt, n{j}, s{j}).
+_LEV_GROUPS = ", ".join(
+    f"CAST(sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n{j},"
+    f" CAST(sum(CASE WHEN t = '{t}' THEN z ELSE 0 END) AS BIGINT) AS s{j}"
+    for j, t in enumerate(_ETYPES, 1)
+)
+
+
+@query(
+    "stat_levene_bf",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type AS t, CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events
+    ),
+    cnt AS (SELECT t, x, count(*) AS c FROM vals GROUP BY t, x),
+    cum AS (
+        SELECT t, x,
+               sum(c) OVER (PARTITION BY t ORDER BY x) AS cm,
+               sum(c) OVER (PARTITION BY t) AS tot
+        FROM cnt
+    ),
+    med AS (
+        SELECT t,
+               min(CASE WHEN cm >= (tot + 1) // 2 THEN x END)
+               + min(CASE WHEN cm >= tot // 2 + 1 THEN x END) AS m2
+        FROM cum GROUP BY t
+    ),
+    z AS (
+        SELECT v.t, abs(2 * v.x - m.m2) AS z
+        FROM vals v JOIN med m ON m.t = v.t
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS st,
+               CAST(sum(z * z) AS BIGINT) AS qt,
+               {_LEV_GROUPS}
+        FROM z
+    )
+    SELECT n, {", ".join(f"n{j}" for j in range(1, 6))},
+           {_ANOVA_F} AS w_bf
+    FROM m
+    """,
+)
+def stat_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for equality of group variances (the robust
+    Levene variant) across the five event types — the homoscedasticity
+    GATE one runs before trusting stat_anova_oneway, since ANOVA's F
+    assumes equal variances while Brown-Forsythe's W is exactly ANOVA's F
+    applied to |x - median_g|, robust to the skew that wrecks
+    mean-centered Levene.
+
+    Exactness discipline (the k-sample house rule): group medians come
+    from the per-(group, value) count table as the two middle order
+    statistics, deviations are doubled so they stay integer, every moment
+    is an exact BIGINT from one combinable aggregate, and W is the SAME
+    shared double string as the ANOVA F over identically named columns —
+    no cross-group float summation whose order an engine could pick.
+
+    Scale shape: the count table is bounded by the value domain (milli
+    units), not the fact count; medians are window arithmetic over it;
+    the z-moment pass is one map-side-combinable aggregate over facts
+    joined to a BROADCAST 5-row median table. Two fact scans total.
+    """
+    vals = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    cnt = vals.groupBy("t", "x").agg(F.count(F.lit(1)).alias("c"))
+    wt = W.partitionBy("t")
+    wo = wt.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = cnt.select(
+        "t",
+        "x",
+        F.sum("c").over(wo).alias("cm"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    med = cum.groupBy("t").agg(
+        (
+            F.min(F.when(F.col("cm") >= F.expr("(tot + 1) DIV 2"), F.col("x")))
+            + F.min(F.when(F.col("cm") >= F.expr("tot DIV 2 + 1"), F.col("x")))
+        ).alias("m2")
+    )
+    z = vals.join(F.broadcast(med), "t").select(
+        "t", F.abs(2 * F.col("x") - F.col("m2")).alias("z")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("st"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qt"),
+    ]
+    for j, t in enumerate(_ETYPES, 1):
+        aggs.append(
+            F.sum(F.when(F.col("t") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{j}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("t") == t, F.col("z")).otherwise(0))
+            .cast("long")
+            .alias(f"s{j}")
+        )
+    m = z.agg(*aggs)
+    return m.selectExpr(
+        "n",
+        *[f"n{j}" for j in range(1, 6)],
+        f"{_ANOVA_F} AS w_bf",
+    )

@@ -1573,3 +1573,97 @@ def events_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s - s1 AS sum_right_milli",
         "j AS j_stat",
     )
+
+
+_ACF_LAGS = 7
+# Pearson r over the lag-k pair set, one shared double expression over the
+# six exact DECIMAL(38,0) moments (daily-cents squares pass BIGINT range
+# around x100 of sf0.1 — same widening as drift_wasserstein_exact).
+_ACF_R = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@query(
+    "events_acf_multi_lag",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch(CAST(o_orderdate AS DATE)) // 86400 AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_LAGS + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM lags l
+        JOIN daily a ON true
+        JOIN daily b ON b.d = a.d + l.lag
+    ),
+    m AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+               sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+               sum(x::HUGEINT * y) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n, round({_ACF_R}, 6) AS acf
+    FROM m
+    """,
+)
+def events_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags 1-7 —
+    the diagnostic that picks the seasonal period / AR order before any
+    forecasting model is chosen (events_autocorr_lag1 reads one point of
+    this curve; the weekly bump at lag 7 is what seasonal-naive
+    forecasting exploits). Pairs are formed per lag over days where BOTH
+    endpoints exist (gap-robust — no imputation leaks into the
+    statistic), so each lag's r is a plain Pearson correlation on the
+    overlap set.
+
+    Exactness: one combinable cents aggregate builds the calendar-sized
+    daily table; per-lag moments are exact DECIMAL(38,0) sums (daily-cent
+    products pass BIGINT near x100 scale); r is one shared double
+    expression rounded to 1e-6.
+
+    Scale shape: facts reduce to |days| rows once; the lag join is
+    7 x |days| against a BROADCAST copy of the same table; moments are
+    map-side combinable per lag. Event volume only touches the first
+    aggregate.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.unix_date(F.col("o_orderdate").cast("date")).alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(F.expr(_ACF_R), 6).alias("acf"),
+    )

@@ -522,13 +522,15 @@ DRIVER_ORDER: list[str] = [
     "text_rake_keywords",            # r5c4: degree-scoring RAKE
     "text_phrase_search",            # r5c4: positional phrase retrieval
     "dq_functional_dependency",      # r5c4: FD discovery audit
-    # -- round-6 additions (wave 28) --
-    # -- round-6 additions (wave 29) --
-    # -- round-6 additions (wave 30) --
-    # -- round-6 additions (wave 31) --
-    # -- round-6 additions (wave 32) --
-    # -- round-6 additions (wave 33) --
-    # -- round-6 additions (wave 35) --
+    # -- round-7 additions (wave 38) --
+    "sample_reservoir_hash",         # r7: mergeable hash-reservoir sample (oracle)
+    "embedding_jl_projection",       # r7: +/-1 JL projection, exact ints (oracle)
+    "stat_levene_bf",                # r7: Brown-Forsythe variance-equality W (oracle)
+    "sketch_kmv_distinct",           # r7: KMV/theta union+intersection (oracle)
+    "ml_naive_bayes_events",         # r7: Laplace-smoothed NB argmax (oracle)
+    "privacy_dp_laplace_counts",     # r7: deterministic Laplace DP release (oracle)
+    "table_clone_shallow",           # r7: zero-copy manifest clone (oracle)
+    "events_acf_multi_lag",          # r7: ACF lags 1-7, exact moments (oracle)
 ]
 
 

@@ -56,18 +56,19 @@ ID_COLS = {
 }
 
 
-def build_10x(spark, base: str) -> str:
-    """Replicate fact/doc tables 10x with offset ids; keep dimension keys
-    consistent per replica (each replica is a self-consistent universe).
-    Staged under the per-user 0o700 scratch root (session.scratch_dir),
-    not a fixed world-writable /tmp path. Reused if already staged."""
+def build_10x(spark, base: str, replicas: int = REPLICAS) -> str:
+    """Replicate fact/doc tables ``replicas``x with offset ids; keep
+    dimension keys consistent per replica (each replica is a
+    self-consistent universe). Staged under the per-user 0o700 scratch
+    root (session.scratch_dir), not a fixed world-writable /tmp path.
+    Reused if already staged."""
     from etl_cotrip_signs_spark.session import scratch_dir
 
-    out = scratch_dir("scale10x", base)
+    out = scratch_dir(f"scale{replicas}x", base)
     done_marker = os.path.join(out, "_STAGED")
     if os.path.exists(done_marker):
         return out
-    reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+    reps = spark.range(replicas).select(F.col("id").alias("__rep"))
     for table, ids in ID_COLS.items():
         src = spark.read.parquet(f"{base}/{table}.parquet")
         df = src
@@ -151,8 +152,11 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset (default: bench.HEADLINE)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--replicas", type=int, default=REPLICAS,
+                    help="replication factor for the big side (default 10; "
+                    "use 100 for the x100 readiness run — VERDICT r6 task 4)")
     ap.add_argument("--keep-10x", action="store_true",
-                    help="leave the staged 10x dir for a follow-up chunk")
+                    help="leave the staged big dir for a follow-up chunk")
     args = ap.parse_args()
 
     import bench
@@ -161,7 +165,7 @@ def main() -> None:
     registry.load_all()
 
     spark = get_spark("scale-check")
-    big = build_10x(spark, args.base)
+    big = build_10x(spark, args.base, args.replicas)
     calibration = _calib(spark)
     spark.stop()
 
@@ -176,16 +180,17 @@ def main() -> None:
             ).mode("overwrite").save()
             x1 = _run(spark, name, args.base)
             x10 = _run(spark, name, big)
+            bk = f"x{args.replicas}"
             results[name] = {
                 "x1": x1,
-                "x10": x10,
+                bk: x10,
                 "ratio": round(x10 / x1, 2) if x1 else None,
             }
             if name in RADIUS_GRAPH_QUERIES:
                 e1 = _radius_edge_count(spark, args.base, edge_memo)
                 e10 = _radius_edge_count(spark, big, edge_memo)
                 results[name]["edges_x1"] = e1
-                results[name]["edges_x10"] = e10
+                results[name][f"edges_x{args.replicas}"] = e10
                 # wall growth divided by edge growth: ~1.0 means the plan
                 # scaled linearly in the quantity that actually grew
                 if x1 and e1 and e10:
@@ -193,12 +198,18 @@ def main() -> None:
                         (x10 / x1) / (e10 / e1), 3
                     )
             print(
-                f"# {name}: x1={x1}s x10={x10}s ratio={results[name]['ratio']}",
+                f"# {name}: x1={x1}s {bk}={x10}s ratio={results[name]['ratio']}",
                 file=sys.stderr,
                 flush=True,
             )
             spark.stop()
-        payload = json.dumps({"queries": results, "calibration": calibration})
+        payload = json.dumps(
+            {
+                "replicas": args.replicas,
+                "queries": results,
+                "calibration": calibration,
+            }
+        )
         print(payload)
         if args.out:
             with open(args.out, "w") as f:
