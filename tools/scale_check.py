@@ -203,6 +203,15 @@ def main() -> None:
                 flush=True,
             )
             spark.stop()
+            # flush partial results after every query: an x100 run can be
+            # killed mid-ladder (the radius-graph family densifies
+            # quadratically) without losing the completed entries
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write(json.dumps(
+                        {"replicas": args.replicas, "queries": results,
+                         "calibration": calibration, "partial": True}
+                    ) + "\n")
         payload = json.dumps(
             {
                 "replicas": args.replicas,
