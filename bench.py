@@ -96,6 +96,15 @@ HEADLINE = [
     "drift_wasserstein_exact",
     "mix_temperature_sampling",
     "events_changepoint_argmax",
+    # round-7 additions: the LSH tuning sweep (three banded self-joins +
+    # verify — the compute-heaviest new shape), the KMV sketch build, the
+    # shuffle-free JL projection, and the TakeOrdered reservoir — the
+    # wave-38/39 flagships with distinct plan shapes (the Friedman/
+    # Levene/NB/DP/listagg/shard/clone ops are metadata- or IO-bound)
+    "dedup_minhash_band_tuning",
+    "sketch_kmv_distinct",
+    "embedding_jl_projection",
+    "sample_reservoir_hash",
 ]
 
 

@@ -397,7 +397,7 @@ _NB_SCORE = (
     oracle=f"""
     WITH base AS (
         SELECT event_type AS c,
-               (epoch(CAST(ts AS DATE)) // 86400) % 7 AS dow,
+               (epoch(CAST(ts AS DATE))::BIGINT // 86400) % 7 AS dow,
                least(CAST(floor(value * 1000) AS BIGINT) // 20000,
                      {_NB_VBUCKETS - 1}) AS vb
         FROM events

@@ -922,3 +922,70 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
         " AS BIGINT) AS final_alloc",
     )
+
+
+_SHARD_BUDGET_BYTES = 16384
+_SHARD_OVERHEAD = 64  # per-sample header/key overhead a tar-style shard pays
+
+
+@query(
+    "multimodal_shard_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               octet_length(encode(text)) + {_SHARD_OVERHEAD} AS bytes
+        FROM documents
+    ),
+    planned AS (
+        SELECT doc_id, bytes,
+               coalesce(sum(bytes) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) // {_SHARD_BUDGET_BYTES} AS shard
+        FROM sized
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(bytes) AS BIGINT) AS bytes
+    FROM planned GROUP BY shard
+    """,
+)
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving shard planning — the WebDataset/tar-shard layout a
+    sequential training reader consumes: documents in doc_id order are cut
+    into ~16 KiB shards by CUMULATIVE byte budget (shard = bytes-before
+    DIV budget), so every shard is a contiguous id range ([first_doc,
+    last_doc] non-overlapping, ascending). The deliberate contrast with
+    layout_packing_plan (size-DESC next-fit, tighter bins, order
+    destroyed): training shards must preserve corpus order — curriculum
+    position, resumable offsets, and reproducible batch boundaries all key
+    on it — so the planner trades packing efficiency for contiguity.
+
+    Scale shape: one prefix-sum window over the (id, bytes) manifest —
+    O(manifest) planning like every layout op here; payload bytes never
+    move (a 100 TB repack ships this plan to a copy job). The binary
+    column contract is the multimodal one: size from the bytes column,
+    never the decoded payload.
+    """
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.col("text").cast("binary")) + _SHARD_OVERHEAD).alias(
+            "bytes"
+        ),
+    )
+    planned = sized.select(
+        "doc_id",
+        "bytes",
+        F.expr(
+            f"CAST(coalesce(sum(bytes) OVER (ORDER BY doc_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" DIV {_SHARD_BUDGET_BYTES} AS BIGINT)"
+        ).alias("shard"),
+    )
+    return planned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+        F.sum("bytes").cast("long").alias("bytes"),
+    )

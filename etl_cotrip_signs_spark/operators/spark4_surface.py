@@ -489,3 +489,49 @@ def sql_identifier_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = spark.sql(template, args={"tbl": "sg_param_orders", "prio": prio})
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) — the SQL:2016 ordered
+    string aggregation added in Spark 4.0 (and the #1 reason analysts
+    reached for collect_list + array_join before): the distinct ship
+    order priorities per order status as one deterministic comma-joined
+    string. DETERMINISTIC ordering is the entire point —
+    an unordered listagg is a flaky-test generator, so the WITHIN GROUP
+    clause is pinned here against DuckDB's ordered string_agg. Expressed
+    through spark.sql with the DISTINCT lifted into a subquery: listagg
+    (DISTINCT ...) WITHIN GROUP trips a planner ClassCastException
+    (AttributeReference vs SortOrder) on the Arrow collect path in Spark
+    4.1 (measured here: plain .collect() works, .toPandas() throws), so
+    the dedup happens before the ordered aggregation — same result, and
+    the workaround is itself documentation of the sharp edge.
+
+    Scale shape: map-side partial collect of DISTINCT priorities per
+    group (bounded: the priority domain is 5), one shuffle on the group
+    key; the string materializes only at output. The cardinality honesty
+    column (n_priorities) guards against silent duplicate inclusion.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "listagg_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(p, ',') WITHIN GROUP (ORDER BY p) AS priorities,
+               CAST(count(*) AS BIGINT) AS n_priorities
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority AS p
+              FROM listagg_orders)
+        GROUP BY o_orderstatus
+        """
+    )

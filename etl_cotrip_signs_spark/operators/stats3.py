@@ -1317,3 +1317,110 @@ def stat_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"n{j}" for j in range(1, 6)],
         f"{_ANOVA_F} AS w_bf",
     )
+
+
+# Friedman Q over DOUBLED within-block midranks: with dr_j = 2*rank_j the
+# classic Q = 12/(n k(k+1)) * sum R_j^2 - 3 n (k+1) becomes
+# Q = 3 * sum(DR_j^2) / (n k(k+1)) - 3 n (k+1), DR_j = sum of doubled
+# ranks of treatment j across the n blocks — every reduction exact integer.
+_FRIED_K = len(_ETYPES)
+_FRIED_Q = (
+    f"3.0 * CAST(sum_dr2 AS DOUBLE) / (CAST(n_blocks AS DOUBLE)"
+    f" * {_FRIED_K} * {_FRIED_K + 1})"
+    f" - 3.0 * CAST(n_blocks AS DOUBLE) * {_FRIED_K + 1}"
+)
+
+
+@query(
+    "stat_friedman_test",
+    oracle=f"""
+    WITH cells AS (
+        SELECT epoch(CAST(ts AS DATE))::BIGINT // 86400 // 7 AS blk,
+               event_type AS t,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT blk FROM cells GROUP BY blk HAVING count(*) = {_FRIED_K}
+    ),
+    ranked AS (
+        SELECT c.blk, c.t,
+               2 * rank() OVER (PARTITION BY c.blk ORDER BY c.v)
+                 + count(*) OVER (PARTITION BY c.blk, c.v) - 1 AS dr
+        FROM cells c JOIN complete b ON b.blk = c.blk
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(dr) AS BIGINT) AS dr_t,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY t
+    ),
+    m AS (
+        SELECT CAST(min(n_blocks) AS BIGINT) AS n_blocks,
+               CAST(sum(dr_t * dr_t) AS BIGINT) AS sum_dr2
+        FROM per_t
+    )
+    SELECT n_blocks, CAST({_FRIED_K} AS BIGINT) AS k, sum_dr2,
+           {_FRIED_Q} AS q_stat
+    FROM m
+    """,
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the BLOCKED k-sample rank test (repeated-measures
+    Kruskal-Wallis): do the five event types keep the same value ordering
+    week after week, or does one systematically dominate? Blocks = ISO-ish
+    weeks (epoch-day DIV 7), treatments = event types, cell value = the
+    week's exact milli-value sum per type; only complete blocks (all five
+    types present) enter, per the classical design. Completes the
+    inference family's design matrix: independent k-sample (KW / ANOVA /
+    Brown-Forsythe) now has its blocked twin.
+
+    Exactness: within-block ranks are DOUBLED midranks (the Mann-Whitney
+    device — ties never create .5), so every sum is an exact BIGINT and Q
+    is one shared double expression over two integers. Ranking partitions
+    by block over exactly k=5 rows — window work is bounded by
+    |weeks| x 5 cells, metadata regardless of event volume; facts are
+    touched once by the combinable cell aggregate.
+    """
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) DIV 7 AS BIGINT)").alias(
+                "blk"
+            ),
+            F.col("event_type").alias("t"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == _FRIED_K)
+        .select("blk")
+    )
+    ranked = cells.join(F.broadcast(complete), "blk").select(
+        "blk",
+        "t",
+        (
+            2 * F.rank().over(W.partitionBy("blk").orderBy("v"))
+            + F.count(F.lit(1)).over(W.partitionBy("blk", "v"))
+            - 1
+        ).alias("dr"),
+    )
+    per_t = ranked.groupBy("t").agg(
+        F.sum("dr").cast("long").alias("dr_t"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    m = per_t.agg(
+        F.min("n_blocks").cast("long").alias("n_blocks"),
+        F.sum(F.col("dr_t") * F.col("dr_t")).cast("long").alias("sum_dr2"),
+    )
+    return m.selectExpr(
+        "n_blocks",
+        f"CAST({_FRIED_K} AS BIGINT) AS k",
+        "sum_dr2",
+        f"{_FRIED_Q} AS q_stat",
+    )

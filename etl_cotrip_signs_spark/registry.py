@@ -531,6 +531,11 @@ DRIVER_ORDER: list[str] = [
     "privacy_dp_laplace_counts",     # r7: deterministic Laplace DP release (oracle)
     "table_clone_shallow",           # r7: zero-copy manifest clone (oracle)
     "events_acf_multi_lag",          # r7: ACF lags 1-7, exact moments (oracle)
+    # -- round-7 additions (wave 39) --
+    "dedup_minhash_band_tuning",     # r7: measured LSH S-curve sweep (oracle)
+    "agg_listagg_ordered",           # r7: LISTAGG WITHIN GROUP, Spark 4 (oracle)
+    "stat_friedman_test",            # r7: blocked k-sample rank test (oracle)
+    "multimodal_shard_pack",         # r7: order-preserving shard planner (oracle)
 ]
 
 
