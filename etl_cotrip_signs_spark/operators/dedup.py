@@ -21,6 +21,8 @@ and cluster sizes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.shingles import shingles_from_tokens, tokens, with_shingles
@@ -33,6 +35,33 @@ from ..registry import query
 _MINHASH_K = 32
 _BANDS = 8
 _ROWS_PER_BAND = 4
+
+# Verify-join broadcast gate (ADVICE r7 item 1 / VERDICT r7 item 2): the
+# dedup verify stages hang candidate pairs back onto PER-DOC tables
+# (shingle arrays, minhash signatures, size scalars) that are O(corpus)
+# rows. At bench scale broadcasting that side is the right plan — one
+# shuffle-free hash join; at 100 TB a forced hint would collect an
+# unbounded table on the driver and OOM long before the join ran. So the
+# hint is gated on a MEASURED row count: every caller already holds the
+# per-doc side localCheckpointed, making the count() a read of cached
+# partition metadata, not a recompute. Above the cap the join runs
+# hint-free and AQE picks the exchange (sort-merge / shuffle-hash on the
+# doc key); dedup_ppjoin_prefix additionally swaps its whole verify to the
+# posting-join count (the dedup_ngram_jaccard shape), which never
+# materializes a doc's shingle ARRAY on one machine at all. Both paths are
+# pinned identical in tests/test_wave40.py. 2M docs × ~16 shingle hashes
+# ≈ 256 MB serialized — comfortably under Spark's 8 GB broadcast ceiling
+# with headroom for executor-side deserialization.
+_VERIFY_BROADCAST_CAP = int(
+    os.environ.get("SPARK_GRAFT_VERIFY_BCAST_CAP", "2000000")
+)
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` only when its measured size is bounded."""
+    if n_rows <= _VERIFY_BROADCAST_CAP:
+        return F.broadcast(df)
+    return df
 
 
 @query(
@@ -280,10 +309,14 @@ _MH_BAND_JOINS = "\n        UNION ALL\n".join(
 _MH_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
-@query(
-    "dedup_minhash_docs",
-    oracle=XXH64_MACROS
-    + f"""
+# The full MinHash-LSH pair derivation as one DuckDB query body (shingle
+# hash → 32 permutation ladder → per-band candidate joins → exact-Jaccard
+# verify at >= 0.5). Shared by the dedup_minhash_docs oracle and, as a
+# subquery, by the dedup_minhash_recall oracle (graduated round 8 — the
+# r7 _mh_perm determinism fix made the signature chain exactly
+# replayable, so recall-vs-exact is now plain arithmetic over two
+# replayed pair sets).
+_MH_PAIRS_ORACLE_BODY = f"""
     WITH sh AS (
         SELECT doc_id, list_distinct(list_transform(
             range(1, greatest(len({_MH_TOKENS}) - 1, 1)),
@@ -328,8 +361,10 @@ _MH_TOKENS = "string_split_regex(trim(text), '\\s+')"
     JOIN hs y ON y.doc_id = c.doc_b
     WHERE round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
                 / len(list_distinct(list_concat(x.hset, y.hset))), 4) >= 0.5
-    """,
-)
+"""
+
+
+@query("dedup_minhash_docs", oracle=XXH64_MACROS + _MH_PAIRS_ORACLE_BODY)
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard ≥ 0.5."""
     d = load_table(spark, sf_dir, "documents")
@@ -704,7 +739,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_recall")  # rows-only: instruments the approximate path
+@query(
+    "dedup_minhash_recall",
+    # GRADUATED from rows-only (round 8, VERDICT r7 item 3): the r7
+    # _mh_perm determinism fix made the signature chain plan-build-order
+    # independent, and the xxh64 DuckDB macros replay it exactly (the
+    # band-tuning oracle proved the raw candidate counts match), so
+    # recall-vs-exact at J >= 0.5 is exactly-replayable arithmetic: both
+    # pair sets are existing hash-green oracle bodies, composed here as
+    # subqueries and reduced to four counts.
+    oracle=XXH64_MACROS
+    + f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE}) t
+        WHERE t.jaccard >= 0.5
+    ),
+    found AS (
+        SELECT doc_a, doc_b FROM ({_MH_PAIRS_ORACLE_BODY}) f
+    ),
+    hit AS (
+        SELECT t.doc_a FROM truth t
+        JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+    """,
+)
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of MinHash-LSH banding against the exact ≥0.5-Jaccard pair
     set (the oracle-checked inverted-index join, filtered to the minhash
@@ -986,16 +1049,19 @@ def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    n_docs = sh.count()  # cached-metadata read: sh is localCheckpointed
     with_sizes = (
         inter.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+            _maybe_broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+                n_docs,
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+            _maybe_broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+                n_docs,
             ),
             "doc_b",
         )
@@ -1069,11 +1135,13 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated, with the companion LENGTH filter (J >= 0.8 forces
     5·min(|a|,|b|) >= 4·max(|a|,|b|)) applied inside the join before the
     distinct; verify joins each candidate pair against the per-doc
-    shingle-ARRAY table (vocabulary-bounded, broadcast) and intersects
-    map-side — candidate-bounded work with no posting re-shuffle. Nothing
-    is ever all-pairs. At 100 TB the array table exceeds broadcast and
-    the verify falls back to the posting-join count (the
-    dedup_ngram_jaccard shape); the candidate stages are unchanged."""
+    shingle-ARRAY table (broadcast while the measured doc count is under
+    `_VERIFY_BROADCAST_CAP`) and intersects map-side — candidate-bounded
+    work with no posting re-shuffle. Nothing is ever all-pairs. Above the
+    cap (the 100 TB regime) the array table exceeds broadcast and the
+    verify switches to the posting-join count (the dedup_ngram_jaccard
+    shape) — both paths pinned identical in tests/test_wave40.py; the
+    candidate stages are unchanged."""
     d = with_shingles(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).select("doc_id", "shingles").localCheckpoint(eager=True)
@@ -1102,23 +1170,59 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arr_a = d.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    arr_b = d.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    n_docs = d.count()  # cached-metadata read: d is localCheckpointed above
+    if n_docs <= _VERIFY_BROADCAST_CAP:
+        arr_a = d.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+        )
+        arr_b = d.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        return (
+            cand.join(F.broadcast(arr_a), "doc_a")
+            .join(F.broadcast(arr_b), "doc_b")
+            .withColumn("inter_size", inter)
+            .withColumn(
+                "union_size", F.size("sa") + F.size("sb") - F.col("inter_size")
+            )
+            .filter(5 * F.col("inter_size") >= 4 * F.col("union_size"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("inter_size").cast("long").alias("inter_size"),
+                F.col("union_size").cast("long").alias("union_size"),
+            )
+        )
+    # 100 TB path: posting-join verify. Shingles are distinct per doc
+    # (with_shingles array_distinct), so the per-pair posting match count
+    # IS the exact intersection; union by inclusion-exclusion from the
+    # per-doc size scalars. No corpus-sized table is ever broadcast — the
+    # heavy join shuffles on (doc, shingle), the pair aggregate on the
+    # candidate key, both AQE-planned.
+    sizes = d.select("doc_id", F.size("shingles").alias("sz"))
+    posts = d.select("doc_id", F.explode("shingles").alias("s"))
+    inter_counts = (
+        cand.join(posts.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(posts.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_size"))
+    )
     return (
-        cand.join(F.broadcast(arr_a), "doc_a")
-        .join(F.broadcast(arr_b), "doc_b")
-        .withColumn("inter_size", inter)
+        inter_counts.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
         .withColumn(
-            "union_size", F.size("sa") + F.size("sb") - F.col("inter_size")
+            "union_size",
+            (F.col("sza") + F.col("szb") - F.col("inter_size")).cast("long"),
         )
         .filter(5 * F.col("inter_size") >= 4 * F.col("union_size"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter_size").cast("long").alias("inter_size"),
-            F.col("union_size").cast("long").alias("union_size"),
-        )
+        .select("doc_a", "doc_b", "inter_size", "union_size")
     )
 
 
@@ -1199,7 +1303,8 @@ _TUNE_PER_CONFIG = "\n    UNION ALL\n".join(
     {_TUNE_PER_CONFIG}
     )
     SELECT config, b, r, n_candidates, n_verified,
-           CAST(n_verified * 1000000 // nullif(n_candidates, 0) AS BIGINT)
+           CAST(CAST(n_verified AS HUGEINT) * 1000000
+                // nullif(n_candidates, 0) AS BIGINT)
                AS precision_ppm
     FROM sweep
     """,
@@ -1280,23 +1385,31 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = eq if h is None else (h & eq)
             band_hit = h if band_hit is None else (band_hit | h)
         hits[f"b{b_cnt}r{r}"] = band_hit
+    # Size-gated hints (ADVICE r7 item 1): sig (16 ints/doc) and hs_df
+    # (shingle-hash arrays) are O(corpus); broadcast only while the
+    # measured doc count is bounded, else hint-free (AQE plans the
+    # exchange on the doc key). Both counts are cached-metadata reads —
+    # the frames were localCheckpointed above.
+    n_docs = sig.count()
     scored = (
         cand.distinct()
-        .join(F.broadcast(sig_a), "doc_a")
-        .join(F.broadcast(sig_b), "doc_b")
+        .join(_maybe_broadcast(sig_a, n_docs), "doc_a")
+        .join(_maybe_broadcast(sig_b, n_docs), "doc_b")
         .join(
-            F.broadcast(
+            _maybe_broadcast(
                 hs_df.select(
                     F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")
-                )
+                ),
+                n_docs,
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
+            _maybe_broadcast(
                 hs_df.select(
                     F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")
-                )
+                ),
+                n_docs,
             ),
             "doc_b",
         )
@@ -1322,9 +1435,14 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_verified",
         )
         out = row if out is None else out.unionAll(row)
+    # ppm numerator widened to DECIMAL(38,0) (ADVICE r7 item 5 — the same
+    # overflow class fixed in relational4.py's ppm shares): at large
+    # candidate counts n_verified * 1e6 exceeds BIGINT, where Spark would
+    # wrap silently while DuckDB's HUGEINT errors-or-widens.
     return out.select(
         "*",
         F.expr(
-            "CAST(n_verified * 1000000 DIV nullif(n_candidates, 0) AS BIGINT)"
+            "CAST(CAST(n_verified AS DECIMAL(38,0)) * 1000000"
+            " DIV nullif(n_candidates, 0) AS BIGINT)"
         ).alias("precision_ppm"),
     )

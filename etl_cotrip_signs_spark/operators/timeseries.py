@@ -1579,13 +1579,18 @@ _ACF_LAGS = 7
 # Pearson r over the lag-k pair set, one shared double expression over the
 # six exact DECIMAL(38,0) moments (daily-cents squares pass BIGINT range
 # around x100 of sf0.1 — same widening as drift_wasserstein_exact).
+# nullif(..., 0) on the denominator (ADVICE r7 item 4): a lag bucket with
+# n=1 pairs or a constant series has zero variance, where Spark's non-ANSI
+# Divide returns NULL but DuckDB returns Inf/NaN — both engines now yield
+# NULL on the degenerate bucket. nullif parses identically in Spark SQL
+# and DuckDB, so the shared expression stays shared.
 _ACF_R = (
     "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)"
 )
 
 

@@ -130,6 +130,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (similarity), pipeline_training_corpus + select_token_budget (training),
 # stream_tumbling_events + stream_foreach_batch_upsert (streaming).
 DRIVER_ORDER: list[str] = [
+    # ROTATION (round 8, VERDICT r7 task 1): 36 slots rotate to
+    # first-timers — all 13 round-7 operators (the 12 wave-38/39 queries
+    # plus the graduated stream_stream_left_join; several carry r7-ADVICE
+    # fixes that land straight in slots), the round-8 graduation
+    # dedup_minhash_recall (first hash-checked round ever), and 22
+    # never-driver-checked long-tail queries spanning uncovered areas
+    # (signs A7/A8, TPC-H x4, streaming x2, text x2, graph x2, events x2,
+    # IO x2, stats x2, layout, multimodal, training x2). The same 14
+    # area/perf reps keep green history and the STATUS perf targets under
+    # driver watch.
     # ROTATION (round 7, VERDICT r6 task 1): the driver reads exactly the
     # first 50 names, so this block IS the round's driver-evidence plan.
     # 36 slots rotate to first-timers: all 24 round-6 operators (none had
@@ -153,6 +163,43 @@ DRIVER_ORDER: list[str] = [
     "dedup_components_ngram",         # perf-watch rep: STATUS target (green r2-r6)
     "knn_lsh_ann",                    # perf-watch rep: STATUS target (rows-only by nature)
     "stream_tumbling_events",         # perf-watch rep: streaming (green r2-r6)
+    "sample_reservoir_hash",      # r8 in, r7 wave: hash-reservoir sample
+    "embedding_jl_projection",    # r8 in, r7 wave: JL Rademacher projection
+    "stat_levene_bf",             # r8 in, r7 wave: Brown-Forsythe variance test
+    "sketch_kmv_distinct",        # r8 in, r7 wave: KMV/theta distinct sketch
+    "ml_naive_bayes_events",      # r8 in, r7 wave: Naive Bayes classifier
+    "privacy_dp_laplace_counts",  # r8 in, r7 wave: DP Laplace release
+    "table_clone_shallow",        # r8 in, r7 wave: shallow table clone
+    "events_acf_multi_lag",       # r8 in, r7 wave: multi-lag ACF + the r7-ADVICE nullif guard
+    "dedup_minhash_band_tuning",  # r8 in, r7 wave: LSH band-tuning sweep + the r7-ADVICE gate/widening fixes
+    "agg_listagg_ordered",        # r8 in, r7 wave: LISTAGG WITHIN GROUP
+    "stat_friedman_test",         # r8 in, r7 wave: Friedman test
+    "multimodal_shard_pack",      # r8 in, r7 wave: order-preserving shard pack
+    "stream_stream_left_join",    # r8 in, r7 graduation: watermark-evicted outer join + the r7-ADVICE oracle guards
+    "dedup_minhash_recall",       # r8 in, r8 graduation: LSH recall vs exact, new hash oracle
+    "signs_capabilities_matrix",  # r8 in, long tail: Part A capabilities schema (A7)
+    "signs_config_validation",    # r8 in, long tail: Part A config validation (A8)
+    "q4_order_priority",          # r8 in, long tail: TPC-H exists-semijoin
+    "q14_promo_revenue",          # r8 in, long tail: TPC-H conditional agg
+    "q17_small_quantity_revenue", # r8 in, long tail: TPC-H correlated avg subquery
+    "q19_disjunctive_predicates", # r8 in, long tail: TPC-H OR-of-ANDs pushdown
+    "stream_dedup_watermark",     # r8 in, long tail: streaming watermark dedup
+    "stream_stateful_user_totals", # r8 in, long tail: flatMapGroupsWithState totals
+    "text_lang_id",               # r8 in, long tail: n-gram language ID
+    "text_wordcount_topk",        # r8 in, long tail: corpus top-k terms
+    "graph_triangle_count_degree", # r8 in, long tail: degree-ordered triangle count
+    "graph_hits_exact",           # r8 in, long tail: HITS hubs/authorities
+    "events_funnel_conversion",   # r8 in, long tail: ordered-step funnel
+    "events_retention_cohort",    # r8 in, long tail: weekly retention cohorts
+    "jsonl_scan_roundtrip",       # r8 in, long tail: JSONL source round trip
+    "parquet_codec_roundtrip",    # r8 in, long tail: parquet codec matrix
+    "stats_welch_ttest",          # r8 in, long tail: Welch t-test
+    "stat_spearman_rank",         # r8 in, long tail: Spearman rank correlation
+    "layout_hilbert_codes",       # r8 in, long tail: Hilbert curve layout codes
+    "multimodal_patch_grid",      # r8 in, long tail: ViT patch-grid plumbing
+    "pack_sequences",             # r8 in, long tail: token sequence packing
+    "cdc_merge_upsert",           # r8 in, long tail: CDC MERGE upsert
+    # -- r8 rotation out (the 36 r7-slot greens; all pass r7) --
     "table_time_travel",              # r7 in, r6 wave: manifest snapshot reads + the r6-ADVICE oracle fix
     "deletion_vector_read",           # r7 in, r6 wave: positional DV suppression
     "partition_evolution_read",       # r7 in, r6 wave: mixed-spec partition read
@@ -308,7 +355,6 @@ DRIVER_ORDER: list[str] = [
     "layout_compaction",             # r4b: small-file compaction audit (rows)
     "dq_constraint_report",          # r4b: declarative DQ gate (oracle)
     "events_transition_counts",      # r4b: Markov transition matrix (oracle)
-    "stream_stream_left_join",       # r4b: watermark-evicted outer join (rows)
     "basket_pair_counts",            # r4b: market-basket co-occurrence (oracle)
     "orders_rfm_segments",           # r4b: RFM quartile segmentation (oracle)
     "events_ab_test_lift",           # r4b: md5-arm A/B readout, exact ppm (oracle)
@@ -366,32 +412,23 @@ DRIVER_ORDER: list[str] = [
     "map_funcs_events",              # r3 rotation out (green r1+r2)
     "dedup_simhash_docs",
     "knn_ivf_ann",
-    "dedup_minhash_recall",
     "knn_ivf_recall",
     "signs_rest_stream_pipeline",
-    "signs_capabilities_matrix",
     "signs_pipeline_observed_counts",
     "signs_http_sink_roundtrip",
-    "signs_config_validation",
-    "text_lang_id",
     "text_tfidf_top_term",
-    "jsonl_scan_roundtrip",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
     "dedup_survivors_quality",
-    "q4_order_priority",
-    "q14_promo_revenue",
     "window_topk_orders_per_cust",
     "window_running_revenue",
     # -- round-3 additions --
     "q12_priority_by_flag",
-    "q17_small_quantity_revenue",
     "q22_dormant_accounts",
     "window_time_range_events",
     "mix_domain_weights",
     "upsample_fractional",
     "curriculum_buckets",
-    "events_funnel_conversion",
     "cross_partition_duplicate_audit",
     "agg_approx_error_bounds",
     "sort_within_partitions_check",
@@ -401,14 +438,12 @@ DRIVER_ORDER: list[str] = [
     "schema_evolution_roundtrip",
     "q11_important_stock",
     "q15_top_supplier",
-    "q19_disjunctive_predicates",
     "signs_datasource_writer_sink",
     "stream_rocksdb_state_agg",
     "stream_incremental_dedup",
     "graph_pagerank",
     # -- round-4 additions --
     "sample_weighted_reservoir",     # r4: exponential-keys weighted sample (oracle)
-    "graph_triangle_count_degree",   # r4: O(sqrt E) wedge bound (oracle)
     "knn_pq_adc",                    # r4: product-quantization ANN (rows)
     "knn_pq_recall",                 # r4: PQ recall instrumentation (rows)
     "embedding_pca_top_components",  # r4: Gram-partial PCA (rows, numpy-pinned)
@@ -422,7 +457,6 @@ DRIVER_ORDER: list[str] = [
     "text_vocab_stats",
     "knn_ivf_recall_curve",
     "signs_udtf_pipeline",
-    "events_retention_cohort",
     "agg_rollup_priority",
     "agg_cube_flags",
     "agg_stat_moments",
@@ -435,7 +469,6 @@ DRIVER_ORDER: list[str] = [
     "lateral_top_orders",
     "date_arithmetic_lineitem",
     "json_events_extract",
-    "text_wordcount_topk",
     "text_fingerprint_md5",
     "text_edit_distance_pairs",
     "text_bpe_token_count",
@@ -443,9 +476,7 @@ DRIVER_ORDER: list[str] = [
     "text_fingerprint_rolling",
     "text_repetition_score",
     "shuffle_deterministic",
-    "pack_sequences",
     "pack_sequences_greedy",
-    "cdc_merge_upsert",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "signs_explode_only",
@@ -453,8 +484,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_mllib",
     "knn_brp_lsh_mllib",
     "stream_partitioned_file_sink",
-    "stream_dedup_watermark",
-    "stream_stateful_user_totals",
     "stream_stream_join",
     "stream_transform_with_state",
     # -- round-5 additions --
@@ -476,7 +505,6 @@ DRIVER_ORDER: list[str] = [
     "split_time_purged",             # r5: purged K-fold time-series CV split (oracle)
     "isotonic_regression_daily",     # r5: loop-free PAVA via the minimax identity (oracle)
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
-    "layout_hilbert_codes",          # r5: 10-level Hilbert xy2d unroll (oracle)
     "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
     "join_asof_directions",          # r5: backward/forward/nearest as-of family (oracle)
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
@@ -493,8 +521,6 @@ DRIVER_ORDER: list[str] = [
     "arrow_grouped_norm_ppm",        # r5c2: applyInArrow grouped kernels
     "udtf_analyze_dynamic_schema",   # r5c2: analyze()-polymorphic UDTF
     "stream_datasource_writer_sink", # r5c2: streaming Python DataSource writer
-    "multimodal_patch_grid",         # r5c2: ViT patchification plan
-    "parquet_codec_roundtrip",       # r5c2: zstd codec axis
     "orders_lttb_downsample",        # r5c2: LTTB dashboard downsampling
     "scalars_try_arithmetic",        # r5c2: ANSI try_* error-path pins
     "graph_components_hashmin_jump", # r5c2: O(log n) pointer-jumping CC
@@ -505,14 +531,11 @@ DRIVER_ORDER: list[str] = [
     "q2_min_cost_supplier",          # r5c2 rotation out of the first 50 (green r4)
     "cdc_scd2_history",              # r5c2 rotation out of the first 50 (green r4)
     # -- round-5 continuation-3 additions --
-    "graph_hits_exact",              # r5c3: HITS hubs/authorities, exact integers
     "schema_evolution_merge",        # r5c3: mergeSchema evolution twin
     "kmeans_maximin_init",           # r5c3: deterministic maximin seeding
     "events_retention_matrix",       # r5c3: cohort-week retention triangle
-    "stats_welch_ttest",             # r5c3: Welch t over exact moments
     "trend_ols_two_features",        # r5c3: 2-feature OLS, Cramer exact
     "events_markov_stationary",      # r5c3: stationary distribution, exact
-    "stat_spearman_rank",            # r5c3: Pearson on doubled midranks
     "stat_signflip_permutation",     # r5c3: xxh64-replayed permutation test
     "events_cross_correlation",      # r5c3: lagged daily cross-correlation
     # -- round-5 continuation-4 additions (first-50 rotations above:
@@ -523,19 +546,7 @@ DRIVER_ORDER: list[str] = [
     "text_phrase_search",            # r5c4: positional phrase retrieval
     "dq_functional_dependency",      # r5c4: FD discovery audit
     # -- round-7 additions (wave 38) --
-    "sample_reservoir_hash",         # r7: mergeable hash-reservoir sample (oracle)
-    "embedding_jl_projection",       # r7: +/-1 JL projection, exact ints (oracle)
-    "stat_levene_bf",                # r7: Brown-Forsythe variance-equality W (oracle)
-    "sketch_kmv_distinct",           # r7: KMV/theta union+intersection (oracle)
-    "ml_naive_bayes_events",         # r7: Laplace-smoothed NB argmax (oracle)
-    "privacy_dp_laplace_counts",     # r7: deterministic Laplace DP release (oracle)
-    "table_clone_shallow",           # r7: zero-copy manifest clone (oracle)
-    "events_acf_multi_lag",          # r7: ACF lags 1-7, exact moments (oracle)
     # -- round-7 additions (wave 39) --
-    "dedup_minhash_band_tuning",     # r7: measured LSH S-curve sweep (oracle)
-    "agg_listagg_ordered",           # r7: LISTAGG WITHIN GROUP, Spark 4 (oracle)
-    "stat_friedman_test",            # r7: blocked k-sample rank test (oracle)
-    "multimodal_shard_pack",         # r7: order-preserving shard planner (oracle)
 ]
 
 

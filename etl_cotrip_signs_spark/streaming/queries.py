@@ -899,9 +899,19 @@ def run_incremental_dedup(doc_stream: DataFrame, base: str) -> DataFrame:
         FROM events WHERE event_type = 'signup'
     ),
     wm AS (
-        SELECT least((SELECT max(purchase_ts) FROM p),
-                     (SELECT max(signup_ts) FROM s))
-               - INTERVAL 30 MINUTE AS w
+        -- NULL watermark when EITHER side is empty (ADVICE r7 item 3):
+        -- DuckDB's least() skips NULL args, so with zero signups the
+        -- model would advance off max(purchase_ts) alone while Spark's
+        -- real global watermark stays at epoch 0 (its min runs across
+        -- both watermark nodes) and evicts nothing. A NULL w makes the
+        -- nulls branch empty — matching Spark exactly.
+        SELECT CASE WHEN (SELECT max(purchase_ts) FROM p) IS NULL
+                      OR (SELECT max(signup_ts) FROM s) IS NULL
+               THEN NULL
+               ELSE least((SELECT max(purchase_ts) FROM p),
+                          (SELECT max(signup_ts) FROM s))
+                    - INTERVAL 30 MINUTE
+               END AS w
     ),
     matched AS (
         SELECT p.purchase_id, s.signup_id, p.user_id,
@@ -938,6 +948,22 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (watermark delay + join interval) x arrival rate regardless of stream
     length — the same state-boundedness contract as the inner variant.
     """
+    # The oracle's eviction model assumes the WHOLE fixture arrives as one
+    # micro-batch before availableNow's closing no-data batch (ADVICE r7
+    # item 3): with multi-file ingestion a purchase could be evicted as
+    # NULL-matched before a later file delivers its signup. The file
+    # source batches per-FILE, so one file == one batch — assert that
+    # shape instead of assuming it.
+    import os as _os
+
+    ev_path = _os.path.join(sf_dir, "events.parquet")
+    if not _os.path.isfile(ev_path):
+        raise AssertionError(
+            "stream_stream_left_join's oracle models single-batch "
+            f"ingestion, but {ev_path} is not a single parquet file — "
+            "multi-file fixtures would arrive across micro-batches and "
+            "the batch eviction model no longer holds"
+        )
     purchases = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")

@@ -59,6 +59,7 @@ def test_sweep_artifact_rowset_equals_registry():
 def _entry(sql: str) -> dict:
     return {
         "sql_sha": hashlib.sha256(sql.encode()).hexdigest(),
+        "sf_sha": "fix1",
         "oracle_rows": 1,
         "columns": ["a"],
         "dtype_kinds": {"a": "i"},
@@ -70,17 +71,26 @@ def _entry(sql: str) -> dict:
 def test_oracle_cache_hit_requires_exact_sql_digest():
     sql = "SELECT 1 AS a"
     cache = {"q@/sf": _entry(sql)}
-    assert oracle_cache_lookup(cache, "q", "/sf", sql, sql) is not None
+    assert oracle_cache_lookup(cache, "q", "/sf", sql, sql, "fix1") is not None
     # any oracle edit (even whitespace) busts the entry
     edited = sql + " "
-    assert oracle_cache_lookup(cache, "q", "/sf", edited, edited) is None
+    assert oracle_cache_lookup(cache, "q", "/sf", edited, edited, "fix1") is None
+
+
+def test_oracle_cache_hit_requires_fixture_digest():
+    """Regenerated testdata under the SAME path must bust every entry
+    (ADVICE r7 item 2): the SQL digest cannot see the data changing."""
+    sql = "SELECT 1 AS a"
+    cache = {"q@/sf": _entry(sql)}
+    assert oracle_cache_lookup(cache, "q", "/sf", sql, sql, "fix1") is not None
+    assert oracle_cache_lookup(cache, "q", "/sf", sql, sql, "fix2") is None
 
 
 def test_oracle_cache_is_per_query_and_per_sf():
     sql = "SELECT 1 AS a"
     cache = {"q@/sf": _entry(sql)}
-    assert oracle_cache_lookup(cache, "q2", "/sf", sql, sql) is None
-    assert oracle_cache_lookup(cache, "q", "/sf2", sql, sql) is None
+    assert oracle_cache_lookup(cache, "q2", "/sf", sql, sql, "fix1") is None
+    assert oracle_cache_lookup(cache, "q", "/sf2", sql, sql, "fix1") is None
 
 
 def test_oracle_cache_never_serves_scratch_oracles():
@@ -89,4 +99,4 @@ def test_oracle_cache_never_serves_scratch_oracles():
     template = "SELECT * FROM read_parquet('{SCRATCH:tag}/f.parquet')"
     rendered = "SELECT * FROM read_parquet('/tmp/x/f.parquet')"
     cache = {"q@/sf": _entry(rendered)}
-    assert oracle_cache_lookup(cache, "q", "/sf", rendered, template) is None
+    assert oracle_cache_lookup(cache, "q", "/sf", rendered, template, "fix1") is None

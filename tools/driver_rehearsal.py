@@ -50,6 +50,27 @@ def canon_sha(canon: list[tuple]) -> str:
     ).hexdigest()
 
 
+def sf_digest(sf_dir: str) -> str:
+    """Fingerprint of the fixture parquet files under ``sf_dir``.
+
+    Folded into every cache entry (ADVICE r7 item 2): the SQL digest alone
+    cannot see the DATA changing — regenerating testdata under the same
+    path would otherwise silently replay stale oracle canon hashes.
+    (name, size, mtime_ns) per file is cheap and catches any rewrite."""
+    try:
+        names = sorted(
+            f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+        )
+        sig = [
+            (f, os.stat(os.path.join(sf_dir, f)).st_size,
+             os.stat(os.path.join(sf_dir, f)).st_mtime_ns)
+            for f in names
+        ]
+    except OSError:
+        return "<unreadable>"
+    return hashlib.sha256(json.dumps(sig).encode()).hexdigest()
+
+
 def load_oracle_cache() -> dict:
     if os.environ.get("SPARK_GRAFT_ORACLE_CACHE", "1") == "0":
         return {}
@@ -81,6 +102,8 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
+            if v == 0.0:  # -0.0 and 0.0 hash alike (ADVICE r7 item 2)
+                return "0"
             return f"{v:.6g}"
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
@@ -126,17 +149,22 @@ def dtype_skew(spdf: pd.DataFrame, opdf: pd.DataFrame, otypes: dict[str, str]) -
 
 
 def oracle_cache_lookup(
-    cache: dict, name: str, sf_dir: str, sql: str, template: str
+    cache: dict, name: str, sf_dir: str, sql: str, template: str,
+    fixture_sha: str,
 ) -> dict | None:
     """Return the cached oracle entry iff it is safe to reuse: the oracle
-    must not read Spark-staged scratch files, and the rendered SQL's digest
-    must equal the cached digest (any oracle edit busts the entry)."""
+    must not read Spark-staged scratch files, the rendered SQL's digest
+    must equal the cached digest (any oracle edit busts the entry), and
+    the fixture parquet fingerprint must match (regenerated testdata under
+    the same path busts every entry — ADVICE r7 item 2)."""
     if "{SCRATCH:" in template:
         return None
     ent = cache.get(f"{name}@{sf_dir}")
     if ent is None:
         return None
     if ent.get("sql_sha") != hashlib.sha256(sql.encode()).hexdigest():
+        return None
+    if ent.get("sf_sha") != fixture_sha:
         return None
     return ent
 
@@ -171,6 +199,7 @@ def main() -> int:
     spark = get_spark()
     results: dict[str, dict] = {}
     cache = load_oracle_cache()
+    fixture_sha = sf_digest(sf_dir)
     n_cache_hits = 0
     t_start = time.time()
     for qi, (name, fn) in enumerate(registry.QUERIES.items()):
@@ -191,9 +220,11 @@ def main() -> int:
             "oracle_rows": None,
             "err": None,
             "secs": None,
+            "spark_secs": None,
         }
         try:
             spdf = fn(spark, sf_dir).toPandas()
+            row["spark_secs"] = round(time.time() - t0, 2)
             row["spark_rows"] = len(spdf)
             spark_canon = _canon(spdf)
             sql = registry.ORACLES.get(name)
@@ -207,7 +238,9 @@ def main() -> int:
                 ck = f"{name}@{sf_dir}"
                 template = registry.ORACLE_TEMPLATES.get(name, registry.ORACLES[name])
                 cacheable = "{SCRATCH:" not in template
-                ent = oracle_cache_lookup(cache, name, sf_dir, sql, template)
+                ent = oracle_cache_lookup(
+                    cache, name, sf_dir, sql, template, fixture_sha
+                )
                 if ent is not None:
                     n_cache_hits += 1
                     row["oracle_rows"] = ent["oracle_rows"]
@@ -229,10 +262,16 @@ def main() -> int:
                         row["hash_match"] = False
                         row["err"] = "dtype_skew: " + "; ".join(skew)
                     else:
-                        row["hash_match"] = spark_canon == _canon(opdf)
+                        # Same canonical serialization as the cached path
+                        # (ADVICE r7 item 2): both compare canon_sha, so a
+                        # verdict can never flip on cache hit vs miss.
+                        row["hash_match"] = (
+                            canon_sha(spark_canon) == canon_sha(_canon(opdf))
+                        )
                     if cacheable and not skew:
                         cache[ck] = {
                             "sql_sha": hashlib.sha256(sql.encode()).hexdigest(),
+                            "sf_sha": fixture_sha,
                             "oracle_rows": len(opdf),
                             "columns": sorted(opdf.columns),
                             "dtype_kinds": {c: opdf[c].dtype.kind for c in opdf.columns},
