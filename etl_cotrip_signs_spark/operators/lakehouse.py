@@ -438,3 +438,155 @@ def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionAll(snap)
     return out
+
+
+# --- wave 41 (round 8) ---
+
+_VAC_CURRENT_V = 3
+
+
+@query(
+    "table_vacuum_plan",
+    # The oracle re-derives deletability from the same staged manifest +
+    # bytes: a file is safe to delete under retention R (retained
+    # snapshots V-R..V) iff it was removed at-or-before the OLDEST
+    # retained version — removed_v <= V-R — because any later removal
+    # leaves it visible in some retained snapshot. Sizes come from the
+    # manifest (stat'd at stage time), row counts from an independent
+    # filename-joined scan of the data glob.
+    oracle=f"""
+    WITH mf AS (
+        SELECT file, added_v, removed_v, size_bytes
+        FROM read_parquet('{{SCRATCH:vacuumplan}}/manifest.parquet')
+    ),
+    rows_per_file AS (
+        SELECT filename AS file, count(*) AS n_rows
+        FROM read_parquet('{{SCRATCH:vacuumplan}}/data/*.parquet',
+                          filename=true)
+        GROUP BY filename
+    ),
+    rets AS (SELECT unnest([0, 1, 2]) AS retention),
+    judged AS (
+        SELECT r.retention, mf.file, mf.size_bytes,
+               coalesce(rf.n_rows, 0) AS n_rows,
+               CASE WHEN mf.removed_v IS NOT NULL
+                         AND mf.removed_v <= {_VAC_CURRENT_V} - r.retention
+                    THEN 1 ELSE 0 END AS deletable
+        FROM rets r CROSS JOIN mf
+        LEFT JOIN rows_per_file rf ON rf.file = mf.file
+    )
+    SELECT CAST(retention AS INT) AS retention_versions,
+           CAST({_VAC_CURRENT_V} - retention AS INT) AS oldest_retained_v,
+           CAST(sum(deletable) AS BIGINT) AS n_files_deletable,
+           CAST(sum(CASE WHEN deletable = 1 THEN size_bytes ELSE 0 END)
+                AS BIGINT) AS bytes_deletable,
+           CAST(sum(CASE WHEN deletable = 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_deletable,
+           CAST(count(*) - sum(deletable) AS BIGINT) AS n_files_kept
+    FROM judged
+    GROUP BY retention
+    """,
+)
+def table_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM dry-run over a manifest-committed table: which data files
+    can be physically deleted under a snapshot-retention policy, and how
+    many bytes/rows that reclaims — the garbage-collection half of the
+    time-travel contract (table_time_travel proves snapshot READS; this
+    proves when history may be destroyed without breaking any retained
+    snapshot — the Delta VACUUM / Iceberg expire_snapshots public
+    semantics).
+
+    Rule: retaining snapshots V-R..V, a file is deletable iff its
+    removed_v <= V-R — removed at or before the oldest retained version,
+    hence invisible in every retained snapshot; a file removed later is
+    still referenced by some retained version and must stay. The sweep
+    reports R = 0, 1, 2 so the retention/reclaim trade-off is the
+    output, sizes measured from the actual staged bytes.
+
+    At 100 TB this is the difference between a table that grows forever
+    and one whose storage tracks the live snapshot set: the plan is pure
+    manifest arithmetic (metadata-scale — no data files are opened to
+    DECIDE deletability; the row counts here are an audit column the
+    oracle independently recomputes from the bytes).
+    """
+    ensure_confs(spark)
+    base = scratch_dir("vacuumplan", sf_dir)
+    data_dir = f"{base}/data"
+    os.makedirs(data_dir, exist_ok=True)
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(eager=True)  # four slice writes descend from it
+    )
+    slices = {
+        "f1": o.filter(F.col("o_orderkey") % 4 == 0),
+        "f2": o.filter(F.col("o_orderkey") % 4 == 1),
+        "f3": o.filter(F.col("o_orderkey") % 4 == 2),
+        "f4": o.filter(F.col("o_orderkey") % 4 == 3),
+    }
+    for name, df in slices.items():
+        _write_named_file(df, f"{data_dir}/{name}.parquet")
+    # history: v1 = {f1, f2}; v2 compacts f1 away and adds f3; v3 removes
+    # f2 and adds f4 — so f1 (removed_v=2) frees at R<=1 and f2
+    # (removed_v=3) only at R=0.
+    manifest_rows = [
+        (f"{data_dir}/f1.parquet", 1, 2,
+         os.path.getsize(f"{data_dir}/f1.parquet")),
+        (f"{data_dir}/f2.parquet", 1, 3,
+         os.path.getsize(f"{data_dir}/f2.parquet")),
+        (f"{data_dir}/f3.parquet", 2, None,
+         os.path.getsize(f"{data_dir}/f3.parquet")),
+        (f"{data_dir}/f4.parquet", 3, None,
+         os.path.getsize(f"{data_dir}/f4.parquet")),
+    ]
+    manifest = spark.createDataFrame(
+        manifest_rows,
+        "file string, added_v int, removed_v int, size_bytes long",
+    )
+    _write_named_file(manifest, f"{base}/manifest.parquet")
+    mf = spark.read.parquet(f"{base}/manifest.parquet")
+    rows_per_file = (
+        spark.read.parquet(f"{data_dir}/*.parquet")
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        # input_file_name yields file:// URIs; normalize to the manifest's
+        # plain paths
+        .withColumn("file", F.regexp_replace("file", "^file:(//)?", ""))
+    )
+    rets = spark.createDataFrame([(0,), (1,), (2,)], "retention int")
+    judged = (
+        rets.crossJoin(F.broadcast(mf))
+        .join(F.broadcast(rows_per_file), "file", "left")
+        .withColumn(
+            "deletable",
+            (
+                F.col("removed_v").isNotNull()
+                & (F.col("removed_v") <= F.lit(_VAC_CURRENT_V) - F.col("retention"))
+            ).cast("int"),
+        )
+        .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+    )
+    return judged.groupBy("retention").agg(
+        F.sum("deletable").cast("long").alias("n_files_deletable"),
+        F.sum(
+            F.when(F.col("deletable") == 1, F.col("size_bytes")).otherwise(0)
+        ).cast("long").alias("bytes_deletable"),
+        F.sum(
+            F.when(F.col("deletable") == 1, F.col("n_rows")).otherwise(0)
+        ).cast("long").alias("rows_deletable"),
+        (F.count(F.lit(1)) - F.sum("deletable")).cast("long").alias(
+            "n_files_kept"
+        ),
+    ).select(
+        F.col("retention").cast("int").alias("retention_versions"),
+        (F.lit(_VAC_CURRENT_V) - F.col("retention")).cast("int").alias(
+            "oldest_retained_v"
+        ),
+        "n_files_deletable",
+        "bytes_deletable",
+        "rows_deletable",
+        "n_files_kept",
+    )

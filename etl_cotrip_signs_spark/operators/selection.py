@@ -345,3 +345,172 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").cast("long").alias("max_key"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# --- wave 41 (round 8) ---
+
+_NEY_T = 200  # total sample budget
+_NEY_SEED = chain_seed("ney")
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH e AS (
+        SELECT event_id, event_type AS t,
+               CAST(floor(value * 1000) AS BIGINT) AS m
+        FROM events
+    ),
+    moments AS (
+        SELECT t, count(*) AS n_rows,
+               sum(m) AS s1, sum(m::HUGEINT * m) AS s2
+        FROM e GROUP BY t
+    ),
+    -- Neyman weight N_h * sigma_h = sqrt(N_h*S2 - S1^2) exactly (the
+    -- N_h's cancel); quantized to an integer so the shared total is an
+    -- exact sum regardless of engine summation order.
+    wts AS (
+        SELECT t, n_rows,
+               CAST(round(sqrt(CAST(n_rows::HUGEINT * s2 - s1::HUGEINT * s1
+                                    AS DOUBLE))) AS BIGINT) AS w
+        FROM moments
+    ),
+    alloc0 AS (
+        SELECT t, n_rows, w,
+               sum(w) OVER () AS wtot,
+               ({_NEY_T} * w) // sum(w) OVER () AS base,
+               ({_NEY_T} * w) % sum(w) OVER () AS rem
+        FROM wts
+    ),
+    alloc AS (
+        SELECT t, n_rows, w, base,
+               base + CASE WHEN row_number() OVER (ORDER BY rem DESC, t)
+                           <= {_NEY_T} - sum(base) OVER ()
+                      THEN 1 ELSE 0 END AS n_alloc
+        FROM alloc0
+    ),
+    ranked AS (
+        SELECT e.t, e.m,
+               row_number() OVER (
+                   PARTITION BY e.t
+                   ORDER BY (xxh64_long(e.event_id, {_NEY_SEED}::UBIGINT) < 0),
+                            xxh64_long(e.event_id, {_NEY_SEED}::UBIGINT),
+                            e.event_id
+               ) AS rk
+        FROM e
+    ),
+    sampled AS (
+        SELECT r.t, count(*) AS sample_n, sum(r.m) AS sample_sum_milli
+        FROM ranked r JOIN alloc a ON a.t = r.t AND r.rk <= a.n_alloc
+        GROUP BY r.t
+    )
+    SELECT a.t AS event_type,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(a.w AS BIGINT) AS neyman_weight,
+           CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           CAST(coalesce(s.sample_n, 0) AS BIGINT) AS sample_n,
+           CAST(coalesce(s.sample_sum_milli, 0) AS BIGINT)
+               AS sample_sum_milli
+    FROM alloc a LEFT JOIN sampled s ON s.t = a.t
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sample (Neyman 1934): a fixed budget
+    of {_NEY_T} rows split across event-type strata PROPORTIONAL TO
+    N_h * sigma_h — the allocation that minimizes the variance of the
+    stratified mean estimator, vs sample_stratified's equal/proportional
+    carve. High-variance strata get more budget; near-constant strata
+    get almost none.
+
+    Exactness discipline: the weight N_h*sigma_h equals
+    sqrt(N_h*S2 - S1^2) on exact integer moments (the N_h's cancel), and
+    is quantized to an integer BEFORE the total, so the
+    largest-remainder apportionment (floor share + ranked remainders —
+    the sample_proportional_lrm machinery applied to a data-derived
+    weight) is pure integer arithmetic: the allocation vector
+    hash-matches, not just approximately agrees. Row selection is the
+    deterministic hash-reservoir rule per stratum (smallest
+    xxhash64(seed, event_id)), so the sampled aggregate is replayable.
+
+    Scale shape: one combinable moment aggregate (5 rows out), the
+    apportionment on those 5 rows, then a per-stratum bounded-heap
+    top-n_alloc by hash — the same TakeOrdered-per-group shape as the
+    reservoir, no global sort, no second fact pass beyond the rank
+    window over the stratum partitioning.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 1000).cast("long").alias("m"),
+    )
+    dec = F.col("m").cast("decimal(38,0)")
+    moments = e.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("m").alias("s1"),
+        F.sum(dec * F.col("m")).alias("s2"),
+    )
+    wts = moments.select(
+        "t",
+        "n_rows",
+        F.expr(
+            "CAST(round(sqrt(CAST(n_rows * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("w"),
+    )
+    w_all = Window.partitionBy()
+    # integer DIV, not float division + cast: an exact multiple must not
+    # truncate one low on a 1-ulp-short double quotient
+    alloc0 = wts.select(
+        "t",
+        "n_rows",
+        "w",
+        F.expr(f"({_NEY_T}L * w) DIV sum(w) OVER ()").alias("base"),
+        F.pmod(F.lit(_NEY_T) * F.col("w"), F.sum("w").over(w_all)).alias("rem"),
+    )
+    alloc = alloc0.select(
+        "t",
+        "n_rows",
+        "w",
+        (
+            F.col("base")
+            + (
+                F.row_number().over(Window.orderBy(F.col("rem").desc(), "t"))
+                <= F.lit(_NEY_T) - F.sum("base").over(w_all)
+            ).cast("long")
+        ).alias("n_alloc"),
+    )
+    hk = F.xxhash64(F.lit("ney"), F.col("event_id"))
+    ranked = e.select(
+        "t",
+        "m",
+        F.row_number()
+        .over(
+            Window.partitionBy("t").orderBy(
+                (hk < 0).cast("int"), hk, "event_id"
+            )
+        )
+        .alias("rk"),
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("t", "n_alloc")), "t")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("sample_n"),
+            F.sum("m").alias("sample_sum_milli"),
+        )
+    )
+    return (
+        alloc.join(sampled, "t", "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("w").cast("long").alias("neyman_weight"),
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+            F.coalesce("sample_n", F.lit(0)).cast("long").alias("sample_n"),
+            F.coalesce("sample_sum_milli", F.lit(0))
+            .cast("long")
+            .alias("sample_sum_milli"),
+        )
+    )

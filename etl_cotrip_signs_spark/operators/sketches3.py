@@ -863,3 +863,141 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_in_sketch").cast("long").alias("n_in_sketch"),
         F.col("est").cast("long").alias("est_distinct"),
     )
+
+
+# --- wave 41 (round 8) ---
+
+# Bloom-pruned join: m sized for the urgent-order key count at bench
+# scales (fill ~13% at sf0.1 -> FPR ~0.2% with k=3); 65536 bits = 1024
+# longs = 8 KB on the wire regardless of corpus size.
+_JB_M = 65536
+_JB_WORDS = _JB_M // 64
+_JB_SEEDS_STR = ["jb0", "jb1", "jb2"]
+_JB_SEEDS = [chain_seed(s) for s in _JB_SEEDS_STR]
+_JB_SEED_LIST = ", ".join(str(s) for s in _JB_SEEDS)
+
+
+@query(
+    "join_bloom_pruned",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH bk AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+        SELECT DISTINCT
+               ((xxh64_long(k, s.seed::UBIGINT) % {_JB_M})
+                + {_JB_M}) % {_JB_M} AS bit
+        FROM bk, (SELECT unnest([{_JB_SEED_LIST}]) AS seed) s
+    ),
+    probe_rows AS (
+        SELECT row_number() OVER () AS rid, l_orderkey,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    probe AS (
+        SELECT rid, l_orderkey, cents,
+               ((xxh64_long(l_orderkey, s.seed::UBIGINT) % {_JB_M})
+                + {_JB_M}) % {_JB_M} AS bit
+        FROM probe_rows, (SELECT unnest([{_JB_SEED_LIST}]) AS seed) s
+    ),
+    passed AS (
+        SELECT rid, min(l_orderkey) AS l_orderkey, min(cents) AS cents,
+               min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS hit
+        FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+        GROUP BY rid
+    ),
+    flags AS (
+        SELECT p.cents, p.hit,
+               CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END AS matched
+        FROM passed p LEFT JOIN bk ON bk.k = p.l_orderkey
+    )
+    SELECT (SELECT count(*) FROM bk)::BIGINT AS n_build_keys,
+           count(*)::BIGINT AS n_probe_rows,
+           sum(hit)::BIGINT AS n_bloom_pass,
+           sum(matched)::BIGINT AS n_matched,
+           (sum(hit) - sum(matched))::BIGINT AS n_false_pos,
+           sum(CASE WHEN matched = 1 THEN cents ELSE 0 END)::BIGINT
+               AS matched_cents
+    FROM flags
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned join: build a k=3, m=65536-bit Bloom filter
+    over the urgent orders' keys, prune lineitem MAP-SIDE with a literal
+    bitmap expression (no shuffle, no join — 1024 longs evaluated inside
+    codegen per probe row), then run the exact join on the survivors and
+    account for every false positive the filter admitted.
+
+    This is the explicit, auditable twin of Spark's runtime bloom-filter
+    join (spark.sql.optimizer.runtime.bloomFilter.*, plan-pinned in
+    session.py): the same algebra — semi-join reduction before the
+    shuffle — but with hashing the DuckDB macros replay bit-for-bit, so
+    the pruned-row accounting itself is oracle-checked, not just the
+    final join result. sketch_bloom_membership checks membership by
+    joining on bit positions; here the filter is COLLECTED (bounded by
+    m/8 = 8 KB, never by corpus size) and evaluated as a map-side
+    expression — the shape a 100 TB fact scan needs, where the bloom
+    prune must run inside the scan stage to cut shuffle input.
+
+    Output: build/probe/pass/match/false-positive counts plus the exact
+    matched revenue (cents) — zero false negatives is the Bloom contract
+    and the hash match proves it (n_matched rows all passed).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bk = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the bitmap agg + exact join
+    )
+    seeds = [F.lit(s) for s in _JB_SEEDS_STR]
+    bit_rows = bk.select(
+        F.explode(
+            F.array(
+                *[F.pmod(F.xxhash64(s, F.col("k")), F.lit(_JB_M)) for s in seeds]
+            )
+        ).alias("bit")
+    ).distinct()
+    # Collect the SET BITS (<= m of them — bounded by the filter geometry,
+    # not the key count) and fold into 1024 longs driver-side.
+    words = [0] * _JB_WORDS
+    for r in bit_rows.collect():
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # signed-long literal array (Spark longs are signed; bit 63 wraps)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    probe = li.withColumn("__bm", bitmap)
+    hit = None
+    for s_str in _JB_SEEDS_STR:
+        pos = f"pmod(xxhash64('{s_str}', l_orderkey), {_JB_M})"
+        test = F.expr(
+            f"(element_at(__bm, CAST({pos} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({pos} % 64 AS INT))) != 0L"
+        )
+        hit = test if hit is None else (hit & test)
+    flagged = probe.withColumn("hit", hit.cast("int")).drop("__bm")
+    matched = flagged.join(
+        bk.select(F.col("k").alias("l_orderkey")).withColumn(
+            "matched", F.lit(1)
+        ),
+        "l_orderkey",
+        "left",
+    ).withColumn("matched", F.coalesce("matched", F.lit(0)))
+    n_build = bk.count()  # cached-metadata read (checkpointed)
+    return matched.agg(
+        F.lit(n_build).cast("long").alias("n_build_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum("hit").cast("long").alias("n_bloom_pass"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        (F.sum("hit") - F.sum("matched")).cast("long").alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("matched") == 1, F.col("cents")).otherwise(0)
+        ).cast("long").alias("matched_cents"),
+    )

@@ -1424,3 +1424,160 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_dr2",
         f"{_FRIED_Q} AS q_stat",
     )
+
+
+# --- wave 41 (round 8) ---
+
+# Benjamini-Hochberg parameters: m = 5 event types tested, q = 0.10 FDR.
+_BH_Q_NUM, _BH_Q_DEN = 1, 10
+# One-vs-rest KS tail approximation (Smirnov's asymptotic leading term):
+# p ~ 2 * exp(-2 * D^2 * na*nb/(na+nb)). D cross-multiplies to the exact
+# integer numerator over na*nb (the drift_ks_exact identity), so the only
+# float steps are one division, one exp, one round — textually identical
+# on both engines.
+_BH_P = (
+    "round(least(CAST(2.0 AS DOUBLE) * exp("
+    "CAST(-2.0 AS DOUBLE)"
+    " * (CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+    " * (CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+    " * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    "    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"
+    "), CAST(1.0 AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "stat_benjamini_hochberg",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type AS t, CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    counts AS (
+        SELECT t, v, count(*) AS c FROM e GROUP BY t, v
+    ),
+    tot AS (SELECT v, sum(c) AS ct FROM counts GROUP BY v),
+    -- one-vs-rest per type: walk the merged distinct-value table once per
+    -- type; cum_a = type CDF numerator, cum_b = rest CDF numerator
+    walk AS (
+        SELECT k.t, g.v,
+               sum(coalesce(c.c, 0)) OVER w AS cum_a,
+               sum(g.ct - coalesce(c.c, 0)) OVER w AS cum_b
+        FROM (SELECT DISTINCT t FROM e) k
+        CROSS JOIN tot g
+        LEFT JOIN counts c ON c.t = k.t AND c.v = g.v
+        WINDOW w AS (PARTITION BY k.t ORDER BY g.v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sizes AS (
+        SELECT t, sum(c) AS na,
+               (SELECT count(*) FROM e) - sum(c) AS nb
+        FROM counts GROUP BY t
+    ),
+    d AS (
+        SELECT w.t, s.na, s.nb,
+               max(abs(w.cum_a * s.nb - w.cum_b * s.na)) AS d_num
+        FROM walk w JOIN sizes s ON s.t = w.t
+        GROUP BY w.t, s.na, s.nb
+    ),
+    p AS (
+        SELECT t, na, nb, d_num, {_BH_P} AS p_approx FROM d
+    ),
+    ranked AS (
+        SELECT t, na, nb, d_num, p_approx,
+               row_number() OVER (ORDER BY p_approx, t) AS p_rank,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    kstar AS (
+        SELECT coalesce(max(p_rank), 0) AS k FROM ranked
+        WHERE p_approx * m * {_BH_Q_DEN} <= p_rank * {_BH_Q_NUM}
+    )
+    SELECT r.t AS event_type,
+           CAST(r.na AS BIGINT) AS n_type,
+           CAST(r.nb AS BIGINT) AS n_rest,
+           CAST(r.d_num AS BIGINT) AS ks_d_num,
+           r.p_approx,
+           CAST(r.p_rank AS INT) AS p_rank,
+           CAST(CASE WHEN r.p_rank <= (SELECT k FROM kstar)
+                THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM ranked r
+    """,
+)
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a FAMILY of tests —
+    the multiple-comparisons layer every per-segment drift monitor needs
+    (five one-vs-rest KS drift tests here; at q = 0.10 the procedure
+    bounds the expected fraction of false alarms among the segments it
+    flags, which per-test thresholds cannot).
+
+    Each test is the drift_ks_exact identity one-vs-rest: D's numerator
+    is an exact BIGINT over the merged distinct-value walk, so the only
+    float is the shared Smirnov tail expression (one division, one exp,
+    rounded to 1e-6). The step-up itself is pure integer arithmetic on
+    the ROUNDED p: rank p ascending, k* = max rank with
+    p * m * 10 <= rank (q = 1/10), reject ranks <= k* — evaluated on
+    identical inputs in both engines, so the decision column
+    hash-matches, not just the statistics.
+
+    Scale shape: facts reduce once to (type, value) counts; the per-type
+    walk runs over the |distinct values| table x 5 types — bounded by
+    the value domain, not event volume; BH runs on m = 5 rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    counts = e.groupBy("t", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("v").agg(F.sum("c").alias("ct"))
+    types = counts.select("t").distinct()
+    grid = types.crossJoin(tot).join(counts, ["t", "v"], "left").select(
+        "t", "v", F.coalesce("c", F.lit(0)).alias("c"), "ct"
+    )
+    w_cum = W.partitionBy("t").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    walk = grid.select(
+        "t",
+        F.sum("c").over(w_cum).alias("cum_a"),
+        F.sum(F.col("ct") - F.col("c")).over(w_cum).alias("cum_b"),
+    )
+    sizes = counts.groupBy("t").agg(F.sum("c").alias("na"))
+    n_all = e.count()
+    d = (
+        walk.join(F.broadcast(sizes), "t")
+        .withColumn("nb", F.lit(n_all) - F.col("na"))
+        .groupBy("t", "na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+                )
+            ).alias("d_num")
+        )
+    )
+    p = d.withColumn("p_approx", F.expr(_BH_P))
+    ranked = p.select(
+        "*",
+        F.row_number().over(W.orderBy("p_approx", "t")).alias("p_rank"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    kstar = (
+        ranked.filter(
+            F.col("p_approx") * F.col("m") * _BH_Q_DEN
+            <= F.col("p_rank") * _BH_Q_NUM
+        )
+        .agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("k"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("na").cast("long").alias("n_type"),
+            F.col("nb").cast("long").alias("n_rest"),
+            F.col("d_num").cast("long").alias("ks_d_num"),
+            "p_approx",
+            F.col("p_rank").cast("int").alias("p_rank"),
+            (F.col("p_rank") <= F.col("k")).cast("int").alias("rejected"),
+        )
+    )

@@ -1361,3 +1361,137 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs * 1000000 DIV n_class AS class_ppm",
         )
     )
+
+
+# --- wave 41 (round 8) ---
+
+# BM25 (Robertson/Walker; the Lucene k1/b defaults) — scored for the
+# corpus' own top-_BM25_NQ terms so the query set is fixture-independent
+# and deterministic (total-frequency desc, term asc).
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+_BM25_NQ = 3
+_BM25_TOPK = 10
+# one shared per-(doc, term) score expression: idf * saturated tf
+_BM25_TERM = (
+    f"ln(CAST(1.0 AS DOUBLE)"
+    f" + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    f" / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    f" * (CAST(tf AS DOUBLE) * ({_BM25_K1} + CAST(1.0 AS DOUBLE)))"
+    f" / (CAST(tf AS DOUBLE) + {_BM25_K1}"
+    f"    * (CAST(1.0 AS DOUBLE) - {_BM25_B}"
+    f"       + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    qterms AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+        GROUP BY word
+        ORDER BY sum(tf) DESC, word
+        LIMIT {_BM25_NQ}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               round(sum({_BM25_TERM}), 6) AS score_bm25,
+               CAST(count(*) AS INT) AS n_terms_matched
+        FROM tf t
+        JOIN qterms q ON q.word = t.word
+        JOIN dl ON dl.doc_id = t.doc_id
+        CROSS JOIN stats
+        GROUP BY t.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_bm25 DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, score_bm25, n_terms_matched
+    FROM scored
+    ORDER BY score_bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Walker Okapi weighting, Lucene's
+    k1 = 1.2 / b = 0.75) for the corpus' own top-{_BM25_NQ} terms — the
+    lexical-search complement to text_tfidf_top_term (TF-IDF describes a
+    document; BM25 RANKS documents for a query, with tf saturation and
+    length normalization TF-IDF lacks).
+
+    Determinism contract: the query terms are data-derived (total term
+    frequency desc, term asc) so the operator is meaningful at every sf;
+    every float step (one idf ln, the saturated-tf ratio, the final
+    round(. , 6)) is a single textually shared expression, summed over at
+    most {_BM25_NQ} terms per document — the same discipline as the
+    drift/stat family.
+
+    Scale shape: tf and df are the inverted-index aggregates every search
+    engine builds (combinable, shuffle on term); scoring joins the
+    posting rows of only the query terms (a term-selective scan at 100 TB
+    — the posting lists of {_BM25_NQ} terms, not the corpus), and the
+    top-k is a TakeOrderedAndProject, never a full sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds qterms + the scoring join
+    )
+    dl = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        tf.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.col("total_tf").desc(), "word")
+        .limit(_BM25_NQ)
+        .select("word", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.expr(_BM25_TERM)), 6).alias("score_bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.select(
+            F.row_number()
+            .over(W.orderBy(F.col("score_bm25").desc(), "doc_id"))
+            .cast("int")
+            .alias("rank"),
+            "doc_id",
+            "score_bm25",
+            "n_terms_matched",
+        )
+        .orderBy("rank")
+        .limit(_BM25_TOPK)
+    )

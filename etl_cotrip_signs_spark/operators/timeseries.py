@@ -1672,3 +1672,160 @@ def events_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.expr(_ACF_R), 6).alias("acf"),
     )
+
+
+# --- wave 41 (round 8) ---
+
+_HURST_NS = (8, 16, 32, 64)
+# Per-block rescaled range from exact integer moments: with block sums
+# S1 = sum(x), S2 = sum(x^2), prefix sums P_k and positions k, the
+# cumulative deviation Z_k = P_k - k*S1/n has exact numerator
+# num_k = n*P_k - k*S1, and R/S = (max(num)-min(num)) / sqrt(n*S2 - S1^2)
+# (the n's cancel: R = range(num)/n, S = sqrt((n*S2-S1^2)/n^2)). One
+# sqrt + one division per BLOCK; everything feeding them is integer.
+_HURST_RS = (
+    "CAST(r_num AS DOUBLE) / nullif(sqrt(CAST(var_num AS DOUBLE)), 0)"
+)
+
+
+@query(
+    "events_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch(CAST(o_orderdate AS DATE)) // 86400 AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT x, row_number() OVER (ORDER BY d) AS rn FROM daily
+    ),
+    ns AS (SELECT unnest([{", ".join(str(n) for n in _HURST_NS)}]) AS n),
+    cells AS (
+        SELECT ns.n, (s.rn - 1) // ns.n AS blk,
+               ((s.rn - 1) % ns.n) + 1 AS k, s.x,
+               sum(s.x) OVER (PARTITION BY ns.n, (s.rn - 1) // ns.n
+                              ORDER BY s.rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS p_k
+        FROM seq s CROSS JOIN ns
+    ),
+    blocks AS (
+        SELECT n, blk,
+               count(*) AS n_obs,
+               max(n * p_k - k * sum_x1) - min(n * p_k - k * sum_x1)
+                   AS r_num,
+               n::HUGEINT * sum_x2 - sum_x1::HUGEINT * sum_x1 AS var_num
+        FROM (
+            SELECT c.*,
+                   sum(x) OVER (PARTITION BY n, blk) AS sum_x1,
+                   sum(x::HUGEINT * x) OVER (PARTITION BY n, blk) AS sum_x2
+            FROM cells c
+        )
+        GROUP BY n, blk, sum_x1, sum_x2
+        HAVING count(*) = n
+    ),
+    rs AS (
+        SELECT n, CAST(round({_HURST_RS} * 1000000) AS BIGINT) AS rs_micro
+        FROM blocks
+    )
+    SELECT CAST(n AS INT) AS block_n,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(rs_micro) AS BIGINT) AS rs_sum_micro,
+           round(CAST(sum(rs_micro) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS rs_mean
+    FROM rs GROUP BY n
+    """,
+)
+def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) table of the daily revenue series at block
+    sizes 8-64 — the Hurst-exponent diagnostic (Hurst 1951; Mandelbrot &
+    Wallis 1969): long-memory series show E[R/S] growing like n^H with
+    H > 0.5, and the slope operators read off this table is what
+    separates trending from mean-reverting demand before any forecaster
+    is fitted (the ACF at lag 7 sees the weekly cycle; R/S sees the
+    long-range dependence ACF truncates).
+
+    Exactness: each block's R and S reduce to integer arithmetic — the
+    cumulative-deviation numerators n*P_k - k*S1 are exact BIGINTs, the
+    variance numerator n*S2 - S1^2 is exact DECIMAL(38,0)/HUGEINT — so
+    the only float per block is one shared sqrt-division expression,
+    immediately micro-quantized (round-half-up x 1e6, a positive-domain
+    cast both engines share); the per-n mean is then integer-summed,
+    making the output independent of block summation order.
+
+    Scale shape: facts reduce once to the calendar-sized daily table;
+    blocks are a window over (n, blk) partitions of that table — 4x
+    |days| rows of metadata; nothing returns to the fact table.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.unix_date(F.col("o_orderdate").cast("date")).alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    seq = daily.select("x", F.row_number().over(Window.orderBy("d")).alias("rn"))
+    ns = spark.createDataFrame(
+        [(n,) for n in _HURST_NS], "n int"
+    )
+    cells = seq.crossJoin(F.broadcast(ns)).select(
+        "n",
+        ((F.col("rn") - 1) / F.col("n")).cast("long").alias("blk"),
+        (F.pmod(F.col("rn") - 1, F.col("n")) + 1).alias("k"),
+        "x",
+        "rn",
+    )
+    w_blk = Window.partitionBy("n", "blk")
+    w_pre = w_blk.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    enriched = cells.select(
+        "n",
+        "blk",
+        "k",
+        F.sum("x").over(w_pre).alias("p_k"),
+        F.sum("x").over(w_blk).alias("sum_x1"),
+        F.sum(dec * F.col("x")).over(w_blk).alias("sum_x2"),
+    )
+    num = F.col("n") * F.col("p_k") - F.col("k") * F.col("sum_x1")
+    blocks = (
+        enriched.groupBy("n", "blk", "sum_x1", "sum_x2")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (F.max(num) - F.min(num)).alias("r_num"),
+        )
+        .filter(F.col("n_obs") == F.col("n"))
+        .select(
+            "n",
+            "r_num",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sum_x2")
+                - F.col("sum_x1").cast("decimal(38,0)") * F.col("sum_x1")
+            ).alias("var_num"),
+        )
+    )
+    rs = blocks.select(
+        "n",
+        F.expr(f"CAST(round({_HURST_RS} * 1000000) AS BIGINT)").alias(
+            "rs_micro"
+        ),
+    )
+    return rs.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("rs_micro").cast("long").alias("rs_sum_micro"),
+        F.round(
+            F.sum("rs_micro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("rs_mean"),
+    ).select(
+        F.col("n").cast("int").alias("block_n"),
+        "n_blocks",
+        "rs_sum_micro",
+        "rs_mean",
+    )

@@ -547,6 +547,13 @@ DRIVER_ORDER: list[str] = [
     "dq_functional_dependency",      # r5c4: FD discovery audit
     # -- round-7 additions (wave 38) --
     # -- round-7 additions (wave 39) --
+    # -- round-8 additions (wave 41) --
+    "stat_benjamini_hochberg",       # r8: BH step-up FDR over one-vs-rest KS drift
+    "text_bm25_topk",                # r8: Okapi BM25 ranked retrieval
+    "join_bloom_pruned",             # r8: map-side bloom-pruned join, FP-accounted
+    "events_hurst_rs",               # r8: rescaled-range (Hurst) table
+    "sample_stratified_neyman",      # r8: Neyman-allocated stratified sample
+    "table_vacuum_plan",             # r8: snapshot-retention VACUUM dry run
 ]
 
 
