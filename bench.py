@@ -105,6 +105,13 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "embedding_jl_projection",
     "sample_reservoir_hash",
+    # round-8 additions: the inverted-index retrieval scorer, the
+    # map-side bloom-pruned fact scan, and the blocked R/S windows —
+    # the wave-41 flagships with distinct plan shapes (BH runs on the
+    # KS reduction, Neyman on 5-row apportionment, VACUUM on staging IO)
+    "text_bm25_topk",
+    "join_bloom_pruned",
+    "events_hurst_rs",
 ]
 
 

@@ -49,17 +49,27 @@ _ROWS_PER_BAND = 4
 # doc key); dedup_ppjoin_prefix additionally swaps its whole verify to the
 # posting-join count (the dedup_ngram_jaccard shape), which never
 # materializes a doc's shingle ARRAY on one machine at all. Both paths are
-# pinned identical in tests/test_wave40.py. 2M docs × ~16 shingle hashes
-# ≈ 256 MB serialized — comfortably under Spark's 8 GB broadcast ceiling
-# with headroom for executor-side deserialization.
+# pinned identical in tests/test_wave40.py. Two caps because the row
+# widths differ ~8x: fixed-width per-doc tables (16-int signatures, size
+# scalars) are ~128 B/row — 2M rows ≈ 256 MB broadcast; shingle-ARRAY
+# tables carry ~100 hashed longs/doc (~800 B/row) — 500k rows ≈ 400 MB.
+# Both leave headroom under Spark's 8 GB broadcast ceiling while keeping
+# the x100 bench fixtures (500k docs) on the fast path for fixed-width
+# sides.
 _VERIFY_BROADCAST_CAP = int(
     os.environ.get("SPARK_GRAFT_VERIFY_BCAST_CAP", "2000000")
 )
+_VERIFY_BROADCAST_CAP_ARRAYS = int(
+    os.environ.get("SPARK_GRAFT_VERIFY_BCAST_CAP_ARRAYS", "500000")
+)
 
 
-def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+def _maybe_broadcast(
+    df: DataFrame, n_rows: int, arrays: bool = False
+) -> DataFrame:
     """Broadcast-hint ``df`` only when its measured size is bounded."""
-    if n_rows <= _VERIFY_BROADCAST_CAP:
+    cap = _VERIFY_BROADCAST_CAP_ARRAYS if arrays else _VERIFY_BROADCAST_CAP
+    if n_rows <= cap:
         return F.broadcast(df)
     return df
 
@@ -1171,7 +1181,7 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_docs = d.count()  # cached-metadata read: d is localCheckpointed above
-    if n_docs <= _VERIFY_BROADCAST_CAP:
+    if n_docs <= _VERIFY_BROADCAST_CAP_ARRAYS:
         arr_a = d.select(
             F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
         )
@@ -1401,6 +1411,7 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")
                 ),
                 n_docs,
+                arrays=True,
             ),
             "doc_a",
         )
@@ -1410,6 +1421,7 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")
                 ),
                 n_docs,
+                arrays=True,
             ),
             "doc_b",
         )

@@ -1581,3 +1581,124 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_rank") <= F.col("k")).cast("int").alias("rejected"),
         )
     )
+
+
+# --- wave 42 (round 8) ---
+
+# Cochran's Q on the (k-1)(k*sum C^2 - N^2) / (k*N - sum R^2) integer
+# identity — one double division over exact BIGINTs, nullif'd for the
+# degenerate all-0/all-k table.
+_COCH_Q = (
+    f"CAST(({_FRIED_K} - 1) AS DOUBLE)"
+    f" * (CAST({_FRIED_K} AS DOUBLE) * CAST(sum_c2 AS DOUBLE)"
+    f"    - CAST(n_success AS DOUBLE) * CAST(n_success AS DOUBLE))"
+    f" / nullif(CAST({_FRIED_K} AS DOUBLE) * CAST(n_success AS DOUBLE)"
+    f"          - CAST(sum_r2 AS DOUBLE), 0)"
+)
+
+
+@query(
+    "stat_cochran_q",
+    oracle=f"""
+    WITH cells AS (
+        SELECT epoch(CAST(ts AS DATE))::BIGINT // 86400 // 7 AS blk,
+               event_type AS t,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT blk FROM cells GROUP BY blk HAVING count(*) = {_FRIED_K}
+    ),
+    cc AS (
+        SELECT c.blk, c.t, c.c FROM cells c JOIN complete b ON b.blk = c.blk
+    ),
+    tot AS (
+        SELECT t, sum(c) AS tot_t, count(*) AS n_blocks FROM cc GROUP BY t
+    ),
+    x AS (
+        SELECT cc.blk, cc.t,
+               CASE WHEN cc.c * tot.n_blocks >= tot.tot_t
+                    THEN 1 ELSE 0 END AS x
+        FROM cc JOIN tot ON tot.t = cc.t
+    ),
+    cols AS (SELECT t, CAST(sum(x) AS BIGINT) AS cj FROM x GROUP BY t),
+    rows_ AS (SELECT blk, CAST(sum(x) AS BIGINT) AS ri FROM x GROUP BY blk),
+    m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_blocks,
+               (SELECT CAST(sum(cj) AS BIGINT) FROM cols) AS n_success,
+               (SELECT CAST(sum(cj * cj) AS BIGINT) FROM cols) AS sum_c2,
+               (SELECT CAST(sum(ri * ri) AS BIGINT) FROM rows_) AS sum_r2
+    )
+    SELECT n_blocks, CAST({_FRIED_K} AS BIGINT) AS k,
+           n_success, sum_c2, sum_r2,
+           round({_COCH_Q}, 6) AS q_stat
+    FROM m
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (Cochran 1950) — the BINARY-outcome twin of the
+    Friedman test, completing the blocked design row of the inference
+    matrix (continuous: Friedman; binary: Q; Q reduces to McNemar at
+    k = 2). Blocks = weeks, treatments = event types, binary outcome =
+    "the type ran ABOVE its own mean weekly volume that week"
+    (c * n_blocks >= total — an exact integer compare, no float
+    threshold), over complete blocks only.
+
+    Q's classical form uses column totals C_j and row totals R_i:
+    Q = (k-1)(k ΣC_j² − N²) / (kN − ΣR_i²) — every moment an exact
+    BIGINT; the single float division is one shared expression, nullif'd
+    for the degenerate table where every week flags all or none.
+
+    Scale shape: facts reduce once to the (week x type) count grid;
+    everything after is arithmetic on that calendar-bounded table — the
+    Friedman scaling argument verbatim, minus even its rank windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            (F.unix_date(F.col("ts").cast("date")) / 7)
+            .cast("long")
+            .alias("blk"),
+            F.col("event_type").alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == _FRIED_K)
+        .select("blk")
+    )
+    cc = cells.join(F.broadcast(complete), "blk")
+    tot = cc.groupBy("t").agg(
+        F.sum("c").alias("tot_t"), F.count(F.lit(1)).alias("n_blocks")
+    )
+    x = cc.join(F.broadcast(tot), "t").select(
+        "blk",
+        "t",
+        (F.col("c") * F.col("n_blocks") >= F.col("tot_t"))
+        .cast("int")
+        .alias("x"),
+    )
+    cols = x.groupBy("t").agg(F.sum("x").cast("long").alias("cj"))
+    rows_ = x.groupBy("blk").agg(F.sum("x").cast("long").alias("ri"))
+    m = (
+        cols.agg(
+            F.sum("cj").cast("long").alias("n_success"),
+            F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sum_c2"),
+        )
+        .crossJoin(
+            rows_.agg(
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sum_r2"),
+            )
+        )
+    )
+    return m.selectExpr(
+        "n_blocks",
+        f"CAST({_FRIED_K} AS BIGINT) AS k",
+        "n_success",
+        "sum_c2",
+        "sum_r2",
+        f"round({_COCH_Q}, 6) AS q_stat",
+    )

@@ -1495,3 +1495,109 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(_BM25_TOPK)
     )
+
+
+_ZIPF_N = 100
+# OLS slope/intercept over MICRO-QUANTIZED (ln rank, ln freq) points:
+# each ln is rounded to 1e-6 and stored as an integer, so the five
+# moments are exact BIGINTs and the regression is summation-order-free;
+# the only engine-float steps are the per-point ln (shared expression,
+# quantized) and the two final divisions.
+_ZIPF_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)"
+)
+_ZIPF_INTERCEPT = (
+    "(CAST(sy AS DOUBLE) - (" + _ZIPF_SLOPE + ") * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE) / 1000000.0"
+)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r
+        FROM freq
+        ORDER BY f DESC, word
+        LIMIT {_ZIPF_N}
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS xm,
+               CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS ym
+        FROM top
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xm) AS BIGINT) AS sx,
+               CAST(sum(ym) AS BIGINT) AS sy,
+               CAST(sum(xm::HUGEINT * xm) AS BIGINT) AS sxx,
+               CAST(sum(xm::HUGEINT * ym) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           round({_ZIPF_SLOPE}, 6) AS zipf_slope,
+           round({_ZIPF_INTERCEPT}, 6) AS ln_c_intercept
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-{_ZIPF_N} terms — natural text
+    sits near slope −1 (Zipf 1949), and the deviation is a standing
+    corpus-quality signal (template/boilerplate corpora go shallow;
+    deduped natural text steepens). The companion to text_vocab_growth's
+    Heaps-law curve: Heaps watches vocabulary GROWTH, Zipf watches the
+    frequency SHAPE.
+
+    Determinism: ranks come from the (freq DESC, word) total order; each
+    ln is micro-quantized (x1e6, round-half-up) to an integer BEFORE the
+    moments, so all five regression moments are exact BIGINTs and the
+    slope/intercept are two shared double expressions — the
+    events_hurst_rs discipline applied to log-log regression.
+
+    Scale shape: one map-combinable word count (the wordcount shuffle
+    every corpus pipeline already pays), a top-k TakeOrdered over the
+    vocabulary, then arithmetic on {_ZIPF_N} rows of metadata.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.col("f").desc(), "word")
+        .limit(_ZIPF_N)
+        .select(
+            "f",
+            F.row_number()
+            .over(W.orderBy(F.col("f").desc(), "word"))
+            .alias("r"),
+        )
+    )
+    pts = top.select(
+        F.expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)").alias("xm"),
+        F.expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)").alias("ym"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.sum(dec("xm") * F.col("xm")).cast("long").alias("sxx"),
+        F.sum(dec("xm") * F.col("ym")).cast("long").alias("sxy"),
+    )
+    return m.selectExpr(
+        "n AS n_terms",
+        f"round({_ZIPF_SLOPE}, 6) AS zipf_slope",
+        f"round({_ZIPF_INTERCEPT}, 6) AS ln_c_intercept",
+    )

@@ -554,6 +554,9 @@ DRIVER_ORDER: list[str] = [
     "events_hurst_rs",               # r8: rescaled-range (Hurst) table
     "sample_stratified_neyman",      # r8: Neyman-allocated stratified sample
     "table_vacuum_plan",             # r8: snapshot-retention VACUUM dry run
+    # -- round-8 additions (wave 42) --
+    "stat_cochran_q",                # r8: blocked binary k-sample test
+    "text_zipf_fit",                 # r8: Zipf slope via micro-quantized log-log OLS
 ]
 
 

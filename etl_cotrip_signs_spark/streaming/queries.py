@@ -375,10 +375,11 @@ def _tws_unavailable_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``queries()`` with an honest rows-only CORRECTNESS row instead of
     silently disappearing or erroring.
 
-    Round-5 re-checks (2026-08-14/15), round-6 re-probe (2026-08-15) and
-    round-7 re-probe (2026-08-16, this runtime): ``import google.protobuf``
-    still raises ModuleNotFoundError, ``pip download protobuf`` produces no
-    artifact (no network), and installs are forbidden; the waiver stands.
+    Round-5 re-checks (2026-08-14/15), round-6 re-probe (2026-08-15),
+    round-7 re-probe (2026-08-16) and round-8 re-probe (2026-08-16, this
+    runtime): ``import google.protobuf`` still raises ModuleNotFoundError,
+    ``pip download protobuf`` fails on name resolution (no network), and
+    installs are forbidden; the waiver stands.
     The processor class above self-activates (HAS_TWS) the moment a runtime
     ships protobuf — no code change needed then."""
     return spark.createDataFrame(

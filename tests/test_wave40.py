@@ -39,6 +39,7 @@ def test_ppjoin_posting_verify_matches_broadcast_verify(spark, monkeypatch):
     base = _rows(dedup.dedup_ppjoin_prefix(spark, SF_SMALL))
     assert base, "fixture should contain near-duplicate pairs"
     monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP", 0)
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP_ARRAYS", 0)
     fallback_df = dedup.dedup_ppjoin_prefix(spark, SF_SMALL)
     # the 100 TB path must not hint-broadcast the shingle-array table
     assert "ResolvedHint" not in _analyzed(fallback_df)
@@ -49,6 +50,7 @@ def test_band_tuning_unhinted_matches_broadcast(spark, monkeypatch):
     base = _rows(dedup.dedup_minhash_band_tuning(spark, SF_SMALL))
     assert len(base) == 3
     monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP", 0)
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP_ARRAYS", 0)
     fallback_df = dedup.dedup_minhash_band_tuning(spark, SF_SMALL)
     assert "ResolvedHint" not in _analyzed(fallback_df)
     assert _rows(fallback_df) == base
@@ -57,6 +59,7 @@ def test_band_tuning_unhinted_matches_broadcast(spark, monkeypatch):
 def test_similarity_histogram_unhinted_matches_broadcast(spark, monkeypatch):
     base = _rows(dedup.dedup_similarity_histogram(spark, SF_SMALL))
     monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP", 0)
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP_ARRAYS", 0)
     fallback_df = dedup.dedup_similarity_histogram(spark, SF_SMALL)
     assert "ResolvedHint" not in _analyzed(fallback_df)
     assert _rows(fallback_df) == base

@@ -84,9 +84,20 @@ def load_oracle_cache() -> dict:
 def save_oracle_cache(cache: dict) -> None:
     if os.environ.get("SPARK_GRAFT_ORACLE_CACHE", "1") == "0":
         return
-    tmp = ORACLE_CACHE_PATH + ".tmp"
+    # Merge-on-write: concurrent sweep SHARDS each save at exit; re-read
+    # the file and overlay this process's entries so the last writer
+    # cannot clobber a sibling shard's additions. (Entries are keyed per
+    # query, shards partition the queries, so overlay order is moot.)
+    merged: dict = {}
+    try:
+        with open(ORACLE_CACHE_PATH) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged.update(cache)
+    tmp = ORACLE_CACHE_PATH + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump(cache, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     os.replace(tmp, ORACLE_CACHE_PATH)
 
 
@@ -187,8 +198,21 @@ def cached_dtype_skew(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "CORRECTNESS_rehearsal.json")
+    # --shard=k/n: process only queries whose registry index % n == k.
+    # The sweep's wall clock is dominated by per-query fixed overhead
+    # (planning, job scheduling, DuckDB setup) that a single local[32]
+    # session cannot parallelize across queries; two 16-thread shards
+    # overlap it (VERDICT r7 item 6). tools/sweep_shards.py launches the
+    # shards and merges their outputs back into registry order.
+    shard_k, shard_n = 0, 1
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--shard="):
+            shard_k, shard_n = (int(x) for x in a.split("=", 1)[1].split("/"))
+        else:
+            argv.append(a)
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_path = argv[1] if len(argv) > 1 else os.path.join(REPO, "CORRECTNESS_rehearsal.json")
     # The sweep re-derives the shared deterministic intermediates (radius
     # edge list x5 consumers, del1 name pairs x6) dozens of times — opt in
     # to the parquet stage cache for the Spark side. Oracles are unaffected
@@ -202,13 +226,17 @@ def main() -> int:
     fixture_sha = sf_digest(sf_dir)
     n_cache_hits = 0
     t_start = time.time()
-    for qi, (name, fn) in enumerate(registry.QUERIES.items()):
+    qi = 0
+    for ri, (name, fn) in enumerate(registry.QUERIES.items()):
+        if ri % shard_n != shard_k:
+            continue
+        qi += 1
         # Session hygiene: 331 queries in one session accumulate dead
         # localCheckpoint blocks + codegen/AQE caches that inflate later
         # queries 2-5x (bench.py measured this in round 5; the r6 sweep
         # saw isotonic_regression_daily at 25s in-sweep vs 6s in r5).
         # A periodic restart reclaims everything for ~3s each.
-        if qi and qi % 40 == 0:
+        if qi > 1 and qi % 40 == 1:
             spark.stop()
             spark = get_spark()
         t0 = time.time()
