@@ -1310,3 +1310,119 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_exact") + F.expr(_DP_NOISE), 4).alias("noisy_count"),
         F.lit(0.5).alias("epsilon"),
     )
+
+
+# --- wave 43 (round 8) ---
+
+
+@query(
+    "dq_outlier_iqr_fences",
+    # Quartiles as SINGLE order statistics at ceil(n/4) / ceil(3n/4)
+    # (documented rule — no interpolation, so everything stays integer);
+    # Tukey fences doubled (x2) so the 1.5*IQR arithmetic never leaves
+    # BIGINT: low2 = 2*q1 - 3*(q3 - q1), high2 = 2*q3 + 3*(q3 - q1),
+    # outlier iff 2x outside [low2, high2].
+    oracle="""
+    WITH vals AS (
+        SELECT event_type AS t, CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events
+    ),
+    cnt AS (SELECT t, x, count(*) AS c FROM vals GROUP BY t, x),
+    cum AS (
+        SELECT t, x,
+               sum(c) OVER (PARTITION BY t ORDER BY x) AS cm,
+               sum(c) OVER (PARTITION BY t) AS tot
+        FROM cnt
+    ),
+    q AS (
+        SELECT t,
+               min(CASE WHEN cm >= (tot + 3) // 4 THEN x END) AS q1,
+               min(CASE WHEN cm >= (3 * tot + 3) // 4 THEN x END) AS q3,
+               max(tot) AS n
+        FROM cum GROUP BY t
+    )
+    SELECT v.t AS event_type,
+           CAST(max(q.n) AS BIGINT) AS n,
+           CAST(max(q.q1) AS BIGINT) AS q1_milli,
+           CAST(max(q.q3) AS BIGINT) AS q3_milli,
+           CAST(sum(CASE WHEN 2 * v.x < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * v.x > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM vals v JOIN q ON q.t = v.t
+    GROUP BY v.t
+    """,
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type (Tukey 1977's box-plot
+    rule) — the quartile-based companion to events_anomaly_mad: MAD
+    flags by robust z-score around the median; IQR fences flag by
+    distance beyond the quartiles, the rule every DQ dashboard draws.
+    Quartiles are single exact order statistics at ceil(n/4) and
+    ceil(3n/4) from the per-(type, value) count table (no
+    interpolation), and the 1.5xIQR fences run DOUBLED so the whole
+    decision stays in BIGINT — the count per side hash-matches, not just
+    approximately agrees.
+
+    Scale shape: the count table is one combinable aggregate; quartile
+    extraction is a prefix window over the value-domain-bounded count
+    table; the fence pass is the same aggregate shape again with a
+    broadcast 5-row quartile join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    cnt = e.groupBy("t", "x").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("t").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("t")
+    cum = cnt.select(
+        "t",
+        "x",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    q = cum.groupBy("t").agg(
+        F.min(
+            F.when(F.col("cm") >= F.expr("(tot + 3) DIV 4"), F.col("x"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("(3 * tot + 3) DIV 4"), F.col("x"))
+        ).alias("q3"),
+        F.max("tot").alias("n"),
+    )
+    return (
+        e.join(F.broadcast(q), "t")
+        .groupBy("t")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("q1").cast("long").alias("q1_milli"),
+            F.max("q3").cast("long").alias("q3_milli"),
+            F.sum(
+                (
+                    2 * F.col("x")
+                    < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                (
+                    2 * F.col("x")
+                    > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            F.col("t").alias("event_type"),
+            "n",
+            "q1_milli",
+            "q3_milli",
+            "n_low",
+            "n_high",
+        )
+    )

@@ -1001,3 +1001,154 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("matched") == 1, F.col("cents")).otherwise(0)
         ).cast("long").alias("matched_cents"),
     )
+
+
+# HLL precision sweep: the Flajolet et al. 2007 bias constants per m and
+# the shared estimator expression. B = (64 - p) + 1 is the max rank, so
+# pow2_term = 2^(B - reg) fits BIGINT for every p here (B <= 61).
+_HLLP_PS = (4, 6, 8)
+_HLLP_ALPHA = {
+    4: "0.673",
+    6: "0.709",
+    8: "(0.7213 / (1.0 + 1.079 / 256.0))",
+}
+# raw estimate, then the small-range (linear counting) branch — one
+# shared expression string per engine over (m, sum_terms, zeros, b_exp)
+_HLLP_EST = (
+    "CASE WHEN {alpha} * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+    " * CAST({two_b} AS DOUBLE) / CAST(sum_terms AS DOUBLE)"
+    " <= 2.5 * CAST(m AS DOUBLE) AND zeros > 0"
+    " THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE) / CAST(zeros AS DOUBLE))"
+    " ELSE {alpha} * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+    " * CAST({two_b} AS DOUBLE) / CAST(sum_terms AS DOUBLE) END"
+)
+
+
+def _hllp_est(p: int) -> str:
+    return _HLLP_EST.format(alpha=_HLLP_ALPHA[p], two_b=1 << (65 - p))
+
+
+@query(
+    "sketch_hll_precision_sweep",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH h AS (
+        SELECT DISTINCT
+               ((xxh64_long(o_custkey, 42::UBIGINT)::HUGEINT
+                 + 18446744073709551616) % 18446744073709551616)::UBIGINT AS u
+        FROM orders
+    ),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h),
+    {", ".join(f'''
+    regs{p} AS (
+        SELECT (u >> {64 - p})::INT AS bucket,
+               max(CASE WHEN (u % {1 << (64 - p)}::UBIGINT) = 0
+                        THEN {65 - p}
+                        ELSE {65 - p}
+                             - length(bin((u % {1 << (64 - p)}::UBIGINT)::BIGINT))
+                   END) AS reg
+        FROM h GROUP BY 1
+    ),
+    sk{p} AS (
+        SELECT {p} AS p, {1 << p} AS m,
+               sum(CASE WHEN r.reg IS NULL THEN {1 << (65 - p)}::HUGEINT
+                        ELSE (1::HUGEINT << ({65 - p} - r.reg)) END)
+                   AS sum_terms,
+               CAST(sum(CASE WHEN r.reg IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zeros
+        FROM (SELECT unnest(range(0, {1 << p}))::INT AS bucket) g
+        LEFT JOIN regs{p} r ON r.bucket = g.bucket
+    )''' for p in _HLLP_PS)}
+    SELECT s.p, CAST(s.m AS BIGINT) AS m, e.n_exact, s.zeros,
+           round(est, 4) AS est,
+           CAST(round((round(est, 4) - CAST(e.n_exact AS DOUBLE))
+                      / CAST(e.n_exact AS DOUBLE) * 1000000) AS BIGINT)
+               AS err_ppm
+    FROM (
+        {" UNION ALL ".join(f"SELECT p, m, sum_terms, zeros, {_hllp_est(p)} AS est FROM sk{p}" for p in _HLLP_PS)}
+    ) s CROSS JOIN exact e
+    ORDER BY s.p
+    """,
+)
+def sketch_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog precision/error curve, MEASURED (the band-tuning
+    pattern applied to cardinality sketching): the same hash stream
+    sketched at p = 4/6/8 (m = 16/64/256 registers), each estimate from
+    the classical alpha_m·m²/Z formula with the small-range
+    linear-counting branch (Flajolet-Fuss-Gandouet-Meunier 2007), next
+    to the exact distinct count and the signed error in ppm — the table
+    an operator reads to size registers before a 100 TB distinct-count
+    rollup (2x precision = 4x state per group).
+
+    Exactness: registers and the Z numerator (sum of 2^(B−reg) over the
+    COMPLETED m-bucket grid) are exact BIGINTs; alpha·m²·2^B/Z and the
+    ln-based small-range branch are one shared expression per engine,
+    rounded to 1e-4 before the ppm error is derived from the ROUNDED
+    estimate (so both columns hash-match).
+
+    Scale shape: one distinct-projection of the key, then three
+    map-combinable max-aggregates over (bucket) — state is 16+64+256
+    registers total; the sweep output is 3 rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    h = o.select(F.xxhash64("o_custkey").alias("hs")).localCheckpoint(
+        eager=True
+    )  # three register aggregates + the exact count consume it
+    n_exact = h.count()
+    out = None
+    for p in _HLLP_PS:
+        bits = 64 - p
+        m = 1 << p
+        regs = (
+            h.select(
+                F.shiftrightunsigned("hs", bits).cast("int").alias("bucket"),
+                F.expr(f"hs & {(1 << bits) - 1}L").alias("w"),
+            )
+            .select(
+                "bucket",
+                F.when(F.col("w") == 0, F.lit(bits + 1))
+                .otherwise(F.lit(bits + 1) - F.length(F.bin("w")))
+                .cast("int")
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+        grid = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+        sk = (
+            grid.join(regs, "bucket", "left")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("reg").isNull(), F.lit(1 << (bits + 1)).cast("long")
+                    )
+                    .otherwise(F.expr(f"shiftleft(1L, {bits + 1} - reg)"))
+                    .cast("decimal(38,0)")
+                )
+                .alias("sum_terms"),
+                F.sum(F.col("reg").isNull().cast("int"))
+                .cast("long")
+                .alias("zeros"),
+            )
+            .select(
+                F.lit(p).cast("int").alias("p"),
+                F.lit(m).cast("long").alias("m"),
+                F.lit(n_exact).cast("long").alias("n_exact"),
+                "sum_terms",
+                "zeros",
+            )
+        )
+        out = sk if out is None else out.unionAll(sk)
+    est_cases = " ".join(
+        f"WHEN p = {p} THEN {_hllp_est(p)}" for p in _HLLP_PS
+    )
+    return out.selectExpr(
+        "p",
+        "m",
+        "n_exact",
+        "zeros",
+        f"round(CASE {est_cases} END, 4) AS est",
+        f"CAST(round((round(CASE {est_cases} END, 4)"
+        " - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS err_ppm",
+    ).orderBy("p")

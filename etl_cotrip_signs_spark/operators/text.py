@@ -1603,3 +1603,171 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_ZIPF_SLOPE}, 6) AS zipf_slope",
         f"round({_ZIPF_INTERCEPT}, 6) AS ln_c_intercept",
     )
+
+
+# Add-one bigram probability: one shared expression over exact integer
+# counts; ln micro-quantized per test bigram so the corpus logprob sum is
+# an exact BIGINT (summation-order-free), perplexity one exp at the end.
+_BGLM_LOGP = (
+    "CAST(round(ln("
+    "(CAST(coalesce(c12, 0) + 1 AS DOUBLE))"
+    " / (CAST(coalesce(c1, 0) AS DOUBLE) + CAST(v AS DOUBLE))"
+    ") * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+               (((xxh64_long(doc_id, 42::UBIGINT) % 10) + 10) % 10) < 8
+                   AS is_train
+        FROM documents
+    ),
+    tr_big AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM docs, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        WHERE is_train AND len(t) >= 2
+    ),
+    vocab AS (
+        SELECT DISTINCT w FROM (
+            SELECT w1 AS w FROM tr_big UNION ALL SELECT w2 FROM tr_big
+        )
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr_big GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM tr_big GROUP BY w1),
+    vv AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
+    te_big AS (
+        SELECT CASE WHEN v1.w IS NULL THEN '<unk>' ELSE b.w1 END AS w1,
+               CASE WHEN v2.w IS NULL THEN '<unk>' ELSE b.w2 END AS w2
+        FROM (
+            SELECT t[i] AS w1, t[i+1] AS w2
+            FROM docs, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+            WHERE NOT is_train AND len(t) >= 2
+        ) b
+        LEFT JOIN vocab v1 ON v1.w = b.w1
+        LEFT JOIN vocab v2 ON v2.w = b.w2
+    ),
+    scored AS (
+        SELECT {_BGLM_LOGP} AS lp
+        FROM te_big tb
+        LEFT JOIN c12 ON c12.w1 = tb.w1 AND c12.w2 = tb.w2
+        LEFT JOIN c1 ON c1.w1 = tb.w1
+        CROSS JOIN vv
+    ),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs WHERE is_train)
+                   AS n_train_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM docs WHERE NOT is_train)
+                   AS n_test_docs,
+               (SELECT v FROM vv) AS vocab_v,
+               CAST(count(*) AS BIGINT) AS n_test_bigrams,
+               CAST(sum(lp) AS BIGINT) AS sum_logp_micro
+        FROM scored
+    )
+    SELECT n_train_docs, n_test_docs, vocab_v, n_test_bigrams,
+           sum_logp_micro,
+           round(exp(-CAST(sum_logp_micro AS DOUBLE) / 1000000.0
+                     / CAST(n_test_bigrams AS DOUBLE)), 4) AS perplexity
+    FROM counts
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of an add-one-smoothed bigram language model —
+    the classical corpus-quality score (Chen & Goodman 1999's baseline):
+    train on the hash-deterministic 80% doc split, score the other 20%,
+    OOV tokens mapped to <unk>. Low-perplexity corpora are repetitive /
+    templated; the number is what data-mixing recipes threshold on when
+    a real LM scorer is too expensive for a first pass.
+
+    Exactness: the split is xxhash64(doc_id) — replayed by the DuckDB
+    macros; counts are exact integers; each test bigram's
+    ln((c12+1)/(c1+V)) is micro-quantized to a BIGINT before the corpus
+    sum (summation-order-free — the Zipf/Hurst discipline), and the one
+    exp runs on the exact integer sum.
+
+    Scale shape: bigram counting is the wordcount shuffle on pair keys;
+    scoring joins the TEST bigrams (20% of the corpus) against the count
+    tables on those same keys — at 100 TB both sides shuffle once on the
+    bigram key and nothing is ever collected.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens(F.col("text")).alias("t"),
+        (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) < 8).alias(
+            "is_train"
+        ),
+    ).localCheckpoint(eager=True)  # train counts + vocab + test bigrams
+    big = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "is_train",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), (i + 1).cast("int")).alias("w1"),
+                        F.element_at(F.col("t"), (i + 2).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("is_train", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=True)  # feeds train aggs + test side
+    )
+    tr = big.filter("is_train")
+    vocab = (
+        tr.select(F.col("w1").alias("w"))
+        .unionAll(tr.select(F.col("w2").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)  # two membership joins + the count
+    )
+    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v_val = vocab.count() + 1
+    te = (
+        big.filter(~F.col("is_train"))
+        .join(
+            vocab.select(F.col("w").alias("w1"), F.lit(1).alias("in1")),
+            "w1",
+            "left",
+        )
+        .join(
+            vocab.select(F.col("w").alias("w2"), F.lit(1).alias("in2")),
+            "w2",
+            "left",
+        )
+        .select(
+            F.when(F.col("in1").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("w1"))
+            .alias("w1"),
+            F.when(F.col("in2").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("w2"))
+            .alias("w2"),
+        )
+    )
+    scored = (
+        te.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .withColumn("v", F.lit(v_val).cast("long"))
+        .select(F.expr(_BGLM_LOGP).alias("lp"))
+    )
+    n_train = d.filter("is_train").count()
+    n_test = d.filter(~F.col("is_train")).count()
+    return scored.agg(
+        F.lit(n_train).cast("long").alias("n_train_docs"),
+        F.lit(n_test).cast("long").alias("n_test_docs"),
+        F.lit(v_val).cast("long").alias("vocab_v"),
+        F.count(F.lit(1)).cast("long").alias("n_test_bigrams"),
+        F.sum("lp").cast("long").alias("sum_logp_micro"),
+    ).selectExpr(
+        "n_train_docs",
+        "n_test_docs",
+        "vocab_v",
+        "n_test_bigrams",
+        "sum_logp_micro",
+        "round(exp(-CAST(sum_logp_micro AS DOUBLE) / 1000000.0"
+        " / CAST(n_test_bigrams AS DOUBLE)), 4) AS perplexity",
+    )

@@ -557,6 +557,11 @@ DRIVER_ORDER: list[str] = [
     # -- round-8 additions (wave 42) --
     "stat_cochran_q",                # r8: blocked binary k-sample test
     "text_zipf_fit",                 # r8: Zipf slope via micro-quantized log-log OLS
+    # -- round-8 additions (wave 43) --
+    "trend_mann_kendall",            # r8: MK trend z with tie correction
+    "sketch_hll_precision_sweep",    # r8: HLL p=4/6/8 error curve vs exact
+    "text_bigram_perplexity",        # r8: held-out add-one bigram LM perplexity
+    "dq_outlier_iqr_fences",         # r8: Tukey IQR fences, doubled integers
 ]
 
 
