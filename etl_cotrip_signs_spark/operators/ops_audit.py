@@ -1426,3 +1426,96 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high",
         )
     )
+
+
+# --- wave 44 (round 8) ---
+
+_DPX_SEED = chain_seed("dpexp")
+# Gumbel-max exponential mechanism: score = eps*utility/(2*sensitivity)
+# + Gumbel(0,1), with g = -ln(-ln(u01)) from the 52-bit hash uniform.
+# eps = 0.5, sensitivity(count) = 1 -> utility coefficient 0.25.
+_DPX_SCORE = "0.25 * CAST(n_exact AS DOUBLE) + (-ln(-ln(u01)))"
+
+
+@query(
+    "privacy_dp_exponential",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH per AS (
+        SELECT o_orderpriority, count(*) AS n_exact FROM orders
+        GROUP BY o_orderpriority
+    ),
+    u AS (
+        SELECT o_orderpriority, n_exact,
+               ((xxh64_u(encode(o_orderpriority), {_DPX_SEED}::UBIGINT)
+                 % 4503599627370496)::DOUBLE + 0.5) / 4503599627370496 AS u01
+        FROM per
+    ),
+    scored AS (
+        SELECT o_orderpriority, n_exact,
+               round({_DPX_SCORE}, 6) AS score
+        FROM u
+    )
+    SELECT o_orderpriority,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           score,
+           CAST(CASE WHEN row_number() OVER (
+                    ORDER BY score DESC, o_orderpriority) = 1
+                THEN 1 ELSE 0 END AS INT) AS selected,
+           0.5 AS epsilon
+    FROM scored
+    """,
+)
+def privacy_dp_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private SELECTION via the exponential mechanism
+    (McSherry & Talwar 2007), realized with the Gumbel-max trick: each
+    candidate's score is eps*utility/(2*sensitivity) + Gumbel(0,1) noise,
+    and the argmax is distributed exactly as the exponential mechanism
+    prescribes — the standard way to release "which category is most
+    common" without releasing the counts. Completes the DP pair:
+    privacy_dp_laplace_counts perturbs NUMBERS, this perturbs a CHOICE.
+
+    Determinism rule as in the Laplace release: u ~ U(0,1) from the low
+    52 bits of xxhash64 of the candidate key (52-bit ints convert to
+    double exactly), so the Gumbel draw, the scores, and the SELECTION
+    itself are reproducible and cross-engine hash-checked. The argmax
+    ranks on the ROUNDED score with a key tiebreak, so the decision
+    column cannot flip on a ulp. n_exact rides as an honesty column (the
+    query demonstrates the mechanism, not a privacy boundary).
+
+    Scale shape: one combinable count aggregate; scoring and the argmax
+    run on k candidate rows of metadata.
+    """
+    per = load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    u = per.withColumn(
+        "u01",
+        (
+            F.expr(
+                "CAST(xxhash64('dpexp', o_orderpriority)"
+                " & 4503599627370495 AS DOUBLE)"
+            )
+            + 0.5
+        )
+        / float(1 << 52),
+    )
+    scored = u.select(
+        "o_orderpriority",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(F.expr(_DPX_SCORE), 6).alias("score"),
+    )
+    return scored.select(
+        "o_orderpriority",
+        "n_exact",
+        "score",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "o_orderpriority")
+            )
+            == 1
+        )
+        .cast("int")
+        .alias("selected"),
+        F.lit(0.5).alias("epsilon"),
+    )

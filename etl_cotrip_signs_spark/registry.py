@@ -562,6 +562,9 @@ DRIVER_ORDER: list[str] = [
     "sketch_hll_precision_sweep",    # r8: HLL p=4/6/8 error curve vs exact
     "text_bigram_perplexity",        # r8: held-out add-one bigram LM perplexity
     "dq_outlier_iqr_fences",         # r8: Tukey IQR fences, doubled integers
+    # -- round-8 additions (wave 44) --
+    "graph_k_truss",                 # r8: 4-truss peel to fixpoint, unrolled oracle
+    "privacy_dp_exponential",        # r8: Gumbel-max exponential mechanism
 ]
 
 
