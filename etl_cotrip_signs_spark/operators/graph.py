@@ -1975,8 +1975,11 @@ _TRUSS_LAST = f"e{_TRUSS_ORACLE_ROUNDS}"
     # re-prove convergence rather than change the result. (A recursive CTE
     # cannot express this peel: the recursive term may reference the
     # working set once, and triangle support needs three self-references.)
-    # The Spark side iterates to an actual fixpoint with a runaway guard
-    # and ASSERTS it converged within the oracle's unroll budget.
+    # The `converged` column pins the budget ITSELF: the oracle computes
+    # |e4| = |e5| while Spark (which iterates to a true fixpoint with a
+    # generous runaway guard — denser graphs need more rounds, measured on
+    # the x10 replica fixture) emits literal true — so an under-unrolled
+    # oracle hash-FAILS loudly instead of silently comparing a non-fixpoint.
     oracle=f"""
     WITH e0 AS MATERIALIZED (
         SELECT a.vec_id AS s, b.vec_id AS d
@@ -1997,8 +2000,13 @@ _TRUSS_LAST = f"e{_TRUSS_ORACLE_ROUNDS}"
             UNION ALL SELECT y, z FROM tri_final
             UNION ALL SELECT x, z FROM tri_final
         ) GROUP BY s, d
+    ),
+    conv AS (
+        SELECT (SELECT count(*) FROM e{_TRUSS_ORACLE_ROUNDS - 1})
+               = (SELECT count(*) FROM {_TRUSS_LAST}) AS converged
     )
-    SELECT e.s, e.d, CAST(f.sup AS BIGINT) AS support
+    SELECT e.s, e.d, CAST(f.sup AS BIGINT) AS support,
+           (SELECT converged FROM conv) AS converged
     FROM {_TRUSS_LAST} e JOIN final_sup f ON f.s = e.s AND f.d = e.d
     """,
 )
@@ -2032,7 +2040,7 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_prev = edges.count()
-    for rounds in range(1, _TRUSS_ORACLE_ROUNDS + 1):
+    for rounds in range(1, 65):  # runaway guard only; fixpoint is the exit
         e1 = edges.select(F.col("s").alias("x"), F.col("d").alias("y"))
         e2 = edges.select(F.col("s").alias("y"), F.col("d").alias("z"))
         e3 = edges.select(F.col("s").alias("x"), F.col("d").alias("z"))
@@ -2058,9 +2066,7 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_prev = n_cur
     else:
         raise AssertionError(
-            f"k-truss did not converge within {_TRUSS_ORACLE_ROUNDS} rounds "
-            "— raise _TRUSS_ORACLE_ROUNDS (the oracle unrolls the same "
-            "budget, so both sides move together)"
+            "k-truss runaway: no fixpoint within 64 peel rounds"
         )
     e1 = edges.select(F.col("s").alias("x"), F.col("d").alias("y"))
     e2 = edges.select(F.col("s").alias("y"), F.col("d").alias("z"))
@@ -2073,4 +2079,6 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "d")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
-    return edges.join(sup, ["s", "d"]).select("s", "d", "support")
+    return edges.join(sup, ["s", "d"]).select(
+        "s", "d", "support", F.lit(True).alias("converged")
+    )
