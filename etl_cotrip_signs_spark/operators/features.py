@@ -619,3 +619,81 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_WOE} AS woe",
         f"{_IV_TERM} AS iv_term",
     )
+
+
+# --- wave 45 (round 8) ---
+
+_KFOLD_K = 5
+
+
+@query(
+    "feature_kfold_assignment",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH folded AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(((xxh64_long(doc_id, 42::UBIGINT) % {_KFOLD_K})
+                     + {_KFOLD_K}) % {_KFOLD_K} AS INT) AS fold
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(n_chars) AS BIGINT) AS chars_all
+        FROM folded
+    )
+    SELECT f.fold,
+           CAST(count(*) AS BIGINT) AS n_val_docs,
+           CAST(sum(f.n_chars) AS BIGINT) AS val_chars,
+           CAST(count(DISTINCT f.lang) AS BIGINT) AS n_val_langs,
+           CAST(min(f.doc_id) AS BIGINT) AS min_doc_id,
+           CAST(t.n_all - count(*) AS BIGINT) AS n_train_docs,
+           CAST(t.chars_all - sum(f.n_chars) AS BIGINT) AS train_chars
+    FROM folded f CROSS JOIN tot t
+    GROUP BY f.fold, t.n_all, t.chars_all
+    """,
+)
+def feature_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment over the corpus:
+    fold = xxhash64(doc_id) mod {_KFOLD_K} — the eval-carving primitive
+    between split_train_test's single holdout and split_time_purged's
+    temporal folds. Hash assignment makes folds REPRODUCIBLE across
+    engines, reruns, and cluster sizes (no rand(), no partition-order
+    dependence), folds are disjoint and exhaustive by construction, and
+    each fold's validation/train complements are reported so the
+    standard k-fold loop can budget per-fold token counts before any
+    training run.
+
+    Scale shape: one map-side fold projection + one combinable aggregate;
+    the totals ride in via a broadcast 1-row cross join. Nothing
+    shuffles but the k-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    folded = d.withColumn(
+        "fold",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_KFOLD_K)).cast("int"),
+    )
+    tot = folded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("n_chars").cast("long").alias("chars_all"),
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_val_docs"),
+            F.sum("n_chars").cast("long").alias("val_chars"),
+            F.countDistinct("lang").cast("long").alias("n_val_langs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_val_docs",
+            "val_chars",
+            "n_val_langs",
+            "min_doc_id",
+            (F.col("n_all") - F.col("n_val_docs")).alias("n_train_docs"),
+            (F.col("chars_all") - F.col("val_chars")).alias("train_chars"),
+        )
+    )

@@ -989,3 +989,88 @@ def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("last_doc"),
         F.sum("bytes").cast("long").alias("bytes"),
     )
+
+
+# --- wave 45 (round 8) ---
+
+_TAR_BLOCK = 512
+
+
+@query(
+    "multimodal_tar_offsets",
+    # USTAR layout arithmetic (POSIX.1-1988, public spec): each member is
+    # one 512-byte header block + its data padded up to a 512 multiple;
+    # the archive ends with two zero blocks. Offsets are therefore pure
+    # prefix sums over member sizes in manifest order — which is exactly
+    # what a WebDataset-style reader precomputes to random-access a shard
+    # without scanning it.
+    oracle=f"""
+    WITH members AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS data_bytes,
+               CAST({_TAR_BLOCK} + {_TAR_BLOCK} *
+                    ((n_chars + {_TAR_BLOCK} - 1) // {_TAR_BLOCK})
+                    AS BIGINT) AS entry_bytes
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, data_bytes, entry_bytes,
+               CAST(coalesce(sum(entry_bytes) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS header_offset
+        FROM members
+    )
+    SELECT doc_id, data_bytes,
+           header_offset,
+           header_offset + {_TAR_BLOCK} AS data_offset,
+           entry_bytes,
+           CAST((SELECT sum(entry_bytes) + 2 * {_TAR_BLOCK} FROM members)
+                AS BIGINT) AS archive_bytes
+    FROM laid
+    """,
+)
+def multimodal_tar_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar (USTAR) member offset table for a WebDataset-style shard of the
+    document corpus: where each member's header and data begin, its
+    padded entry size, and the total archive size — the index a training
+    reader precomputes so a 100 TB shard store supports RANDOM ACCESS
+    (seek straight to member k) instead of sequential scans. Pure
+    POSIX tar arithmetic: 512-byte header + data padded to 512, two zero
+    trailer blocks; the multimodal decode seam stays stubbed
+    (multimodal_decode_stub) while THIS plumbing — the part Spark
+    actually executes at scale — is exact and oracle-checked.
+
+    Scale shape: one prefix-sum window over the manifest in member
+    order (the shard_pack discipline: plan over metadata, payload bytes
+    never move); per-shard partitioning makes the window
+    partition-local in production.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("data_bytes")
+    )
+    blk = _TAR_BLOCK
+    members = d.select(
+        "doc_id",
+        "data_bytes",
+        F.expr(
+            f"CAST({blk} + {blk} * ((data_bytes + {blk - 1}) DIV {blk})"
+            " AS BIGINT)"
+        ).alias("entry_bytes"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.partitionBy()
+    return members.select(
+        "doc_id",
+        "data_bytes",
+        F.coalesce(F.sum("entry_bytes").over(w), F.lit(0))
+        .cast("long")
+        .alias("header_offset"),
+        (
+            F.coalesce(F.sum("entry_bytes").over(w), F.lit(0)) + blk
+        ).cast("long").alias("data_offset"),
+        "entry_bytes",
+        (F.sum("entry_bytes").over(w_all) + 2 * blk)
+        .cast("long")
+        .alias("archive_bytes"),
+    )

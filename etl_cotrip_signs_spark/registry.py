@@ -565,6 +565,9 @@ DRIVER_ORDER: list[str] = [
     # -- round-8 additions (wave 44) --
     "graph_k_truss",                 # r8: 4-truss peel to fixpoint, unrolled oracle
     "privacy_dp_exponential",        # r8: Gumbel-max exponential mechanism
+    # -- round-8 additions (wave 45) --
+    "multimodal_tar_offsets",        # r8: USTAR member-offset index arithmetic
+    "feature_kfold_assignment",      # r8: deterministic hash k-fold carve
 ]
 
 
