@@ -1091,8 +1091,15 @@ def sketch_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers total; the sweep output is 3 rows.
     """
     o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
-    h = o.select(F.xxhash64("o_custkey").alias("hs")).localCheckpoint(
-        eager=True
+    # Distinct AFTER hashing (ADVICE r8 item 3): the oracle counts DISTINCT
+    # 64-bit hash values, so on an xxhash64 collision a key-distinct Spark
+    # side would keep a duplicate hash row the oracle dedups and the
+    # n_exact/err_ppm columns would diverge. Both engines now sketch the
+    # identical distinct-hash stream.
+    h = (
+        o.select(F.xxhash64("o_custkey").alias("hs"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )  # three register aggregates + the exact count consume it
     n_exact = h.count()
     out = None

@@ -100,3 +100,66 @@ def test_oracle_cache_never_serves_scratch_oracles():
     rendered = "SELECT * FROM read_parquet('/tmp/x/f.parquet')"
     cache = {"q@/sf": _entry(rendered)}
     assert oracle_cache_lookup(cache, "q", "/sf", rendered, template, "fix1") is None
+
+
+def test_oracle_cache_unreadable_fixture_never_matches():
+    """ADVICE r8 item 2: an unreadable fixture dir digests to the constant
+    '<unreadable>' — that sentinel must never MATCH a cached entry (even one
+    saved under the same sentinel), forcing a live oracle run."""
+    sql = "SELECT 1 AS a"
+    ent = _entry(sql)
+    ent["sf_sha"] = "<unreadable>"
+    cache = {"q@/sf": ent}
+    assert (
+        oracle_cache_lookup(cache, "q", "/sf", sql, sql, "<unreadable>") is None
+    )
+
+
+def test_sf_digest_sees_content_not_just_stat(tmp_path):
+    """ADVICE r8 item 2: equal-size same-mtime rewrites must change the
+    fixture digest — the digest now folds head/tail content bytes in."""
+    from tools.driver_rehearsal import sf_digest
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"A" * 128)
+    st = os.stat(p)
+    d1 = sf_digest(str(tmp_path))
+    p.write_bytes(b"B" * 128)  # same size
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime
+    d2 = sf_digest(str(tmp_path))
+    assert d1 != d2
+
+
+def test_save_oracle_cache_writes_delta_only(tmp_path, monkeypatch):
+    """ADVICE r8 item 1: a later-exiting shard must not write back its
+    startup snapshot of sibling-shard keys — save_oracle_cache persists only
+    the entries the caller computed, overlaid on a fresh re-read."""
+    import tools.driver_rehearsal as dr
+
+    path = str(tmp_path / "cache.json")
+    monkeypatch.setattr(dr, "ORACLE_CACHE_PATH", path)
+    json.dump({"shared@sf": {"canon_sha": "stale"}}, open(path, "w"))
+    # shard A starts (snapshots the file), shard B refreshes the shared key
+    json.dump({"shared@sf": {"canon_sha": "fresh"}}, open(path, "w"))
+    # shard A exits, saving only ITS new entry — B's refresh must survive
+    dr.save_oracle_cache({"mine@sf": {"canon_sha": "new"}})
+    final = json.load(open(path))
+    assert final["shared@sf"]["canon_sha"] == "fresh"
+    assert final["mine@sf"]["canon_sha"] == "new"
+
+
+def test_shard_merge_preserves_registry_order_and_partition():
+    """VERDICT r8 item 7: the index-mod shard partition assigns every
+    registry index to exactly one shard, and the merged artifact is written
+    in registry order (the merge comprehension iterates registry.QUERIES)."""
+    names = list(registry.QUERIES)
+    for n_shards in (2, 3):
+        seen: dict[str, int] = {}
+        for k in range(n_shards):
+            for i, name in enumerate(names):
+                if i % n_shards == k:
+                    assert name not in seen, (
+                        f"{name} assigned to shards {seen[name]} and {k}"
+                    )
+                    seen[name] = k
+        assert len(seen) == len(names)

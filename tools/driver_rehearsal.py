@@ -56,16 +56,26 @@ def sf_digest(sf_dir: str) -> str:
     Folded into every cache entry (ADVICE r7 item 2): the SQL digest alone
     cannot see the DATA changing — regenerating testdata under the same
     path would otherwise silently replay stale oracle canon hashes.
-    (name, size, mtime_ns) per file is cheap and catches any rewrite."""
+    Per file: (name, size, mtime_ns, head/tail content hash). The content
+    bytes close the ADVICE r8 hole where a fixture regenerated with
+    preserved timestamps (cp -p / rsync -a) or an equal-size rewrite would
+    replay stale hashes — parquet stores row-group metadata + a footer
+    checksum in the tail, so any data change perturbs these bytes."""
     try:
         names = sorted(
             f for f in os.listdir(sf_dir) if f.endswith(".parquet")
         )
-        sig = [
-            (f, os.stat(os.path.join(sf_dir, f)).st_size,
-             os.stat(os.path.join(sf_dir, f)).st_mtime_ns)
-            for f in names
-        ]
+        sig = []
+        for f in names:
+            p = os.path.join(sf_dir, f)
+            st = os.stat(p)
+            h = hashlib.sha256()
+            with open(p, "rb") as fh:
+                h.update(fh.read(65536))
+                if st.st_size > 65536:
+                    fh.seek(max(0, st.st_size - 65536))
+                    h.update(fh.read(65536))
+            sig.append((f, st.st_size, st.st_mtime_ns, h.hexdigest()))
     except OSError:
         return "<unreadable>"
     return hashlib.sha256(json.dumps(sig).encode()).hexdigest()
@@ -81,20 +91,25 @@ def load_oracle_cache() -> dict:
         return {}
 
 
-def save_oracle_cache(cache: dict) -> None:
+def save_oracle_cache(new_entries: dict) -> None:
+    """Persist only entries THIS process computed or refreshed.
+
+    ADVICE r8 item 1: overlaying the process's full startup snapshot (as
+    the r8 merge did) wrote sibling-shard keys back at their stale startup
+    values, clobbering entries the sibling just refreshed. Callers now pass
+    the newly-computed delta only; it is overlaid on a fresh re-read of the
+    file, so concurrent shards compose regardless of exit order."""
     if os.environ.get("SPARK_GRAFT_ORACLE_CACHE", "1") == "0":
         return
-    # Merge-on-write: concurrent sweep SHARDS each save at exit; re-read
-    # the file and overlay this process's entries so the last writer
-    # cannot clobber a sibling shard's additions. (Entries are keyed per
-    # query, shards partition the queries, so overlay order is moot.)
+    if not new_entries:
+        return
     merged: dict = {}
     try:
         with open(ORACLE_CACHE_PATH) as f:
             merged = json.load(f)
     except (OSError, ValueError):
         pass
-    merged.update(cache)
+    merged.update(new_entries)
     tmp = ORACLE_CACHE_PATH + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
@@ -170,6 +185,10 @@ def oracle_cache_lookup(
     the same path busts every entry — ADVICE r7 item 2)."""
     if "{SCRATCH:" in template:
         return None
+    if fixture_sha == "<unreadable>":
+        # ADVICE r8 item 2: an unreadable fixture dir must never MATCH
+        # another '<unreadable>' sentinel — force a live oracle run.
+        return None
     ent = cache.get(f"{name}@{sf_dir}")
     if ent is None:
         return None
@@ -223,6 +242,7 @@ def main() -> int:
     spark = get_spark()
     results: dict[str, dict] = {}
     cache = load_oracle_cache()
+    new_cache_entries: dict[str, dict] = {}
     fixture_sha = sf_digest(sf_dir)
     n_cache_hits = 0
     t_start = time.time()
@@ -297,7 +317,7 @@ def main() -> int:
                             canon_sha(spark_canon) == canon_sha(_canon(opdf))
                         )
                     if cacheable and not skew:
-                        cache[ck] = {
+                        new_cache_entries[ck] = cache[ck] = {
                             "sql_sha": hashlib.sha256(sql.encode()).hexdigest(),
                             "sf_sha": fixture_sha,
                             "oracle_rows": len(opdf),
@@ -318,7 +338,7 @@ def main() -> int:
     total = time.time() - t_start
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
-    save_oracle_cache(cache)
+    save_oracle_cache(new_cache_entries)
     n_pass = sum(1 for r in results.values() if r["hash_match"])
     n_rows = sum(1 for r in results.values() if r["err"] == "no_oracle" and r["spark_rows"] is not None)
     n_fail = len(results) - n_pass - n_rows

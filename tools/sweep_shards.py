@@ -55,21 +55,40 @@ def main() -> int:
                 env=env,
             )
         )
-    rc = 0
-    for p in procs:
-        rc |= p.wait()
+    # ADVICE r8 item 4: surface a crashed shard by IDENTITY before merging —
+    # a missing shard output otherwise raises an unrelated FileNotFoundError
+    # that masks the real failure.
+    failed = []
+    for k, p in enumerate(procs):
+        src = p.wait()
+        if src not in (0, 1):  # 1 = ran fine, some queries FAILed
+            failed.append(f"shard {k}/{n} exited {src}")
+        elif not os.path.exists(shard_outs[k]):
+            failed.append(f"shard {k}/{n} exited {src} but wrote no output file")
+    if failed:
+        raise SystemExit("sweep shard failure: " + "; ".join(failed))
+    rc = max(p.returncode for p in procs)
     # merge back into registry order so the artifact is diffable across
     # rounds regardless of shard layout
     from etl_cotrip_signs_spark import registry
 
     registry.load_all()
     rows: dict[str, dict] = {}
+    n_rows_before = 0
     for so in shard_outs:
-        rows.update(json.load(open(so)))
+        shard_rows = json.load(open(so))
+        n_rows_before += len(shard_rows)
+        rows.update(shard_rows)
         os.remove(so)
+    # The index-mod partition means no query can run in two shards; assert
+    # it (a dict.update would silently keep the later shard's row).
+    assert n_rows_before == len(rows), "a query ran in more than one shard"
     merged = {name: rows[name] for name in registry.QUERIES if name in rows}
     missing = [name for name in registry.QUERIES if name not in rows]
     assert not missing, f"shards dropped queries: {missing}"
+    assert list(merged) == [n for n in registry.QUERIES if n in merged], (
+        "merged artifact not in registry order"
+    )
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=2)
     total = time.time() - t0
