@@ -387,36 +387,54 @@ def cross_partition_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("agg_approx_error_bounds")  # rows-only by nature: instruments the
-# approximate operators against their exact twins (like the recall queries)
+@query(
+    "agg_approx_error_bounds",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           TRUE AS nd_within_3rsd,
+           TRUE AS p50_within_eps
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
 def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error instrumentation for the approximate aggregation surface:
-    approx_count_distinct and percentile_approx vs their exact twins over
-    orders, one row per (metric, group) with the relative error — the
-    driver record gets a hard number for how approximate 'approx' is each
-    round (the sketch configs are fixed, so drift means a data change).
+    approx_count_distinct (HLL++, rsd=0.023) and percentile_approx
+    (eps = 1/accuracy = 0.01) vs their exact twins over orders.
+
+    Graduated to a hash oracle in round 9 (VERDICT r8 item 6) as a DECISION
+    hash: the sketch internals are Spark-private so DuckDB cannot replay
+    the raw approx values, but it fully verifies the exact twins and
+    asserts the documented-bound decisions — ``nd_within_3rsd`` (relative
+    error <= 3x the requested rsd) and ``p50_within_eps`` (the returned
+    element lies between the exact 0.48/0.52 interpolated quantiles, a
+    superset of the rank-eps guarantee). A sketch drifting outside its
+    published bound flips a boolean and fails the driver hash loudly.
     At scale the approximate forms are the only affordable ones; this query
-    is the evidence they stay within their documented bounds (HLL ~2.3%,
-    quantile eps=0.01 here)."""
+    is the evidence they stay within their documented bounds."""
     o = load_table(spark, sf_dir, "orders")
     per = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.023).alias("approx_nd"),
         F.countDistinct("o_custkey").alias("exact_nd"),
         F.percentile_approx("o_totalprice", 0.5, 100).alias("approx_p50"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.48)").alias("exact_p48"),
+        F.expr("percentile(o_totalprice, 0.52)").alias("exact_p52"),
     )
-    rel = lambda a, e: F.round(F.abs(a - e) / F.abs(e), 6)  # noqa: E731
+    nd_rel = F.abs(
+        F.col("approx_nd").cast("double") - F.col("exact_nd").cast("double")
+    ) / F.col("exact_nd").cast("double")
     return per.select(
         "o_orderpriority",
-        "approx_nd",
         "exact_nd",
-        rel(F.col("approx_nd").cast("double"), F.col("exact_nd").cast("double")).alias(
-            "nd_rel_err"
-        ),
-        F.round("approx_p50", 2).alias("approx_p50"),
         F.round("exact_p50", 2).alias("exact_p50"),
-        rel(F.col("approx_p50"), F.col("exact_p50")).alias("p50_rel_err"),
-    )
+        (nd_rel <= F.lit(3 * 0.023)).alias("nd_within_3rsd"),
+        (
+            (F.col("approx_p50") >= F.col("exact_p48"))
+            & (F.col("approx_p50") <= F.col("exact_p52"))
+        ).alias("p50_within_eps"),
+    ).orderBy("o_orderpriority")
 
 
 # 2^52: 13 hex chars of the md5 fit a double EXACTLY (<= 52 bits), so the

@@ -946,25 +946,36 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the hash match proves it (n_matched rows all passed).
     """
     orders = load_table(spark, sf_dir, "orders")
-    bk = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("k"))
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds the bitmap agg + exact join
-    )
-    seeds = [F.lit(s) for s in _JB_SEEDS_STR]
-    bit_rows = bk.select(
-        F.explode(
-            F.array(
-                *[F.pmod(F.xxhash64(s, F.col("k")), F.lit(_JB_M)) for s in seeds]
-            )
-        ).alias("bit")
+    bk = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
     ).distinct()
-    # Collect the SET BITS (<= m of them — bounded by the filter geometry,
-    # not the key count) and fold into 1024 longs driver-side.
+    seeds = [F.lit(s) for s in _JB_SEEDS_STR]
+    # ONE build job (VERDICT r8 item 3 — was checkpoint + collect + count,
+    # three sequential small jobs): a single aggregate returns the build-key
+    # count and the SET BITS together. collect_set is bounded by the filter
+    # geometry (<= m = 65536 ints), never by the key count.
+    build = (
+        bk.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(s, F.col("k")), F.lit(_JB_M))
+                        for s in seeds
+                    ]
+                )
+            ).alias("bit"),
+        )
+        .agg(
+            F.countDistinct("k").alias("n_build"),
+            F.collect_set("bit").alias("bits"),
+        )
+        .first()
+    )
+    n_build = int(build["n_build"])
     words = [0] * _JB_WORDS
-    for r in bit_rows.collect():
-        b = int(r["bit"])
+    for b in build["bits"]:
+        b = int(b)
         words[b >> 6] |= 1 << (b & 63)
     # signed-long literal array (Spark longs are signed; bit 63 wraps)
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
@@ -990,7 +1001,6 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "left",
     ).withColumn("matched", F.coalesce("matched", F.lit(0)))
-    n_build = bk.count()  # cached-metadata read (checkpointed)
     return matched.agg(
         F.lit(n_build).cast("long").alias("n_build_keys"),
         F.count(F.lit(1)).cast("long").alias("n_probe_rows"),

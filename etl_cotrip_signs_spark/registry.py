@@ -130,6 +130,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (similarity), pipeline_training_corpus + select_token_budget (training),
 # stream_tumbling_events + stream_foreach_batch_upsert (streaming).
 DRIVER_ORDER: list[str] = [
+    # ROTATION (round 9, VERDICT r8 task 1): 36 slots rotate to
+    # first-timers — all 16 round-8 wave-41..45 operators (none had driver
+    # history; several carry this round's r8-ADVICE fixes straight into
+    # slots, e.g. sketch_hll_precision_sweep's distinct-hash fix), the
+    # round-9 graduation agg_approx_error_bounds (first hash-checked round
+    # ever — decision-hash oracle), and 19 never-driver-checked long-tail
+    # queries spanning uncovered areas (TPC-H x4, Spark-4 surface x2,
+    # graph + ML iterative x2, privacy, entity resolution, as-of joins,
+    # robust stats x2, geo, pareto, IVM, markov, text, DQ). The same 14
+    # area/perf reps keep green history and the STATUS perf targets under
+    # driver watch.
     # ROTATION (round 8, VERDICT r7 task 1): 36 slots rotate to
     # first-timers — all 13 round-7 operators (the 12 wave-38/39 queries
     # plus the graduated stream_stream_left_join; several carry r7-ADVICE
@@ -163,42 +174,79 @@ DRIVER_ORDER: list[str] = [
     "dedup_components_ngram",         # perf-watch rep: STATUS target (green r2-r6)
     "knn_lsh_ann",                    # perf-watch rep: STATUS target (rows-only by nature)
     "stream_tumbling_events",         # perf-watch rep: streaming (green r2-r6)
-    "sample_reservoir_hash",      # r8 in, r7 wave: hash-reservoir sample
-    "embedding_jl_projection",    # r8 in, r7 wave: JL Rademacher projection
-    "stat_levene_bf",             # r8 in, r7 wave: Brown-Forsythe variance test
-    "sketch_kmv_distinct",        # r8 in, r7 wave: KMV/theta distinct sketch
-    "ml_naive_bayes_events",      # r8 in, r7 wave: Naive Bayes classifier
-    "privacy_dp_laplace_counts",  # r8 in, r7 wave: DP Laplace release
-    "table_clone_shallow",        # r8 in, r7 wave: shallow table clone
-    "events_acf_multi_lag",       # r8 in, r7 wave: multi-lag ACF + the r7-ADVICE nullif guard
-    "dedup_minhash_band_tuning",  # r8 in, r7 wave: LSH band-tuning sweep + the r7-ADVICE gate/widening fixes
-    "agg_listagg_ordered",        # r8 in, r7 wave: LISTAGG WITHIN GROUP
-    "stat_friedman_test",         # r8 in, r7 wave: Friedman test
-    "multimodal_shard_pack",      # r8 in, r7 wave: order-preserving shard pack
-    "stream_stream_left_join",    # r8 in, r7 graduation: watermark-evicted outer join + the r7-ADVICE oracle guards
-    "dedup_minhash_recall",       # r8 in, r8 graduation: LSH recall vs exact, new hash oracle
-    "signs_capabilities_matrix",  # r8 in, long tail: Part A capabilities schema (A7)
-    "signs_config_validation",    # r8 in, long tail: Part A config validation (A8)
-    "q4_order_priority",          # r8 in, long tail: TPC-H exists-semijoin
-    "q14_promo_revenue",          # r8 in, long tail: TPC-H conditional agg
-    "q17_small_quantity_revenue", # r8 in, long tail: TPC-H correlated avg subquery
-    "q19_disjunctive_predicates", # r8 in, long tail: TPC-H OR-of-ANDs pushdown
-    "stream_dedup_watermark",     # r8 in, long tail: streaming watermark dedup
-    "stream_stateful_user_totals", # r8 in, long tail: flatMapGroupsWithState totals
-    "text_lang_id",               # r8 in, long tail: n-gram language ID
-    "text_wordcount_topk",        # r8 in, long tail: corpus top-k terms
-    "graph_triangle_count_degree", # r8 in, long tail: degree-ordered triangle count
-    "graph_hits_exact",           # r8 in, long tail: HITS hubs/authorities
-    "events_funnel_conversion",   # r8 in, long tail: ordered-step funnel
-    "events_retention_cohort",    # r8 in, long tail: weekly retention cohorts
-    "jsonl_scan_roundtrip",       # r8 in, long tail: JSONL source round trip
-    "parquet_codec_roundtrip",    # r8 in, long tail: parquet codec matrix
-    "stats_welch_ttest",          # r8 in, long tail: Welch t-test
-    "stat_spearman_rank",         # r8 in, long tail: Spearman rank correlation
-    "layout_hilbert_codes",       # r8 in, long tail: Hilbert curve layout codes
-    "multimodal_patch_grid",      # r8 in, long tail: ViT patch-grid plumbing
-    "pack_sequences",             # r8 in, long tail: token sequence packing
-    "cdc_merge_upsert",           # r8 in, long tail: CDC MERGE upsert
+    "stat_benjamini_hochberg",    # r9 in, r8 wave 41: BH step-up FDR
+    "text_bm25_topk",             # r9 in, r8 wave 41: Okapi BM25 retrieval
+    "join_bloom_pruned",          # r9 in, r8 wave 41: bloom-pruned join + the r9 one-pass build fold
+    "events_hurst_rs",            # r9 in, r8 wave 41: rescaled-range Hurst
+    "sample_stratified_neyman",   # r9 in, r8 wave 41: Neyman allocation
+    "table_vacuum_plan",          # r9 in, r8 wave 41: VACUUM retention dry run
+    "stat_cochran_q",             # r9 in, r8 wave 42: Cochran's Q
+    "text_zipf_fit",              # r9 in, r8 wave 42: Zipf log-log slope
+    "trend_mann_kendall",         # r9 in, r8 wave 43: MK trend test
+    "sketch_hll_precision_sweep", # r9 in, r8 wave 43: HLL error curve + the r8-ADVICE distinct-hash fix
+    "text_bigram_perplexity",     # r9 in, r8 wave 43: bigram LM perplexity
+    "dq_outlier_iqr_fences",      # r9 in, r8 wave 43: Tukey IQR fences
+    "graph_k_truss",              # r9 in, r8 wave 44: 4-truss peel
+    "privacy_dp_exponential",     # r9 in, r8 wave 44: DP exponential mechanism
+    "multimodal_tar_offsets",     # r9 in, r8 wave 45: USTAR offset index
+    "feature_kfold_assignment",   # r9 in, r8 wave 45: hash k-fold carve
+    "agg_approx_error_bounds",    # r9 in, r9 graduation: sketch-bound decision hash (rows-only -> oracle)
+    "q11_important_stock",        # r9 in, long tail: TPC-H value-threshold HAVING
+    "q12_priority_by_flag",       # r9 in, long tail: TPC-H shipmode buckets
+    "q15_top_supplier",           # r9 in, long tail: TPC-H view-max join
+    "q22_dormant_accounts",       # r9 in, long tail: TPC-H anti-join + avg subquery
+    "xml_scan_roundtrip",         # r9 in, long tail: Spark 4 native XML source
+    "sql_udf_money_pipeline",     # r9 in, long tail: SQL-defined functions
+    "graph_pagerank_exact",       # r9 in, long tail: integer power iteration
+    "kmeans_lloyd_exact",         # r9 in, long tail: integer Lloyd's iterations
+    "privacy_k_anonymity",        # r9 in, long tail: k-anon/l-diversity gate
+    "entity_blocking_soundex",    # r9 in, long tail: phonetic blocking
+    "join_asof_directions",       # r9 in, long tail: as-of join family
+    "weighted_median_lineitem",   # r9 in, long tail: weight-mass median
+    "trend_theil_sen",            # r9 in, long tail: robust median slope
+    "geo_cell_density",           # r9 in, long tail: heatmap tile binning
+    "skyline_price_size",         # r9 in, long tail: 2D Pareto frontier
+    "ivm_agg_delta",              # r9 in, long tail: incremental view maintenance
+    "events_markov_stationary",   # r9 in, long tail: stationary distribution
+    "text_rake_keywords",         # r9 in, long tail: RAKE keyword scoring
+    "dq_constraint_report",       # r9 in, long tail: declarative DQ gate
+    # -- r9 rotation out (the 36 r8-slot greens; all pass r8) --
+    "sample_reservoir_hash",
+    "embedding_jl_projection",
+    "stat_levene_bf",
+    "sketch_kmv_distinct",
+    "ml_naive_bayes_events",
+    "privacy_dp_laplace_counts",
+    "table_clone_shallow",
+    "events_acf_multi_lag",
+    "dedup_minhash_band_tuning",
+    "agg_listagg_ordered",
+    "stat_friedman_test",
+    "multimodal_shard_pack",
+    "stream_stream_left_join",
+    "dedup_minhash_recall",
+    "signs_capabilities_matrix",
+    "signs_config_validation",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "stream_dedup_watermark",
+    "stream_stateful_user_totals",
+    "text_lang_id",
+    "text_wordcount_topk",
+    "graph_triangle_count_degree",
+    "graph_hits_exact",
+    "events_funnel_conversion",
+    "events_retention_cohort",
+    "jsonl_scan_roundtrip",
+    "parquet_codec_roundtrip",
+    "stats_welch_ttest",
+    "stat_spearman_rank",
+    "layout_hilbert_codes",
+    "multimodal_patch_grid",
+    "pack_sequences",
+    "cdc_merge_upsert",
     # -- r8 rotation out (the 36 r7-slot greens; all pass r7) --
     "table_time_travel",              # r7 in, r6 wave: manifest snapshot reads + the r6-ADVICE oracle fix
     "deletion_vector_read",           # r7 in, r6 wave: positional DV suppression
@@ -353,20 +401,15 @@ DRIVER_ORDER: list[str] = [
     "diag_key_skew",                 # r4b: key-skew pre-flight profile (oracle)
     "agg_histogram_orders",          # r4b: equi-width histogram (oracle)
     "layout_compaction",             # r4b: small-file compaction audit (rows)
-    "dq_constraint_report",          # r4b: declarative DQ gate (oracle)
     "events_transition_counts",      # r4b: Markov transition matrix (oracle)
     "basket_pair_counts",            # r4b: market-basket co-occurrence (oracle)
     "orders_rfm_segments",           # r4b: RFM quartile segmentation (oracle)
     "events_ab_test_lift",           # r4b: md5-arm A/B readout, exact ppm (oracle)
-    "geo_cell_density",              # r4b: heatmap tile binning (oracle)
     "events_funnel_duration",        # r4b: time-to-convert percentiles (oracle)
     # -- round-4c additions (continuation session 3) --
     "events_cusum_drift",            # r4c: CUSUM via prefix-minus-running-min (oracle)
     "agg_mode_deterministic",        # r4c: tie-broken per-group mode (oracle)
     "window_count_distinct_running", # r4c: running COUNT(DISTINCT) trick (oracle)
-    "skyline_price_size",            # r4c: 2D Pareto frontier, window vs NOT-EXISTS (oracle)
-    "ivm_agg_delta",                 # r4c: incremental agg-view maintenance (oracle)
-    "weighted_median_lineitem",      # r4c: weight-mass median via cumulative walk (oracle)
     "agg_histogram_equidepth",       # r4c: CBO-style equi-depth bounds via ntile (oracle)
     "embedding_dim_stats",           # r4c: per-dimension vector stats, exact e6 ints (oracle)
     "trend_daily_revenue",           # r4c: least-squares slope from exact moments (oracle)
@@ -423,21 +466,16 @@ DRIVER_ORDER: list[str] = [
     "window_topk_orders_per_cust",
     "window_running_revenue",
     # -- round-3 additions --
-    "q12_priority_by_flag",
-    "q22_dormant_accounts",
     "window_time_range_events",
     "mix_domain_weights",
     "upsample_fractional",
     "curriculum_buckets",
     "cross_partition_duplicate_audit",
-    "agg_approx_error_bounds",
     "sort_within_partitions_check",
     "bpe_merge_candidates",
     "kmeans_lloyd_embeddings",
     "events_resample_gapfill",
     "schema_evolution_roundtrip",
-    "q11_important_stock",
-    "q15_top_supplier",
     "signs_datasource_writer_sink",
     "stream_rocksdb_state_agg",
     "stream_incremental_dedup",
@@ -489,13 +527,8 @@ DRIVER_ORDER: list[str] = [
     # -- round-5 additions --
     "graph_link_prediction_ra",      # r5: resource-allocation link prediction (oracle)
     "events_autocorr_lag1",          # r5: exact-moment lag-1 autocorrelation (oracle)
-    "kmeans_lloyd_exact",            # r5: integer Lloyd's, unrolled-CTE oracle (oracle)
-    "graph_pagerank_exact",          # r5: integer power iteration, unrolled oracle (oracle)
     "events_seasonal_decompose",     # r5: classical decomposition, exact integers (oracle)
-    "privacy_k_anonymity",           # r5: k-anon / l-diversity release gate (oracle)
-    "entity_blocking_soundex",       # r5: phonetic blocking via cross-engine soundex (oracle)
     "layout_zorder_codes",           # r5: morton bit math, hash-verified (oracle)
-    "trend_theil_sen",               # r5: robust median-slope, exact fractions (oracle)
     "agg_approx_distinct",           # r5 late rotation out of slot 6 for text_bpe_apply
     "entity_match_phonetic_block",   # r5: block->compare->classify linkage (oracle)
     "dq_benford_digits",             # r5: first-digit Benford audit, exact ppm (oracle)
@@ -506,16 +539,13 @@ DRIVER_ORDER: list[str] = [
     "isotonic_regression_daily",     # r5: loop-free PAVA via the minimax identity (oracle)
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
     "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
-    "join_asof_directions",          # r5: backward/forward/nearest as-of family (oracle)
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
     "events_attribution_position",   # r5: U-shaped multi-touch, exact ppm books (oracle)
-    "sql_udf_money_pipeline",        # r5: Spark 4 SQL-defined functions, inlined (oracle)
     "join_broadcast_brand_revenue",  # r5 late rotation out of the first 50 (green r1-r4)
     "graph_triangle_count",          # r5 late rotation out of the first 50 (green r4)
     "events_anomaly_iqr",            # r5 late rotation out of the first 50 (green r4)
     # --- round-5 continuation-2 waves (oracle unless noted) ---
     "sketch_bloom_membership",       # r5c2: deterministic Bloom filter, FP set in-hash
-    "xml_scan_roundtrip",            # r5c2: Spark 4 native XML datasource
     "partition_overwrite_dynamic",   # r5c2: dynamic partition overwrite semantics
     "graph_link_prediction_jaccard", # r5c2: neighborhood-Jaccard baseline
     "arrow_grouped_norm_ppm",        # r5c2: applyInArrow grouped kernels
@@ -535,39 +565,21 @@ DRIVER_ORDER: list[str] = [
     "kmeans_maximin_init",           # r5c3: deterministic maximin seeding
     "events_retention_matrix",       # r5c3: cohort-week retention triangle
     "trend_ols_two_features",        # r5c3: 2-feature OLS, Cramer exact
-    "events_markov_stationary",      # r5c3: stationary distribution, exact
     "stat_signflip_permutation",     # r5c3: xxh64-replayed permutation test
     "events_cross_correlation",      # r5c3: lagged daily cross-correlation
     # -- round-5 continuation-4 additions (first-50 rotations above:
     # stat_kruskal_wallis, join_null_aware_anti, recsys_item_item_cosine,
     # stream_bitmap_distinct, sql_scripting_topk_bisect,
     # graph_random_walk_xxh, agg_bitmap_distinct_rollup, orders_survival_km) --
-    "text_rake_keywords",            # r5c4: degree-scoring RAKE
     "text_phrase_search",            # r5c4: positional phrase retrieval
     "dq_functional_dependency",      # r5c4: FD discovery audit
     # -- round-7 additions (wave 38) --
     # -- round-7 additions (wave 39) --
     # -- round-8 additions (wave 41) --
-    "stat_benjamini_hochberg",       # r8: BH step-up FDR over one-vs-rest KS drift
-    "text_bm25_topk",                # r8: Okapi BM25 ranked retrieval
-    "join_bloom_pruned",             # r8: map-side bloom-pruned join, FP-accounted
-    "events_hurst_rs",               # r8: rescaled-range (Hurst) table
-    "sample_stratified_neyman",      # r8: Neyman-allocated stratified sample
-    "table_vacuum_plan",             # r8: snapshot-retention VACUUM dry run
     # -- round-8 additions (wave 42) --
-    "stat_cochran_q",                # r8: blocked binary k-sample test
-    "text_zipf_fit",                 # r8: Zipf slope via micro-quantized log-log OLS
     # -- round-8 additions (wave 43) --
-    "trend_mann_kendall",            # r8: MK trend z with tie correction
-    "sketch_hll_precision_sweep",    # r8: HLL p=4/6/8 error curve vs exact
-    "text_bigram_perplexity",        # r8: held-out add-one bigram LM perplexity
-    "dq_outlier_iqr_fences",         # r8: Tukey IQR fences, doubled integers
     # -- round-8 additions (wave 44) --
-    "graph_k_truss",                 # r8: 4-truss peel to fixpoint, unrolled oracle
-    "privacy_dp_exponential",        # r8: Gumbel-max exponential mechanism
     # -- round-8 additions (wave 45) --
-    "multimodal_tar_offsets",        # r8: USTAR member-offset index arithmetic
-    "feature_kfold_assignment",      # r8: deterministic hash k-fold carve
 ]
 
 
