@@ -1,0 +1,115 @@
+"""Densification-free x10 scale probe for graph_k_truss (VERDICT r8 item 4).
+
+The generic scale_check replication copies each embedding VERBATIM (same
+vector, same label), so replicas of neighboring vectors form cosine-1.0
+cliques across replicas — the similarity graph densifies ~100x in EDGES for
+10x rows, and the r8 ladder's 10.3x wall ratio measured that fixture
+physics, not the peel. This probe replicates embeddings with a
+REPLICA-QUALIFIED label (label + replica * 1000): same-label pairs can only
+form within a replica, so the edge set grows EXACTLY 10x and the x1->x10
+wall ratio finally measures the plan — two equi-joins + one agg per peel
+round over the surviving edge set.
+
+Usage: python tools/truss_scale.py [--base DIR] [--out FILE]
+Prints one JSON line with walls, edge counts, and the per-edge ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+from etl_cotrip_signs_spark import registry
+from etl_cotrip_signs_spark.session import get_spark
+
+REPLICAS = 10
+OFFSET = 100_000_000
+LABEL_OFFSET = 1000
+
+
+def stage(spark, base: str) -> str:
+    from etl_cotrip_signs_spark.session import scratch_dir
+
+    out = scratch_dir(f"truss{REPLICAS}x", base)
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+    src = spark.read.parquet(f"{base}/embeddings.parquet")
+    (
+        src.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * OFFSET)
+        .withColumn("label", F.col("label") + F.col("__rep") * LABEL_OFFSET)
+        .drop("__rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    open(marker, "w").write("staged\n")
+    return out
+
+
+def run_once(spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = registry.QUERIES["graph_k_truss"](spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    registry.load_all()
+
+    spark = get_spark("truss-scale")
+    big = stage(spark, args.base)
+    from etl_cotrip_signs_spark.operators.similarity import (
+        similarity_threshold_pairs,
+    )
+
+    e1 = similarity_threshold_pairs(spark, args.base).count()
+    e10 = similarity_threshold_pairs(spark, big).count()
+    spark.stop()
+
+    try:
+        spark = get_spark("truss-scale")
+        w1 = min(run_once(spark, args.base)[0] for _ in range(2))
+        t1 = run_once(spark, args.base)[1]
+        spark.stop()
+        spark = get_spark("truss-scale")
+        w10, t10 = run_once(spark, big)
+        spark.stop()
+        ratio = round(w10 / w1, 2)
+        payload = json.dumps(
+            {
+                "query": "graph_k_truss",
+                "replication": "replica-qualified labels (no cross-replica edges)",
+                "edges_x1": e1,
+                "edges_x10": e10,
+                "edge_ratio": round(e10 / e1, 2),
+                "truss_rows_x1": t1,
+                "truss_rows_x10": t10,
+                "x1": round(w1, 2),
+                "x10": round(w10, 2),
+                "ratio": ratio,
+                "ratio_per_edge": round(ratio / (e10 / e1), 3),
+            }
+        )
+        print(payload)
+        if args.out:
+            open(args.out, "w").write(payload + "\n")
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
