@@ -65,6 +65,124 @@ def emissions(spark, sf_dir: str) -> tuple[int, int]:
     return d.count(), int(row["emissions"])
 
 
+def capped_sweep(spark, sf_dir: str, cap: int) -> dict:
+    """Bounded-emission variant (VERDICT r8 item 5): per (band, h) bucket
+    keep only the ``cap`` lowest-hash docs before the self-join, so bucket
+    occupancy — which replica physics inflates ~100x at x100 — can emit at
+    most C(cap, 2) pairs per bucket. The capped run COMPLETES in one JVM
+    at x100; reported beside it are the capped emission count (measured)
+    and the uncapped model count from bucket occupancy, so the
+    carrying-cost model has a wall-clock anchor. Top-occupancy sampling is
+    deterministic (xxhash64 rank), so the reading is reproducible."""
+    from pyspark.sql import Window as W
+
+    from etl_cotrip_signs_spark.operators.dedup import (
+        _TUNE_CONFIGS,
+        jaccard_arrays,
+    )
+
+    t0 = time.perf_counter()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hs_df = hashed_shingles(d).localCheckpoint(eager=True)
+    sig = hs_df.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _mh_perm(i))).alias(f"mh_{i}")
+            for i in range(_MINHASH_K)
+        ],
+    ).localCheckpoint(eager=True)
+    buckets = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh_{i}") for i in range(16)])
+        ).alias("band", "h"),
+    )
+    kept = (
+        buckets.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("band", "h").orderBy(
+                    F.xxhash64("doc_id"), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    cap_row = (
+        kept.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("emissions"))
+        .collect()[0]
+    )
+    cand = (
+        kept.select(F.col("doc_id").alias("doc_a"), "band", "h")
+        .join(
+            kept.select(F.col("doc_id").alias("doc_b"), "band", "h"),
+            ["band", "h"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(16)],
+    )
+    hits = {}
+    for b_cnt, r in _TUNE_CONFIGS:
+        band_hit = None
+        for band in range(b_cnt):
+            h = None
+            for j in range(r):
+                eq = F.col(f"a{r * band + j}") == F.col(f"b{r * band + j}")
+                h = eq if h is None else (h & eq)
+            band_hit = h if band_hit is None else (band_hit | h)
+        hits[f"b{b_cnt}r{r}"] = band_hit
+    scored = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(
+            hs_df.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            hs_df.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            *[expr.alias(cfg) for cfg, expr in hits.items()],
+            (
+                F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5
+            ).alias("is_true"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sweep = {}
+    for b_cnt, r in _TUNE_CONFIGS:
+        cfg = f"b{b_cnt}r{r}"
+        row = scored.filter(F.col(cfg)).agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.col("is_true").cast("int")).alias("n_verified"),
+        ).collect()[0]
+        sweep[cfg] = {
+            "n_candidates": int(row["n_candidates"] or 0),
+            "n_verified": int(row["n_verified"] or 0),
+        }
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "cap": cap,
+        "wall": wall,
+        "emissions_capped": int(cap_row["emissions"]),
+        "sweep": sweep,
+    }
+
+
 def run_query(spark, sf_dir: str) -> tuple[float, dict]:
     t0 = time.perf_counter()
     pdf = registry.QUERIES["dedup_minhash_band_tuning"](spark, sf_dir).toPandas()
@@ -79,8 +197,33 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_X100_r08.json"))
+    ap.add_argument("--capped", type=int, default=0,
+                    help="run ONLY the bounded-emission x100 variant with "
+                    "this per-bucket cap (VERDICT r8 item 5)")
     args = ap.parse_args()
     registry.load_all()
+
+    if args.capped:
+        spark = get_spark("band-tuning-scale")
+        x100_dir = build_10x(spark, args.base, 100)
+        n1, e1 = emissions(spark, args.base)
+        n100, e100 = emissions(spark, x100_dir)
+        entry = {
+            "variant": "bounded-emission x100 (per-bucket top-occupancy cap)",
+            "docs": {"x1": n1, "x100": n100},
+            "pair_emissions_model": {"x1": e1, "x100": e100},
+            "x100_capped": capped_sweep(spark, x100_dir, args.capped),
+            "x1_capped": capped_sweep(spark, args.base, args.capped),
+        }
+        spark.stop()
+        out = {}
+        if os.path.exists(args.out):
+            out = json.load(open(args.out))
+        out.setdefault("queries", {})["dedup_minhash_band_tuning_capped"] = entry
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(entry, indent=2))
+        return
 
     entry: dict = {}
     spark = get_spark("band-tuning-scale")
