@@ -1519,3 +1519,93 @@ def privacy_dp_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("selected"),
         F.lit(0.5).alias("epsilon"),
     )
+
+
+# --- wave 46 (round 9) ---
+
+_RR_SEED = chain_seed("rr")
+# Warner 1965 randomized response with p = 3/4: each respondent answers
+# truthfully iff their coin (2 hash bits) lands in 3 of 4 states. The
+# unbiased estimator (share + p - 1) / (2p - 1) is ONE shared double
+# expression over exact integers.
+_RR_EST = (
+    "(CAST(n_reported_yes AS DOUBLE) / CAST(n_users AS DOUBLE)"
+    " + 0.75 - 1.0) / (2.0 * 0.75 - 1.0)"
+)
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH truth AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t
+        FROM events GROUP BY user_id
+    ),
+    coined AS (
+        SELECT t,
+               CASE WHEN ((xxh64_long(user_id, {_RR_SEED}::UBIGINT) % 4)
+                          + 4) % 4 < 3
+                    THEN t ELSE 1 - t END AS r
+        FROM truth
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(t) AS BIGINT) AS n_true_yes,
+               CAST(sum(r) AS BIGINT) AS n_reported_yes
+        FROM coined
+    )
+    SELECT n_users, n_true_yes, n_reported_yes,
+           round({_RR_EST}, 6) AS est_share_yes,
+           0.75 AS p_truth
+    FROM m
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized response (1965) — the local-DP primitive under
+    federated telemetry: each user reports their sensitive bit ("ever
+    purchased") truthfully with probability p = 3/4 and inverted
+    otherwise, giving per-user plausible deniability (ε = ln(p/(1-p)) =
+    ln 3 local DP); the collector recovers the population share with the
+    unbiased estimator (observed + p − 1)/(2p − 1).
+
+    The coin is the repo's determinism rule: 2 bits of xxhash64('rr',
+    user_id), replayed bit-for-bit by the DuckDB macros, so the noisy
+    RELEASE itself is hash-checked (n_true_yes is the honesty column a
+    production release would drop, as in privacy_dp_laplace_counts).
+
+    Scale shape: one per-user combinable max, one map-side coin flip, one
+    global aggregate — a single shuffle on user_id that the per-user
+    reduction already pays. Output is 1 row.
+    """
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("t")
+        )
+    )
+    coined = truth.select(
+        "t",
+        F.when(
+            F.pmod(F.xxhash64(F.lit("rr"), F.col("user_id")), F.lit(4)) < 3,
+            F.col("t"),
+        )
+        .otherwise(1 - F.col("t"))
+        .alias("r"),
+    )
+    m = coined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("t").cast("long").alias("n_true_yes"),
+        F.sum("r").cast("long").alias("n_reported_yes"),
+    )
+    return m.selectExpr(
+        "n_users",
+        "n_true_yes",
+        "n_reported_yes",
+        f"round({_RR_EST}, 6) AS est_share_yes",
+        "0.75 AS p_truth",
+    )

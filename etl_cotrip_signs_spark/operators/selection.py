@@ -514,3 +514,89 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sample_sum_milli"),
         )
     )
+
+
+# --- wave 46 (round 9) ---
+
+_BAL_SEED = chain_seed("bal")
+
+
+@query(
+    "sample_balanced_class",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY xxh64_long(doc_id, {_BAL_SEED}::UBIGINT), doc_id
+               ) AS rk
+        FROM documents
+    ),
+    k AS (
+        SELECT CAST(min(cnt) AS BIGINT) AS k
+        FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    )
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN r.rk <= k.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN r.rk <= k.k THEN r.doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum,
+           CAST(sum(CASE WHEN r.rk <= k.k THEN r.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked r CROSS JOIN k
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    k = min(class size) documents — the majority-class throttle a
+    training-mix builder runs when a skewed corpus would drown minority
+    languages (the corpus-mix twin of mix_domain_weights, which reweights
+    instead of dropping). Selection within a class is by xxhash64 rank,
+    so the kept set is reproducible across engines, reruns, and cluster
+    layouts (no rand(), no partition-order dependence) and the oracle
+    replays it exactly — kept_id_sum pins the SELECTED SET, not just its
+    size.
+
+    Scale shape: one window rank per class (the shuffle a per-class
+    sample always pays), one broadcast 1-row min, one combinable
+    aggregate. Output is one row per class.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    ranked = d.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.xxhash64(F.lit("bal"), F.col("doc_id")), F.col("doc_id")
+            )
+        ),
+    )
+    k = d.groupBy("lang").count().agg(F.min("count").alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+            F.sum((F.col("rk") <= F.col("k")).cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.col("doc_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.col("n_chars")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1169,3 +1169,146 @@ def sketch_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1000000)"
         " AS BIGINT) AS err_ppm",
     ).orderBy("p")
+
+
+# --- wave 46 (round 9) ---
+
+# CMS width sweep: same d=4 rows, widths 64/256/1024 — the 2x-width =
+# half-the-collision-mass curve an operator reads before sizing a 100 TB
+# frequency sketch. md5("key#r@w") is the engine-portable row hash (the
+# sketch_cms_heavy_hitters discipline with a per-width salt so widths are
+# independent sketches, not prefixes of each other).
+_CMSW_WIDTHS = (64, 256, 1024)
+_CMSW_D = 4
+
+
+def _cmsw_bucket_sql(key_expr: str, r: int, w: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '#{r}@{w}'), 1, 8)) "
+        f"AS BIGINT) % {w}"
+    )
+
+
+def _cmsw_sweep_sql() -> str:
+    per_width = []
+    for w in _CMSW_WIDTHS:
+        cells = " UNION ALL ".join(
+            f"SELECT {r} AS r, {_cmsw_bucket_sql('key', r, w)} AS bucket, "
+            "sum(exact_cnt) AS cell FROM keyed GROUP BY 1, 2"
+            for r in range(_CMSW_D)
+        )
+        probes = " UNION ALL ".join(
+            f"SELECT key, exact_cnt, {r} AS r, "
+            f"{_cmsw_bucket_sql('key', r, w)} AS bucket FROM keyed"
+            for r in range(_CMSW_D)
+        )
+        per_width.append(f"""
+    SELECT {w} AS w, {_CMSW_D} AS d,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(exact_cnt) AS BIGINT) AS n_total,
+           CAST(sum(cms_est - exact_cnt) AS BIGINT) AS sum_overest,
+           CAST(max(cms_est - exact_cnt) AS BIGINT) AS max_overest,
+           CAST(sum(CASE WHEN cms_est > exact_cnt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overestimated
+    FROM (
+        SELECT p.key, p.exact_cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
+        FROM ({probes}) p JOIN ({cells}) c
+          ON p.r = c.r AND p.bucket = c.bucket
+        GROUP BY p.key, p.exact_cnt
+    )""")
+    return " UNION ALL ".join(per_width)
+
+
+def _cmsw_bucket_spark(key: F.Column, r: int, w: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(key.cast("string"), F.lit(f"#{r}@{w}")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+@query(
+    "sketch_cms_width_sweep",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT l_partkey AS key, count(*) AS exact_cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT * FROM ({_cmsw_sweep_sql()}) ORDER BY w
+    """,
+)
+def sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch width/error curve, MEASURED (the HLL
+    precision-sweep pattern applied to frequency sketching): the same
+    key-count stream sketched at w = 64/256/1024 (d = 4 rows), each
+    width's per-key min-cell estimate compared against the exact count —
+    total/max overestimate and the count of collided keys, all exact
+    BIGINTs (CMS never underestimates, so the error columns are pure
+    collision mass). This is the table an operator reads before sizing a
+    100 TB heavy-hitter pass: doubling w halves the expected collision
+    mass at 2x the (still constant-size) state.
+
+    Scale shape: facts reduce once to the per-key count table; each
+    (width, row) cell table is a map-combinable sum into at most w
+    buckets — 4 x (64 + 256 + 1024) = 5,376 cells total regardless of
+    corpus size; probes re-join the broadcast cells. Output is 3 rows.
+
+    Cross-engine exactness: md5("key#r@w") bucketing replayed verbatim
+    in DuckDB; every output column is an integer.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    keyed = li.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    keyed = keyed.localCheckpoint(eager=True)  # 3 widths x (cells + probes)
+    out = None
+    for w in _CMSW_WIDTHS:
+        cells = None
+        probes = None
+        for r in range(_CMSW_D):
+            c = keyed.groupBy(
+                F.lit(r).alias("r"),
+                _cmsw_bucket_spark(F.col("key"), r, w).alias("bucket"),
+            ).agg(F.sum("exact_cnt").alias("cell"))
+            p = keyed.select(
+                "key",
+                "exact_cnt",
+                F.lit(r).alias("r"),
+                _cmsw_bucket_spark(F.col("key"), r, w).alias("bucket"),
+            )
+            cells = c if cells is None else cells.unionByName(c)
+            probes = p if probes is None else probes.unionByName(p)
+        est = (
+            probes.join(F.broadcast(cells), ["r", "bucket"])
+            .groupBy("key", "exact_cnt")
+            .agg(F.min("cell").alias("cms_est"))
+        )
+        row = est.agg(
+            F.lit(w).cast("int").alias("w"),
+            F.lit(_CMSW_D).cast("int").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("exact_cnt").cast("long").alias("n_total"),
+            F.sum(F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("sum_overest"),
+            F.max(F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("max_overest"),
+            F.sum((F.col("cms_est") > F.col("exact_cnt")).cast("int"))
+            .cast("long")
+            .alias("n_overestimated"),
+        ).select("w", "d", "n_keys", "n_total", "sum_overest",
+                 "max_overest", "n_overestimated")
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("w")

@@ -1702,3 +1702,97 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_r2",
         f"round({_COCH_Q}, 6) AS q_stat",
     )
+
+
+# --- wave 46 (round 9) ---
+
+# Grubbs' G = max|x - mean| / sd as ONE shared double expression over four
+# exact integers (n, sum, sumsq, scaled max deviation). The max deviation
+# is kept n-SCALED (max|n*x - sum|) so it stays an exact BIGINT — the
+# doubled-midrank trick applied to a mean: n*x - sum = n*(x - mean).
+_GRUBBS_G = (
+    "(CAST(maxdev_scaled AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)"
+    "         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    "        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))"
+)
+
+
+@query(
+    "stat_grubbs_outlier",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               sum(cents * cents) AS ssq
+        FROM c GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT c.o_orderpriority,
+               CAST(max(abs(g.n * c.cents - g.s)) AS BIGINT) AS maxdev_scaled
+        FROM c JOIN g ON g.o_orderpriority = c.o_orderpriority
+        GROUP BY c.o_orderpriority
+    )
+    SELECT g.o_orderpriority, g.n, g.s AS sum_cents, d.maxdev_scaled,
+           round({_GRUBBS_G}, 6) AS g_stat,
+           round({_GRUBBS_G}, 6) > 3.0 AS is_outlier
+    FROM g JOIN dev d ON d.o_orderpriority = g.o_orderpriority
+    ORDER BY g.o_orderpriority
+    """,
+)
+def stat_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-deviation outlier test (Grubbs 1950) per order
+    priority: G = max|x − mean| / sd over order totals in cents, with the
+    literal critical value 3.0 as the flag (the z-score-of-the-extreme
+    test an anomaly gate runs per partition before trusting its stats).
+    Completes the outlier family: IQR fences (rank-based, per row) and
+    MAD (robust, per row) flag MANY rows; Grubbs asks whether the single
+    most extreme value is an outlier AT ALL.
+
+    Exactness: mean and sd never materialize — G is one shared double
+    expression over n, sum(cents), sum(cents²) (HUGEINT/DECIMAL(38,0)
+    internally, consumed only inside the expression), and the n-scaled
+    max deviation max|n·x − sum|, all exact integers.
+
+    Scale shape: two combinable aggregates over the fact table (moments,
+    then the deviation max against the broadcast 5-row moment table).
+    Output is one row per group.
+    """
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ssq"
+        ),
+    )
+    dev = (
+        c.join(F.broadcast(g), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.abs(F.col("n") * F.col("cents") - F.col("s")))
+            .cast("long")
+            .alias("maxdev_scaled")
+        )
+    )
+    return (
+        g.join(dev, "o_orderpriority")
+        .selectExpr(
+            "o_orderpriority",
+            "n",
+            "s AS sum_cents",
+            "maxdev_scaled",
+            f"round({_GRUBBS_G}, 6) AS g_stat",
+            f"round({_GRUBBS_G}, 6) > 3.0 AS is_outlier",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -580,6 +580,12 @@ DRIVER_ORDER: list[str] = [
     # -- round-8 additions (wave 43) --
     # -- round-8 additions (wave 44) --
     # -- round-8 additions (wave 45) --
+    # (all 16 wave-41..45 names promoted into the first 50 above — r9)
+    # -- round-9 additions (wave 46) --
+    "sketch_cms_width_sweep",        # r9: CMS width/error curve, exact collision mass
+    "privacy_randomized_response",   # r9: Warner local-DP release, hash-replayed coins
+    "stat_grubbs_outlier",           # r9: max-deviation outlier test, n-scaled exact
+    "sample_balanced_class",         # r9: class-balanced downsample, hash-ranked
 ]
 
 
