@@ -590,3 +590,91 @@ def table_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_deletable",
         "n_files_kept",
     )
+
+
+# --- wave 47 (round 9) ---
+
+
+@query(
+    "dq_schema_drift_report",
+    # The oracle derives the same report from the PHYSICAL parquet
+    # metadata (parquet_schema) of the staged snapshots — an independent
+    # reader of the bytes, not of Spark's catalog view. Type change is
+    # compared as a BOOLEAN (physical type differs), so the two engines'
+    # type-name vocabularies never need to agree.
+    oracle="""
+    WITH v1 AS (
+        SELECT name, type FROM parquet_schema('{SCRATCH:schemadrift}/v1.parquet')
+        WHERE num_children IS NULL OR num_children = 0
+    ),
+    v2 AS (
+        SELECT name, type FROM parquet_schema('{SCRATCH:schemadrift}/v2.parquet')
+        WHERE num_children IS NULL OR num_children = 0
+    )
+    SELECT coalesce(v1.name, v2.name) AS column_name,
+           v1.name IS NOT NULL AS in_v1,
+           v2.name IS NOT NULL AS in_v2,
+           (v1.name IS NOT NULL AND v2.name IS NOT NULL
+            AND v1.type <> v2.type) AS type_changed,
+           CASE WHEN v1.name IS NOT NULL AND v2.name IS NULL THEN 'removed'
+                WHEN v1.name IS NULL AND v2.name IS NOT NULL THEN 'added'
+                WHEN v1.type <> v2.type THEN 'type_changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v2.name = v1.name
+    ORDER BY column_name
+    """,
+)
+def dq_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift detection between two table snapshots — the
+    evolution audit a pipeline gate runs before a scheduled job consumes
+    a table whose producer may have changed shape (added / removed /
+    type-changed columns). Stages two snapshot files (v2 widens
+    o_custkey INT->BIGINT, drops o_orderpriority, adds o_orderdate),
+    then reports per-column status; the oracle re-derives the report
+    from the PHYSICAL parquet footers (schema metadata), so the check
+    proves Spark's catalog view matches the bytes.
+
+    Scale shape: pure metadata — two footer reads regardless of table
+    size; the report is O(columns). This is the pre-flight that lets
+    schema_evolution_merge / cdc pipelines fail fast instead of
+    producing a corrupted union.
+    """
+    ensure_confs(spark)
+    base = scratch_dir("schemadrift", sf_dir)
+    os.makedirs(base, exist_ok=True)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    v2 = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    _write_named_file(v1, f"{base}/v1.parquet")
+    _write_named_file(v2, f"{base}/v2.parquet")
+    # Catalog-side report: read back the two footers (schema-only reads)
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(f"{base}/v1.parquet").schema.fields}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(f"{base}/v2.parquet").schema.fields}
+    rows = []
+    for name in sorted(set(s1) | set(s2)):
+        in1, in2 = name in s1, name in s2
+        changed = in1 and in2 and s1[name] != s2[name]
+        status = (
+            "removed" if in1 and not in2
+            else "added" if in2 and not in1
+            else "type_changed" if changed
+            else "unchanged"
+        )
+        rows.append((name, in1, in2, changed, status))
+    return spark.createDataFrame(
+        rows,
+        "column_name string, in_v1 boolean, in_v2 boolean, "
+        "type_changed boolean, status string",
+    ).orderBy("column_name")

@@ -1771,3 +1771,191 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(exp(-CAST(sum_logp_micro AS DOUBLE) / 1000000.0"
         " / CAST(n_test_bigrams AS DOUBLE)), 4) AS perplexity",
     )
+
+
+# --- wave 47 (round 9) ---
+
+_PMI_MIN_DF = 25  # frequent-vocab gate BEFORE pairing: bounds pair fan-out
+_PMI_MIN_CO = 10
+_PMI_TOPK = 20
+# pmi = ln(N * c_xy / (c_x * c_y)) — a PER-ROW scalar over four exact
+# integers (never a cross-row float sum), rounded once on both engines.
+_PMI_EXPR = (
+    "round(ln(CAST(n_docs AS DOUBLE) * CAST(c_xy AS DOUBLE)"
+    " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.t
+        FROM (SELECT doc_id,
+                     list_distinct(string_split(trim(text), ' ')) AS ts
+              FROM documents) d, UNNEST(d.ts) AS u(t)
+        WHERE u.t <> ''
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+    df AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY t HAVING count(*) >= {_PMI_MIN_DF}
+    ),
+    keep AS (SELECT tok.doc_id, tok.t FROM tok JOIN df ON df.t = tok.t),
+    co AS (
+        SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM keep a JOIN keep b ON a.doc_id = b.doc_id AND a.t < b.t
+        GROUP BY a.t, b.t HAVING count(*) >= {_PMI_MIN_CO}
+    )
+    SELECT t1, t2, c_xy, dx.c AS c_x, dy.c AS c_y, n.n_docs,
+           {_PMI_EXPR} AS pmi
+    FROM co JOIN df dx ON dx.t = co.t1 JOIN df dy ON dy.t = co.t2
+    CROSS JOIN n
+    ORDER BY {_PMI_EXPR} DESC, t1, t2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} document-level token-pair PMI — the phrase/collocation
+    miner (Church & Hanks 1990) a corpus pipeline runs to find multiword
+    expressions worth protecting from tokenization, and the association
+    signal behind keyword expansion. pmi = ln(N·c_xy / (c_x·c_y)) over
+    document frequencies, each value a per-row scalar over four exact
+    integers (the float-sum trap never opens).
+
+    Scale shape: the min-df vocabulary gate applies BEFORE pairing, so the
+    per-doc pair fan-out is bounded by the FREQUENT vocabulary only —
+    C(|V_freq ∩ doc|, 2) per doc, never C(all tokens, 2); the pair count
+    aggregate is map-side combinable and top-k plans as
+    TakeOrderedAndProject. At 100 TB the co-occurrence table, not the
+    corpus, is the working set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("t"),
+    ).filter(F.col("t") != "")
+    n_docs = tok.select("doc_id").distinct().count()
+    df_t = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= _PMI_MIN_DF)
+    )
+    keep = tok.join(F.broadcast(df_t.select("t")), "t").select("doc_id", "t")
+    co = (
+        keep.select("doc_id", F.col("t").alias("t1"))
+        .join(
+            keep.select("doc_id", F.col("t").alias("t2")),
+            "doc_id",
+        )
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_CO)
+    )
+    scored = (
+        co.join(
+            F.broadcast(df_t.select(F.col("t").alias("t1"), F.col("c").alias("c_x"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(df_t.select(F.col("t").alias("t2"), F.col("c").alias("c_y"))),
+            "t2",
+        )
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("pmi", F.expr(_PMI_EXPR))
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(_PMI_TOPK)
+        .select("t1", "t2", "c_xy", "c_x", "c_y", "n_docs", "pmi")
+    )
+
+
+_CHUNK_W = 8  # tokens per non-overlapping chunk ("paragraph" granularity)
+
+
+@query(
+    "text_chunk_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(trim(text), ' ') AS ts
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   list_slice(ts, i.i * {_CHUNK_W} + 1,
+                              i.i * {_CHUNK_W} + {_CHUNK_W}), ' ')) AS ch
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, len(ts) // {_CHUNK_W})) AS i) i
+    ),
+    per AS (
+        SELECT source, ch, count(*) AS n FROM chunks GROUP BY source, ch
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_chunks,
+           CAST((sum(n) - count(*)) * 1000000 // sum(n) AS BIGINT)
+               AS dup_ratio_ppm,
+           CAST(max(n) AS BIGINT) AS top_chunk_count
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate profile per source: documents are cut into
+    non-overlapping {_CHUNK_W}-token chunks (the paragraph proxy on this
+    fixture's unpunctuated text) and each source reports how much of its
+    chunk mass is REPEATED — the signal a corpus cleaner reads before
+    stripping navigation/footer boilerplate that exact whole-doc dedup
+    cannot see (the sub-document granularity between dedup_exact_docs and
+    dedup_substring_spans). top_chunk_count names the worst offender's
+    multiplicity.
+
+    Exactness: chunks are md5-keyed strings built by the identical
+    slice-and-join expression in both engines; every output column is an
+    integer (ppm by integer floor-division).
+
+    Scale shape: one explode to ~n_tokens/{_CHUNK_W} chunk rows, one
+    combinable (source, chunk) count, one per-source rollup — the exact
+    dedup shape one level down. At 100 TB the chunk table is smaller than
+    the token table a tokenizer already materializes.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.trim("text"), " ").alias("ts")
+    )
+    chunks = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr(f"size(ts) DIV {_CHUNK_W} - 1")
+                ),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("ts"),
+                            (i * _CHUNK_W + 1).cast("int"),
+                            _CHUNK_W,
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("ch"),
+    )
+    per = chunks.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_chunks"),
+            F.expr(
+                "CAST((sum(n) - count(*)) * 1000000 DIV sum(n) AS BIGINT)"
+            ).alias("dup_ratio_ppm"),
+            F.max("n").cast("long").alias("top_chunk_count"),
+        )
+        .orderBy("source")
+    )

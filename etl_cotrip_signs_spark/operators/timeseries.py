@@ -1951,3 +1951,134 @@ def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "n", "s_stat", "var18", f"round({_MK_Z}, 6) AS z_mk"
     )
+
+
+# --- wave 47 (round 9) ---
+
+
+@query(
+    "trend_seasonal_mann_kendall",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS season,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT a.season,
+               CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_m,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM monthly a JOIN monthly b
+          ON b.season = a.season AND b.y > a.y
+        GROUP BY a.season
+    ),
+    nm AS (
+        SELECT season, CAST(count(*) AS BIGINT) AS n_m
+        FROM monthly GROUP BY season
+    ),
+    tie_m AS (
+        SELECT season,
+               coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                   AS tie_term
+        FROM (SELECT season, count(*) AS t FROM monthly
+              GROUP BY season, x HAVING count(*) > 1)
+        GROUP BY season
+    ),
+    tot AS (
+        SELECT CAST(sum(p.s_m) AS BIGINT) AS s_stat,
+               CAST(sum(nm.n_m * (nm.n_m - 1) * (2 * nm.n_m + 5)
+                        - coalesce(t.tie_term, 0)) AS BIGINT) AS var18,
+               CAST(count(*) AS BIGINT) AS n_seasons,
+               CAST(sum(nm.n_m) AS BIGINT) AS n_points
+        FROM per p JOIN nm ON nm.season = p.season
+        LEFT JOIN tie_m t ON t.season = p.season
+    )
+    SELECT n_seasons, n_points, s_stat, var18,
+           round({_MK_Z}, 6) AS z_smk
+    FROM tot
+    """,
+)
+def trend_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) on monthly revenue:
+    the trend test that survives seasonality — S is computed WITHIN each
+    calendar-month season across years (January-vs-January only), then
+    summed; Var(S) is the per-season tie-corrected sum. A plain MK over
+    a seasonal series reads the seasonal cycle as noise (or trend); the
+    seasonal form compares like with like, which is why drift monitors
+    over weekly/monthly-periodic metrics run exactly this.
+
+    Exactness: per-season S_m and 18·Var_m are exact BIGINTs summed as
+    integers; z is the same shared continuity-corrected expression
+    trend_mann_kendall pins ({_MK_Z.count('CASE')} branch).
+
+    Scale shape: facts reduce to the (season, year) table — calendar-
+    bounded (12 x years rows) regardless of order volume; the within-
+    season pair join is over that reduction only. Output is 1 row.
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.month(F.col("o_orderdate").cast("date")).cast("int").alias("season"),
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("y"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)  # pair join + ties + counts consume it
+    )
+    a = monthly.select(
+        F.col("season").alias("sa"), F.col("y").alias("ya"), F.col("x").alias("xa")
+    )
+    b = monthly.select(
+        F.col("season").alias("sb"), F.col("y").alias("yb"), F.col("x").alias("xb")
+    )
+    per = (
+        a.join(b, (F.col("sb") == F.col("sa")) & (F.col("yb") > F.col("ya")))
+        .groupBy(F.col("sa").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_m")
+        )
+    )
+    nm = monthly.groupBy("season").agg(F.count(F.lit(1)).cast("long").alias("n_m"))
+    tie_m = (
+        monthly.groupBy("season", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("season")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    tot = (
+        per.join(nm, "season")
+        .join(tie_m, "season", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seasons"),
+            F.sum("n_m").cast("long").alias("n_points"),
+            F.sum("s_m").cast("long").alias("s_stat"),
+            F.sum(
+                F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    return tot.selectExpr(
+        "n_seasons", "n_points", "s_stat", "var18",
+        f"round({_MK_Z}, 6) AS z_smk",
+    )

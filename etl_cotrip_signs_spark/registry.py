@@ -586,6 +586,11 @@ DRIVER_ORDER: list[str] = [
     "privacy_randomized_response",   # r9: Warner local-DP release, hash-replayed coins
     "stat_grubbs_outlier",           # r9: max-deviation outlier test, n-scaled exact
     "sample_balanced_class",         # r9: class-balanced downsample, hash-ranked
+    # -- round-9 additions (wave 47) --
+    "text_pmi_cooccurrence",         # r9: doc-level PMI collocations, per-row exact
+    "text_chunk_boilerplate",        # r9: sub-document chunk dedup profile
+    "trend_seasonal_mann_kendall",   # r9: within-season MK, exact S/var
+    "dq_schema_drift_report",        # r9: snapshot schema drift vs parquet footers
 ]
 
 
