@@ -697,3 +697,95 @@ def feature_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chars_all") - F.col("val_chars")).alias("train_chars"),
         )
     )
+
+
+# --- wave 48 (round 9) ---
+
+_CV_MIN_DF = 25
+_CV_MAX_DF = 400
+
+
+@query(
+    "feature_count_vectorizer_df",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.t
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts
+              FROM documents) d, UNNEST(d.ts) AS u(t)
+        WHERE u.t <> ''
+    ),
+    occ AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS df
+        FROM occ GROUP BY t
+        HAVING count(*) BETWEEN {_CV_MIN_DF} AND {_CV_MAX_DF}
+    ),
+    vocab AS (
+        SELECT t, df,
+               CAST(row_number() OVER (ORDER BY df DESC, t) AS BIGINT)
+                   AS vocab_id
+        FROM df
+    )
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_vocab_terms,
+           CAST(sum(o.cnt) AS BIGINT) AS total_count,
+           CAST(sum(v.vocab_id * o.cnt) AS BIGINT) AS vector_checksum
+    FROM occ o JOIN vocab v ON v.t = o.t
+    GROUP BY o.doc_id
+    ORDER BY o.doc_id
+    """,
+)
+def feature_count_vectorizer_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-pruned count vectorization (the CountVectorizer
+    feature kernel): the vocabulary keeps tokens with document frequency
+    in [{_CV_MIN_DF}, {_CV_MAX_DF}] (the min-df noise gate + max-df
+    stopword gate), ids assigned by (df desc, token) exactly as MLlib's
+    CountVectorizer orders its vocabulary; each document reports its
+    in-vocabulary term count, total occurrence mass, and the
+    position-weighted checksum sum(vocab_id · count) — the sparse vector
+    itself, pinned into one hashable integer per doc.
+
+    Scale shape: occurrence counts are one (doc, token) combinable
+    aggregate; the vocabulary is a REDUCTION (distinct frequent tokens)
+    small enough to broadcast back — at 100 TB the vocab table is the
+    classic broadcast dim, and vectorization is a map-side join. The
+    vocab_id window runs over the vocabulary only, never the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    occ = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    df_t = (
+        occ.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(
+            (F.col("df") >= _CV_MIN_DF) & (F.col("df") <= _CV_MAX_DF)
+        )
+    )
+    vocab = df_t.withColumn(
+        "vocab_id",
+        F.row_number()
+        .over(W.orderBy(F.col("df").desc(), F.col("t")))
+        .cast("long"),
+    )
+    return (
+        occ.join(F.broadcast(vocab), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab_terms"),
+            F.sum("cnt").cast("long").alias("total_count"),
+            F.sum(F.col("vocab_id") * F.col("cnt"))
+            .cast("long")
+            .alias("vector_checksum"),
+        )
+        .orderBy("doc_id")
+    )

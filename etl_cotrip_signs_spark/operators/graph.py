@@ -2082,3 +2082,133 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.join(sup, ["s", "d"]).select(
         "s", "d", "support", F.lit(True).alias("converged")
     )
+
+
+# --- wave 48 (round 9) ---
+
+# Parallel densest-subgraph peel (Charikar 2000 greedy, parallelized as
+# Bahmani-Kumar-Vassilvitskii 2012): each round removes EVERY vertex with
+# deg <= (1 + eps) * (2E/V), eps = 1/2 -> keep iff deg * V > 3E (exact
+# integer compare); the best round's density is a 2(1+eps) = 3-approx of
+# the true maximum density. Rounds are O(log_{1+eps} V) by the counting
+# argument (the kept set is < V/(1+eps)); the fixture peels to empty in 3
+# rounds at both test scales, so the oracle unrolls R=5 — rounds 4-5
+# re-prove emptiness and the `converged` column pins the budget itself
+# (the graph_k_truss self-pinning discipline).
+_DSG_ORACLE_ROUNDS = 5
+
+
+def _dsg_round_sql(r: int) -> str:
+    return f"""
+    d{r} AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT s AS v FROM e{r} UNION ALL SELECT d FROM e{r})
+        GROUP BY v
+    ),
+    st{r} AS (
+        SELECT CAST((SELECT count(*) FROM d{r}) AS BIGINT) AS nv,
+               CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS ne
+    ),
+    keep{r} AS (
+        SELECT v FROM d{r}, st{r} WHERE deg * st{r}.nv > 3 * st{r}.ne
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.s, e.d
+        FROM e{r} e JOIN keep{r} a ON a.v = e.s
+        JOIN keep{r} b ON b.v = e.d
+    )"""
+
+
+_DSG_ROUNDS_SQL = ",".join(
+    _dsg_round_sql(r) for r in range(_DSG_ORACLE_ROUNDS)
+)
+
+
+@query(
+    "graph_densest_subgraph_peel",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.label = b.label
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 5)
+              >= 0.2
+    ),{_DSG_ROUNDS_SQL},
+    rounds AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS round, nv AS n_vertices, ne AS n_edges,"
+            f" ne * 1000000 // nv AS density_ppm FROM st{r} WHERE nv > 0"
+            for r in range(_DSG_ORACLE_ROUNDS)
+        )}
+    ),
+    conv AS (
+        SELECT (SELECT count(*) FROM e{_DSG_ORACLE_ROUNDS}) = 0 AS converged
+    )
+    SELECT round AS best_round, n_vertices, n_edges,
+           CAST(density_ppm AS BIGINT) AS density_ppm,
+           (SELECT CAST(count(*) AS BIGINT) FROM rounds) AS rounds_total,
+           (SELECT converged FROM conv) AS converged
+    FROM rounds
+    ORDER BY density_ppm DESC, round ASC
+    LIMIT 1
+    """,
+)
+def graph_densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph extraction by parallel peeling (Charikar 2000;
+    Bahmani et al. 2012, eps = 1/2) over the embedding similarity graph:
+    every round removes ALL vertices with degree <= 3E/V at once, and the
+    best round start is a 3-approximation of the maximum-density
+    subgraph — the dense-community extractor a dedup/curation pipeline
+    runs to find pathological near-duplicate blobs that pairwise
+    thresholds under-report (k-truss finds edge-cohesive cores; density
+    peel finds the globally heaviest cluster).
+
+    Exactness: the keep rule deg·V > 3E and the density ranking
+    E·10⁶ DIV V are pure integer arithmetic, so the per-round decisions
+    and the winning round are all inside the hash; `converged` pins the
+    oracle's unroll budget against Spark's true fixpoint loop.
+
+    Scale shape: each round = one degree aggregate + one semi-join over
+    the SHRINKING edge set (the k-truss loop without the triangle join);
+    the counting argument bounds rounds at O(log V) regardless of data
+    size. Per-round frames are localCheckpointed so no round recomputes
+    its predecessor.
+    """
+    from .similarity import similarity_threshold_pairs
+
+    edges = (
+        similarity_threshold_pairs(spark, sf_dir)
+        .select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    stats: list[tuple[int, int, int, int]] = []
+    converged = False
+    for r in range(64):  # runaway guard only; empty set is the exit
+        deg = (
+            edges.select(F.col("s").alias("v"))
+            .unionAll(edges.select(F.col("d").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        nv, ne = deg.count(), edges.count()
+        if nv == 0:
+            converged = True
+            break
+        stats.append((r, nv, ne, ne * 1_000_000 // nv))
+        keep = deg.filter(F.col("deg") * nv > 3 * ne).select("v")
+        edges = (
+            edges.join(keep.select(F.col("v").alias("s")), "s")
+            .join(keep.select(F.col("v").alias("d")), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    else:  # pragma: no cover
+        raise AssertionError("densest-subgraph runaway: 64 rounds")
+    best = max(stats, key=lambda t: (t[3], -t[0]))
+    return spark.createDataFrame(
+        [(best[0], best[1], best[2], best[3], len(stats), converged)],
+        "best_round int, n_vertices long, n_edges long, density_ppm long, "
+        "rounds_total long, converged boolean",
+    )

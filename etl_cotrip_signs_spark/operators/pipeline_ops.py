@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
 from ..registry import query
 from .dedup import SUBSTR_GRAM_K
@@ -1091,4 +1092,193 @@ def multimodal_tar_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("entry_bytes").over(w_all) + 2 * blk)
         .cast("long")
         .alias("archive_bytes"),
+    )
+
+
+# --- wave 48 (round 9) ---
+
+# Hash-synthesized 16-bit PCM: sample(doc, i) = xxh64(doc*2^20 + i) mod
+# 65536 - 32768 — the documented codec seam (multimodal_decode_stub): real
+# audio decode needs libs this container lacks, so the DECODE is a
+# deterministic fake while everything Spark-side (frame windowing, feature
+# extraction shape, per-asset parallelism) is real and oracle-checked.
+_AF_SAMPLES = 1024
+_AF_FRAME = 256
+_AF_STRIDE = 1 << 20
+
+
+def _af_sample_sql(i_expr: str) -> str:
+    return (
+        f"((xxh64_long(doc_id * {_AF_STRIDE} + {i_expr}, 42::UBIGINT)"
+        f" % 65536 + 65536) % 65536 - 32768)"
+    )
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH samples AS (
+        SELECT doc_id, i.i,
+               CAST(i.i // {_AF_FRAME} AS INT) AS frame,
+               {_af_sample_sql('i.i')} AS s,
+               CASE WHEN i.i % {_AF_FRAME} > 0
+                    AND ({_af_sample_sql('i.i')} >= 0)
+                     <> ({_af_sample_sql('(i.i - 1)')} >= 0)
+                    THEN 1 ELSE 0 END AS zc
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d,
+             LATERAL (SELECT unnest(range({_AF_SAMPLES})) AS i) i
+    )
+    SELECT doc_id, frame,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(sum(zc) AS BIGINT) AS zero_crossings
+    FROM samples GROUP BY doc_id, frame
+    ORDER BY doc_id, frame
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-feature extraction plumbing: every sampled asset's
+    16-bit PCM stream is cut into {_AF_FRAME}-sample frames and each
+    frame reports energy (sum of squares), peak amplitude, and
+    zero-crossing count — the front half of every audio-quality /
+    voice-activity gate a multimodal corpus pipeline runs before
+    training. The PCM itself is hash-synthesized (the codec seam the
+    decode stub documents), so the frame windowing, feature math, and
+    per-asset parallelism are real and EXACT while no audio lib is
+    required.
+
+    Zero crossings need each sample's predecessor — but a hash-decoded
+    sample is a pure function of (asset, index), so s[i-1] is recomputed
+    inline instead of shuffled through a lag window: the whole query is
+    one explode + one combinable aggregate, NO window shuffle. That is
+    the 100 TB shape: frames never cross asset boundaries, so feature
+    extraction is embarrassingly parallel over assets.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+    s_cur = (
+        F.pmod(
+            F.xxhash64(F.col("doc_id") * _AF_STRIDE + F.col("i")),
+            F.lit(65536),
+        )
+        - 32768
+    )
+    s_prev = (
+        F.pmod(
+            F.xxhash64(F.col("doc_id") * _AF_STRIDE + F.col("i") - 1),
+            F.lit(65536),
+        )
+        - 32768
+    )
+    samples = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_AF_SAMPLES - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        (F.col("i") / _AF_FRAME).cast("int").alias("frame"),
+        s_cur.alias("s"),
+        F.when(
+            (F.col("i") % _AF_FRAME > 0)
+            & ((s_cur >= 0) != (s_prev >= 0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("zc"),
+    )
+    return (
+        samples.groupBy("doc_id", "frame")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("energy"),
+            F.max(F.abs("s")).cast("long").alias("peak"),
+            F.sum("zc").cast("long").alias("zero_crossings"),
+        )
+        .orderBy("doc_id", "frame")
+    )
+
+
+# Hash-synthesized 32x32 8-bit grayscale raster, average-pooled to 8x8
+# tiles of 4x4 pixels — the resize/pooling kernel of image preprocessing
+# with the same codec-seam discipline as the audio frames above.
+_IT_DIM = 32
+_IT_TILE = 4
+_IT_STRIDE = 1 << 20
+
+
+def _it_pixel_sql(pos: str) -> str:
+    return (
+        f"((xxh64_long(doc_id * {_IT_STRIDE} + {pos}, 42::UBIGINT)"
+        f" % 256 + 256) % 256)"
+    )
+
+
+@query(
+    "multimodal_image_tiles_pool",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH px AS (
+        SELECT doc_id,
+               CAST((p.p // {_IT_DIM}) // {_IT_TILE} AS INT) AS tile_row,
+               CAST((p.p % {_IT_DIM}) // {_IT_TILE} AS INT) AS tile_col,
+               {_it_pixel_sql('p.p')} AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d,
+             LATERAL (SELECT unnest(range({_IT_DIM * _IT_DIM})) AS p) p
+    )
+    SELECT doc_id, tile_row, tile_col,
+           CAST(sum(v) AS BIGINT) AS tile_sum,
+           CAST(sum(v) // {_IT_TILE * _IT_TILE} AS BIGINT) AS pooled_mean,
+           CAST(min(v) AS BIGINT) AS tile_min,
+           CAST(max(v) AS BIGINT) AS tile_max
+    FROM px GROUP BY doc_id, tile_row, tile_col
+    ORDER BY doc_id, tile_row, tile_col
+    """,
+)
+def multimodal_image_tiles_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image average-pooling plumbing: each sampled asset's
+    {_IT_DIM}x{_IT_DIM} 8-bit raster is average-pooled into
+    {_IT_DIM // _IT_TILE}x{_IT_DIM // _IT_TILE} tiles of
+    {_IT_TILE}x{_IT_TILE} pixels (integer mean, plus min/max per tile) —
+    the downsample/resize kernel every vision-corpus pipeline runs
+    before patch embedding (multimodal_patch_grid covers the grid
+    GEOMETRY; this covers the pixel REDUCTION). Pixels are
+    hash-synthesized (the codec seam), so the pooling arithmetic and the
+    pixel->tile shuffle shape are real and exact without an image lib.
+
+    Scale shape: pixel rows group by (asset, tile) — map-side combinable
+    with keys local to each asset, so pooling at 100 TB parallelizes
+    over assets with no cross-asset traffic. Output is 64 tiles per
+    sampled asset, every column an exact integer.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id")
+    )
+    px = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_IT_DIM * _IT_DIM - 1))).alias("p"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((p DIV {_IT_DIM}) DIV {_IT_TILE} AS INT)").alias("tile_row"),
+        F.expr(f"CAST((p % {_IT_DIM}) DIV {_IT_TILE} AS INT)").alias("tile_col"),
+        F.pmod(
+            F.xxhash64(F.col("doc_id") * _IT_STRIDE + F.col("p")), F.lit(256)
+        ).alias("v"),
+    )
+    return (
+        px.groupBy("doc_id", "tile_row", "tile_col")
+        .agg(
+            F.sum("v").cast("long").alias("tile_sum"),
+            F.expr(f"CAST(sum(v) DIV {_IT_TILE * _IT_TILE} AS BIGINT)").alias(
+                "pooled_mean"
+            ),
+            F.min("v").cast("long").alias("tile_min"),
+            F.max("v").cast("long").alias("tile_max"),
+        )
+        .orderBy("doc_id", "tile_row", "tile_col")
     )

@@ -1796,3 +1796,112 @@ def stat_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Entropy rate of the first-order event-type chain: H = -sum_ij (n_ij/N)
+# ln(n_ij / n_i). 25 transition cells pivot into fixed integer columns
+# (the events_type_entropy discipline at matrix scale) so H is ONE
+# generated, textually shared expression — never a cross-row float sum.
+def _erate_expr() -> str:
+    k = len(_ETYPES)
+    terms = []
+    for i in range(1, k + 1):
+        for j in range(1, k + 1):
+            c = f"CAST(c{i}{j} AS DOUBLE)"
+            r = f"CAST(r{i} AS DOUBLE)"
+            terms.append(
+                f"coalesce(({c} / CAST(n_total AS DOUBLE))"
+                f" * ln(nullif({c}, 0) / nullif({r}, 0)), 0)"
+            )
+    return "(-(" + " + ".join(terms) + "))"
+
+
+_ERATE_H = _erate_expr()
+
+
+@query(
+    "events_entropy_rate_markov",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT event_type AS prev,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS cur
+        FROM events
+    ),
+    t AS (SELECT prev, cur FROM ordered WHERE cur IS NOT NULL),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN prev = '{a}' AND cur = '{b}' "
+                   f"THEN 1 ELSE 0 END) AS BIGINT) AS c{i}{j}"
+                   for i, a in enumerate(_ETYPES, 1)
+                   for j, b in enumerate(_ETYPES, 1)
+               )},
+               {", ".join(
+                   f"CAST(sum(CASE WHEN prev = '{a}' THEN 1 ELSE 0 END) "
+                   f"AS BIGINT) AS r{i}"
+                   for i, a in enumerate(_ETYPES, 1)
+               )}
+        FROM t
+    )
+    SELECT n_total, {", ".join(f"r{i}" for i in range(1, 6))},
+           {_ERATE_H} AS h_rate_nats,
+           exp({_ERATE_H}) AS perplexity_rate,
+           {_ERATE_H} / ln({len(_ETYPES)}) AS h_rate_normalized
+    FROM m
+    """,
+)
+def events_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user behavior chain (Shannon 1948 §7): the
+    per-step uncertainty −Σ_ij (n_ij/N)·ln(n_ij/n_i) of the empirical
+    first-order transition matrix — the sequence-predictability summary
+    that separates 'users wander uniformly' (rate ≈ ln k) from 'behavior
+    is nearly deterministic' (rate ≈ 0), which marginal entropy
+    (events_type_entropy) cannot see because it ignores order.
+    perplexity_rate = exp(H) is the effective branching factor per step.
+
+    Exactness: the 5x5 transition matrix pivots into 25 fixed integer
+    columns + 5 row sums in ONE combinable aggregate; H is one generated,
+    textually shared expression with per-cell nullif/coalesce so empty
+    cells contribute exactly 0 in both engines.
+
+    Scale shape: one per-user window (the sessionization shuffle) + one
+    global aggregate carrying 31 integers. Output is 1 row.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w).alias("cur"),
+        )
+        .filter(F.col("cur").isNotNull())
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum(
+                ((F.col("prev") == a) & (F.col("cur") == b)).cast("int")
+            )
+            .cast("long")
+            .alias(f"c{i}{j}")
+            for i, a in enumerate(_ETYPES, 1)
+            for j, b in enumerate(_ETYPES, 1)
+        ],
+        *[
+            F.sum((F.col("prev") == a).cast("int"))
+            .cast("long")
+            .alias(f"r{i}")
+            for i, a in enumerate(_ETYPES, 1)
+        ],
+    )
+    return m.selectExpr(
+        "n_total",
+        *[f"r{i}" for i in range(1, 6)],
+        f"{_ERATE_H} AS h_rate_nats",
+        f"exp({_ERATE_H}) AS perplexity_rate",
+        f"{_ERATE_H} / ln({len(_ETYPES)}) AS h_rate_normalized",
+    )

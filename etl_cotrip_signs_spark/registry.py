@@ -591,6 +591,12 @@ DRIVER_ORDER: list[str] = [
     "text_chunk_boilerplate",        # r9: sub-document chunk dedup profile
     "trend_seasonal_mann_kendall",   # r9: within-season MK, exact S/var
     "dq_schema_drift_report",        # r9: snapshot schema drift vs parquet footers
+    # -- round-9 additions (wave 48) --
+    "multimodal_audio_frames",       # r9: PCM frame features, hash-decoded, windowless zc
+    "multimodal_image_tiles_pool",   # r9: average-pool tiling, exact integer means
+    "feature_count_vectorizer_df",   # r9: df-pruned count vectors, checksum-pinned
+    "events_entropy_rate_markov",    # r9: chain entropy rate, 25-cell pivot
+    "graph_densest_subgraph_peel",   # r9: Bahmani parallel peel, 3-approx density
 ]
 
 
