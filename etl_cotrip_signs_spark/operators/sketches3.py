@@ -1312,3 +1312,95 @@ def sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "max_overest", "n_overestimated")
         out = row if out is None else out.unionAll(row)
     return out.orderBy("w")
+
+
+# AMS F2 sketch (Alon-Matias-Szegedy 1996): d independent ±1 hash rows;
+# X_r = sum_k sign_r(k) * n_k is an exact BIGINT, X_r^2 estimates
+# F2 = sum n_k^2 with variance <= 2*F2^2 per row. Signs from one hash bit
+# (xxh64(key, seed_r) & 1), replayed by the DuckDB macros.
+_AMS_D = 8
+_AMS_SEEDS = [chain_seed(f"ams{r}") for r in range(_AMS_D)]
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH keyed AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact FROM keyed),
+    rows_ AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS r, CAST(sum(CASE WHEN "
+            f"((xxh64_long(k, {s}::UBIGINT) % 2) + 2) % 2 = 1 "
+            f"THEN n ELSE -n END) AS BIGINT) AS x FROM keyed"
+            for r, s in enumerate(_AMS_SEEDS)
+        )}
+    )
+    SELECT rows_.r, rows_.x, CAST(rows_.x * rows_.x AS BIGINT) AS f2_est,
+           e.f2_exact,
+           CAST((rows_.x * rows_.x - e.f2_exact) * 1000000
+                // e.f2_exact AS BIGINT) AS err_ppm
+    FROM rows_ CROSS JOIN exact e
+    ORDER BY rows_.r
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996 — the
+    paper that started sketching): {_AMS_D} independent ±1-hash rows, each
+    maintaining the single integer X_r = Σ sign_r(key)·count(key); X_r² is
+    an unbiased F2 estimate. F2 = Σ count² is the self-join SIZE, so this
+    sketch is what a 100 TB optimizer consults to price a join's output
+    (diag_join_size_estimate computes it exactly from the frequency
+    vector; AMS carries the same answer in {_AMS_D} integers of state).
+
+    Exactness: every X_r is an exact BIGINT (signs are one xxhash64 bit,
+    replayed by the oracle macros); estimates, the exact F2, and the
+    per-row signed error in ppm are all integer arithmetic — the whole
+    estimator table hash-matches.
+
+    Scale shape: one per-key count, then {_AMS_D} combinable signed sums —
+    constant state ({_AMS_D} longs) mergeable across partitions/streams by
+    addition, the same contract as the CMS/HLL rows. Output {_AMS_D} rows.
+    """
+    keyed = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # d sign-sums + the exact F2 consume it
+    )
+    f2_exact = keyed.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact")
+    )
+    out = None
+    for r in range(_AMS_D):
+        row = keyed.agg(
+            F.lit(r).cast("int").alias("r"),
+            F.sum(
+                F.when(
+                    F.pmod(
+                        F.xxhash64(F.lit(f"ams{r}"), F.col("k")), F.lit(2)
+                    )
+                    == 1,
+                    F.col("n"),
+                ).otherwise(-F.col("n"))
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return (
+        out.crossJoin(F.broadcast(f2_exact))
+        .select(
+            "r",
+            "x",
+            (F.col("x") * F.col("x")).cast("long").alias("f2_est"),
+            "f2_exact",
+            F.expr(
+                "CAST((x * x - f2_exact) * 1000000 DIV f2_exact AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("r")
+    )

@@ -1905,3 +1905,243 @@ def events_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"exp({_ERATE_H}) AS perplexity_rate",
         f"{_ERATE_H} / ln({len(_ETYPES)}) AS h_rate_normalized",
     )
+
+
+# Kendall's tau-b over the (daily revenue, daily order count) pairs, with
+# the standard tie corrections: tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)),
+# n0 = n(n-1)/2, tx/ty = sum t(t-1)/2 over the value-tie groups — one
+# shared sqrt-division over five exact BIGINTs.
+_TAUB = (
+    "(CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))"
+    " / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))"
+    "        * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))"
+)
+
+
+@query(
+    "stat_kendall_tau_b",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                               OR (b.x < a.x AND b.y < a.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                               OR (b.x < a.x AND b.y > a.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n0
+        FROM daily
+    ),
+    tx_ AS (
+        SELECT coalesce(CAST(sum(t * (t - 1) / 2) AS BIGINT), 0) AS tx
+        FROM (SELECT count(*) AS t FROM daily GROUP BY x HAVING count(*) > 1)
+    ),
+    ty_ AS (
+        SELECT coalesce(CAST(sum(t * (t - 1) / 2) AS BIGINT), 0) AS ty
+        FROM (SELECT count(*) AS t FROM daily GROUP BY y HAVING count(*) > 1)
+    )
+    SELECT nn.n, nn.n0, p.nc, p.nd, tx_.tx, ty_.ty,
+           round({_TAUB}, 6) AS tau_b
+    FROM pairs p, nn, tx_, ty_
+    """,
+)
+def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (Kendall 1945) between daily revenue and daily
+    order count — the concordance rank correlation completing the
+    monotone-association family (Spearman ranks VALUES; Kendall counts
+    PAIR INVERSIONS, with the tie-corrected tau-b denominator). Runs on
+    exactly the calendar-bounded daily reduction trend_mann_kendall uses
+    — MK is tau against TIME; this is tau between two series.
+
+    Exactness: concordant/discordant counts, n0 = n(n−1)/2, and both
+    tie terms are exact BIGINTs from the pair join; tau_b is the one
+    shared sqrt-division, rounded to 1e-6.
+
+    Scale shape: facts reduce once to |days| rows; the pair join is over
+    that reduction (metadata next to the fact table). One output row.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # pair join + tie groups + n consume it
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(
+            (
+                ((F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")))
+                | ((F.col("xb") < F.col("xa")) & (F.col("yb") < F.col("ya")))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("nc"),
+        F.sum(
+            (
+                ((F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")))
+                | ((F.col("xb") < F.col("xa")) & (F.col("yb") > F.col("ya")))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("nd"),
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("n0"),
+    )
+    tie = lambda c: (  # noqa: E731
+        daily.groupBy(c)
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long"),
+                F.lit(0),
+            ).alias("tie")
+        )
+    )
+    tx = tie("x").select(F.col("tie").alias("tx"))
+    ty = tie("y").select(F.col("tie").alias("ty"))
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr(
+            "n", "n0", "nc", "nd", "tx", "ty",
+            f"round({_TAUB}, 6) AS tau_b",
+        )
+    )
+
+
+# Theil's uncertainty coefficient U(X|Y): X = event_type (5 classes),
+# Y = day-of-week (7 blocks) — 35 cells + 7 column sums + 5 row sums pivot
+# into one aggregate; H(X) and H(X|Y) are generated shared expressions.
+_DOW = tuple(range(1, 8))  # dayofweek() 1..7, identical in both engines
+
+
+def _theil_exprs() -> tuple[str, str]:
+    k = len(_ETYPES)
+    hx_terms = []
+    for i in range(1, k + 1):
+        p = f"(CAST(x{i} AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        hx_terms.append(f"coalesce({p} * ln(nullif({p}, 0)), 0)")
+    hx = "(-(" + " + ".join(hx_terms) + "))"
+    hxy_terms = []
+    for j in _DOW:
+        for i in range(1, k + 1):
+            c = f"CAST(c{i}_{j} AS DOUBLE)"
+            y = f"CAST(y{j} AS DOUBLE)"
+            hxy_terms.append(
+                f"coalesce(({c} / CAST(n_total AS DOUBLE))"
+                f" * ln(nullif({c}, 0) / nullif({y}, 0)), 0)"
+            )
+    hxy = "(-(" + " + ".join(hxy_terms) + "))"
+    return hx, hxy
+
+
+_THEIL_HX, _THEIL_HXY = _theil_exprs()
+
+
+@query(
+    "stat_theil_u",
+    oracle=f"""
+    WITH t AS (
+        -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based
+        -- (Sunday=1) — +1 aligns the block labels
+        SELECT event_type AS x, CAST(dayofweek(ts) + 1 AS INT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN x = '{a}' AND y = {j} "
+                   f"THEN 1 ELSE 0 END) AS BIGINT) AS c{i}_{j}"
+                   for i, a in enumerate(_ETYPES, 1) for j in _DOW
+               )},
+               {", ".join(
+                   f"CAST(sum(CASE WHEN x = '{a}' THEN 1 ELSE 0 END) "
+                   f"AS BIGINT) AS x{i}"
+                   for i, a in enumerate(_ETYPES, 1)
+               )},
+               {", ".join(
+                   f"CAST(sum(CASE WHEN y = {j} THEN 1 ELSE 0 END) "
+                   f"AS BIGINT) AS y{j}"
+                   for j in _DOW
+               )}
+        FROM t
+    )
+    SELECT n_total, {", ".join(f"x{i}" for i in range(1, 6))},
+           {_THEIL_HX} AS h_x,
+           {_THEIL_HXY} AS h_x_given_y,
+           ({_THEIL_HX} - {_THEIL_HXY}) / nullif({_THEIL_HX}, 0) AS theil_u
+    FROM m
+    """,
+)
+def stat_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | day-of-week) — the
+    NORMALIZED, asymmetric categorical-association measure (Theil 1970):
+    what fraction of event-type uncertainty does knowing the weekday
+    remove? Chi-square (events_chi2_independence) answers IS there
+    association; U answers HOW MUCH, on a [0,1] scale comparable across
+    tables — the feature-selection ranking metric for categorical
+    features against a categorical target.
+
+    Exactness: the 5x7 contingency table + both margins pivot into ONE
+    combinable aggregate (47 exact integers); H(X) and H(X|Y) are
+    generated, textually shared expressions with per-cell nullif/coalesce
+    (the events_type_entropy discipline at contingency-matrix scale).
+
+    Scale shape: one aggregate over facts, one row out. Nothing else
+    moves.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        F.dayofweek("ts").cast("int").alias("y"),
+    )
+    m = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum(((F.col("x") == a) & (F.col("y") == j)).cast("int"))
+            .cast("long")
+            .alias(f"c{i}_{j}")
+            for i, a in enumerate(_ETYPES, 1)
+            for j in _DOW
+        ],
+        *[
+            F.sum((F.col("x") == a).cast("int")).cast("long").alias(f"x{i}")
+            for i, a in enumerate(_ETYPES, 1)
+        ],
+        *[
+            F.sum((F.col("y") == j).cast("int")).cast("long").alias(f"y{j}")
+            for j in _DOW
+        ],
+    )
+    return m.selectExpr(
+        "n_total",
+        *[f"x{i}" for i in range(1, 6)],
+        f"{_THEIL_HX} AS h_x",
+        f"{_THEIL_HXY} AS h_x_given_y",
+        f"({_THEIL_HX} - {_THEIL_HXY}) / nullif({_THEIL_HX}, 0) AS theil_u",
+    )

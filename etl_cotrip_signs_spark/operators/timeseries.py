@@ -2082,3 +2082,87 @@ def trend_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seasons", "n_points", "s_stat", "var18",
         f"round({_MK_Z}, 6) AS z_smk",
     )
+
+
+# Exponentially-decayed daily engagement: score(d) = sum over lag l of
+# w_l * V(d-l), horizon 14 days, lambda = 0.3/day. The weights are
+# INTEGER-QUANTIZED IN PYTHON (w_l_micro = round(e^{-0.3 l} * 1e6)) and
+# embedded as literals in BOTH engines' plans, so the decayed sum is an
+# exact BIGINT — the float-sum trap (engine-ordered exp terms) never
+# opens. The one float column derives from the integer by a shared
+# division.
+import math as _math
+
+_DECAY_H = 14
+_DECAY_W = tuple(round(_math.exp(-0.3 * l) * 1_000_000) for l in range(_DECAY_H))
+
+
+@query(
+    "window_exponential_decay_sum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS v_milli
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT unnest(range({_DECAY_H})) AS l,
+               unnest([{", ".join(str(w) for w in _DECAY_W)}]) AS wm
+    ),
+    contrib AS (
+        SELECT daily.d + CAST(w.l AS INT) AS target, daily.v_milli * w.wm AS c
+        FROM daily, w
+    )
+    SELECT t.d, t.v_milli,
+           CAST(sum(c.c) AS BIGINT) AS decay_scaled,
+           round(CAST(sum(c.c) AS DOUBLE) / 1000000000.0, 6) AS decay_score
+    FROM daily t JOIN contrib c ON c.target = t.d
+    GROUP BY t.d, t.v_milli
+    ORDER BY t.d
+    """,
+)
+def window_exponential_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed rolling engagement score per day
+    (half-life ≈ {round(_math.log(2) / 0.3, 1)} days): the recency-weighted
+    activity feature every engagement/churn model consumes, computed as
+    score(d) = Σ_l w_l·V(d−l) over a {_DECAY_H}-day horizon. The naive
+    form is a per-day window scan; the OFFSET-EXPLODE form used here
+    (each day broadcasts its value forward to the {_DECAY_H} target days
+    it influences — the events_rolling_active_users shape) turns it into
+    one explode + one combinable integer aggregate with no window at all.
+
+    Exactness: the decay weights are integer-quantized in Python and
+    embedded as the SAME literals in both plans, so every contribution
+    V_milli·w_micro and the per-day sum are exact BIGINTs; the float
+    score is one shared division.
+
+    Scale shape: facts reduce to the calendar-bounded daily table; the
+    explode is {_DECAY_H}x that reduction. Bounded-horizon decay at
+    100 TB costs one shuffle on the day key.
+    """
+    daily = load_table(spark, sf_dir, "events").groupBy(
+        F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v_milli")
+    ).localCheckpoint(eager=True)  # contribution explode + target join
+    w = spark.createDataFrame(
+        list(enumerate(_DECAY_W)), "l int, wm long"
+    )
+    contrib = daily.crossJoin(F.broadcast(w)).select(
+        F.date_add(F.col("d"), F.col("l")).alias("target"),
+        (F.col("v_milli") * F.col("wm")).alias("c"),
+    )
+    return (
+        daily.join(contrib, daily.d == contrib.target)
+        .groupBy("d", "v_milli")
+        .agg(
+            F.sum("c").cast("long").alias("decay_scaled"),
+            F.round(F.sum("c").cast("double") / 1_000_000_000.0, 6).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy("d")
+    )
