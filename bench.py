@@ -112,6 +112,12 @@ HEADLINE = [
     "text_bm25_topk",
     "join_bloom_pruned",
     "events_hurst_rs",
+    # round-9 additions: the pair-shuffle collocation miner (the round's
+    # honest-linear-cost flagship), the iterative density peel, and the
+    # streaming sum-merge sketch — three distinct plan shapes again
+    "text_pmi_cooccurrence",
+    "graph_densest_subgraph_peel",
+    "stream_cms_sketch",
 ]
 
 

@@ -597,6 +597,12 @@ DRIVER_ORDER: list[str] = [
     "feature_count_vectorizer_df",   # r9: df-pruned count vectors, checksum-pinned
     "events_entropy_rate_markov",    # r9: chain entropy rate, 25-cell pivot
     "graph_densest_subgraph_peel",   # r9: Bahmani parallel peel, 3-approx density
+    # -- round-9 additions (wave 49) --
+    "sketch_ams_f2",                 # r9: AMS F2 sketch, exact signed sums
+    "stat_kendall_tau_b",            # r9: tie-corrected concordance correlation
+    "stat_theil_u",                  # r9: uncertainty coefficient, 47-int pivot
+    "window_exponential_decay_sum",  # r9: integer-quantized decayed engagement
+    "stream_cms_sketch",             # r9: streaming CMS, non-idempotent merge protocol
 ]
 
 

@@ -376,10 +376,10 @@ def _tws_unavailable_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently disappearing or erroring.
 
     Round-5 re-checks (2026-08-14/15), round-6 re-probe (2026-08-15),
-    round-7 re-probe (2026-08-16) and round-8 re-probe (2026-08-16, this
-    runtime): ``import google.protobuf`` still raises ModuleNotFoundError,
-    ``pip download protobuf`` fails on name resolution (no network), and
-    installs are forbidden; the waiver stands.
+    round-7 re-probe (2026-08-16), round-8 re-probe (2026-08-16), and
+    round-9 re-probe (2026-08-16, this runtime): ``import
+    google.protobuf`` still raises ModuleNotFoundError, network installs
+    are forbidden; the waiver stands.
     The processor class above self-activates (HAS_TWS) the moment a runtime
     ships protobuf — no code change needed then."""
     return spark.createDataFrame(
@@ -1701,3 +1701,130 @@ def stream_minhash_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_confs(spark)
     e = read_events_stream(spark, sf_dir).select("ts", "user_id")
     return run_stream_minhash(e, scratch_dir("stream_minhash", sf_dir))
+
+
+# --- wave 49 (round 9) ---
+
+
+def make_cms_merge_fn(base: str):
+    """(merge, read_ptr) over a versioned count-min-sketch state
+    directory: each batch reduces to (r, bucket, cell) partial counts
+    (md5 "key#r" buckets — the sketches2.py CMS discipline) and
+    SUM-merges them into state. Sum is commutative and associative, so
+    the merged sketch is independent of micro-batch slicing; replays are
+    rejected by the versioned pointer protocol (sum, unlike bit_or/max,
+    is NOT idempotent — here the protocol is the correctness mechanism,
+    not a belt-and-suspenders)."""
+    from ..operators.sketches2 import CMS_D, CMS_W  # noqa: F401
+
+    read_ptr, commit_version = versioned_state(base)
+
+    def merge(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ptr = read_ptr()
+        if ptr["batch"] >= batch_id:
+            return  # replay of an already-committed batch
+        parts = None
+        for r in range(CMS_D):
+            p = batch_df.selectExpr(
+                f"{r} AS r",
+                "CAST(conv(substr(md5(CAST(CAST(user_id AS STRING)"
+                f" || '#{r}' AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+                f" % {CMS_W} AS bucket",
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        cells = parts.groupBy("r", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("cell")
+        )
+        if ptr["dir"] is not None:
+            prior = s.read.parquet(ptr["dir"])
+            cells = (
+                prior.unionByName(cells)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cell").cast("long").alias("cell"))
+            )
+        commit_version(cells, batch_id)
+
+    return merge, read_ptr
+
+
+def run_stream_cms(events_stream: DataFrame, base: str) -> DataFrame:
+    """Core of stream_cms_sketch, parameterized over source stream and
+    state dir so tests can drive multi-batch + replay."""
+    import shutil
+
+    spark = events_stream.sparkSession
+    shutil.rmtree(base, ignore_errors=True)
+    merge, read_ptr = make_cms_merge_fn(base)
+    q = (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    final = read_ptr()
+    if final["dir"] is None:
+        raise RuntimeError("stream_cms_sketch processed zero batches")
+    state = spark.read.parquet(final["dir"])
+    return (
+        state.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cell").cast("long").alias("total_mass"),
+            F.max("cell").cast("long").alias("max_cell"),
+            F.sum(F.col("cell") * (F.col("bucket") + 1))
+            .cast("long")
+            .alias("cells_checksum"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "stream_cms_sketch",
+    # Batch-definition oracle: the same d x w count-min cells built in one
+    # pass over the full events table — the stream's sum-merged state must
+    # converge to this regardless of micro-batch slicing.
+    oracle="""
+    WITH cells AS (
+        SELECT r.r,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                        || '#' || r.r), 1, 8)) AS BIGINT)
+                   % 256 AS bucket,
+               count(*) AS cell
+        FROM events, (SELECT unnest(range(4)) AS r) r
+        GROUP BY 1, 2
+    )
+    SELECT CAST(r AS INT) AS r,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(cell) AS BIGINT) AS total_mass,
+           CAST(max(cell) AS BIGINT) AS max_cell,
+           CAST(sum(cell * (bucket + 1)) AS BIGINT) AS cells_checksum
+    FROM cells GROUP BY r ORDER BY r
+    """,
+)
+def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance: each micro-batch reduces
+    to (row, bucket, cell) partial counts and SUM-merges them into the
+    versioned state table — the incremental form of
+    sketch_cms_heavy_hitters, and the frequency twin of
+    stream_bitmap_distinct's exact-distinct state. Because CMS cells
+    merge by ADDITION, per-batch work is one combinable aggregate and
+    state is a constant d x w = 1,024 cells forever; unlike the bitmap's
+    idempotent bit_or, a replayed batch WOULD double-count, so this
+    operator is the test that the versioned-pointer exactly-once
+    protocol actually carries non-idempotent merges (the test suite
+    replays a batch id and asserts state is unchanged).
+
+    The readout (per-row cell count, total mass, max cell, position-
+    weighted checksum — all exact integers) pins the ENTIRE sketch
+    content against the one-pass batch oracle.
+    """
+    from ..session import scratch_dir
+
+    ensure_confs(spark)
+    e = read_events_stream(spark, sf_dir).select("user_id")
+    return run_stream_cms(e, scratch_dir("stream_cms", sf_dir))
