@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.xxh64_sql import XXH64_MACROS
 from ..io import load_table
 from ..registry import query
 
@@ -379,4 +380,102 @@ def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = m.groupBy("i").agg(F.max("mn").cast("long").alias("fit_millicents"))
     return idx.join(fit, "i").select(
         "day", F.col("cents").alias("daily_cents"), "fit_millicents"
+    )
+
+
+# --- wave 50 (round 9) ---
+
+_MOM_K = 16  # buckets; bucket = xxhash64 of the row key mod k
+
+
+@query(
+    "agg_median_of_means",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH b AS (
+        SELECT ((xxh64_long(o_orderkey, 42::UBIGINT) % {_MOM_K})
+                + {_MOM_K}) % {_MOM_K} AS bucket,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS mean_milli
+        FROM b GROUP BY bucket
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY mean_milli, bucket) AS rk
+        FROM per
+    ),
+    mom AS (
+        SELECT CAST(mean_milli AS BIGINT) AS mom_milli
+        FROM ranked WHERE rk = ({_MOM_K} + 1) // 2
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) * 1000 // count(*) AS BIGINT)
+                   AS plain_mean_milli
+        FROM b
+    )
+    SELECT t.n_rows, {_MOM_K} AS k_buckets,
+           t.plain_mean_milli, m.mom_milli,
+           CAST((m.mom_milli - t.plain_mean_milli) * 1000000
+                // t.plain_mean_milli AS BIGINT) AS mom_vs_mean_ppm
+    FROM tot t CROSS JOIN mom m
+    """,
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean estimator (Nemirovsky-Yudin 1983; the
+    standard heavy-tail telemetry estimator): rows hash-partition into
+    k = {_MOM_K} buckets, each bucket reports its mean, and the estimate
+    is the MEDIAN of the k means — sub-Gaussian deviation bounds under
+    nothing but finite variance, where the plain mean is at an
+    adversarial outlier's mercy. The readout carries both estimators and
+    their ppm gap (a large gap IS the heavy-tail/outlier alarm).
+
+    Exactness: buckets are xxhash64-deterministic (engine-replayed);
+    bucket means are integer milli-units (sum·1000 DIV n), the median is
+    an exact order statistic of the k means with bucket-id tie-break,
+    and the comparison column is integer ppm.
+
+    Scale shape: one combinable (bucket) aggregate — k cells of state —
+    plus a k-row sort. The robust estimator costs exactly one extra
+    GROUP BY key over the plain mean at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    b = load_table(spark, sf_dir, "orders").select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_MOM_K)).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = b.localCheckpoint(eager=True)  # per-bucket agg + the total both read
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.expr("CAST(sum(cents) * 1000 DIV count(*) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+    )
+    ranked = per.withColumn(
+        "rk", F.row_number().over(W.orderBy("mean_milli", "bucket"))
+    )
+    mom = ranked.filter(F.col("rk") == (_MOM_K + 1) // 2).select(
+        F.col("mean_milli").alias("mom_milli")
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(sum(cents) * 1000 DIV count(*) AS BIGINT)").alias(
+            "plain_mean_milli"
+        ),
+    )
+    return tot.crossJoin(F.broadcast(mom)).select(
+        "n_rows",
+        F.lit(_MOM_K).cast("int").alias("k_buckets"),
+        "plain_mean_milli",
+        "mom_milli",
+        F.expr(
+            "CAST((mom_milli - plain_mean_milli) * 1000000"
+            " DIV plain_mean_milli AS BIGINT)"
+        ).alias("mom_vs_mean_ppm"),
     )

@@ -2145,3 +2145,193 @@ def stat_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_THEIL_HXY} AS h_x_given_y",
         f"({_THEIL_HX} - {_THEIL_HXY}) / nullif({_THEIL_HX}, 0) AS theil_u",
     )
+
+
+# --- wave 50 (round 9) ---
+
+# McNemar's chi-square with continuity correction over the discordant
+# pair counts b, c — one shared expression over two exact integers.
+_MCNEMAR = (
+    "(abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)"
+    " * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)"
+    " / nullif(CAST(b AS DOUBLE) + CAST(c AS DOUBLE), 0)"
+)
+_MC_SPLIT = "DATE '2024-01-16'"  # mid-fixture, the drift_jsd_events split
+_MC_BIG = 280  # big-ticket threshold: rare enough that the 2x2 table has
+# discordant mass at both test scales (any-purchase saturates every cell)
+
+
+@query(
+    "stat_mcnemar_test",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id,
+               max(CASE WHEN ts < {_MC_SPLIT} AND event_type = 'purchase'
+                        AND value > {_MC_BIG} THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN ts >= {_MC_SPLIT} AND event_type = 'purchase'
+                        AND value > {_MC_BIG} THEN 1 ELSE 0 END) AS p2
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM per
+    )
+    SELECT n_users, a, b, c, d,
+           round({_MCNEMAR}, 6) AS chi2_cc
+    FROM m
+    """,
+)
+def stat_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) on paired binary outcomes: did each user
+    make a big-ticket purchase (value > {_MC_BIG}) in the first vs the
+    second half of the window? (Any-purchase saturates every cell on
+    this fixture; the rare outcome keeps discordant mass in play.) Only the
+    DISCORDANT pairs (b = yes→no, c = no→yes) carry information —
+    the within-subject change test behind before/after feature launches,
+    where a two-sample test would ignore the pairing entirely. Completes
+    the blocked-binary family: Cochran's Q generalizes this to k
+    periods; McNemar is the k=2 workhorse with the Edwards continuity
+    correction.
+
+    Exactness: the full 2x2 concordance table is exact BIGINTs from one
+    per-user reduction; chi² = (|b−c|−1)²/(b+c) is one shared nullif'd
+    expression.
+
+    Scale shape: one per-user combinable aggregate (the sessionization
+    shuffle), one 1-row readout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("date")
+    big = (F.col("event_type") == "purchase") & (F.col("value") > _MC_BIG)
+    per = ev.groupBy("user_id").agg(
+        F.max(((F.col("ts") < split) & big).cast("int")).alias("p1"),
+        F.max(((F.col("ts") >= split) & big).cast("int")).alias("p2"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 1)).cast("int"))
+        .cast("long")
+        .alias("a"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 0)).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 1)).cast("int"))
+        .cast("long")
+        .alias("c"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 0)).cast("int"))
+        .cast("long")
+        .alias("d"),
+    )
+    return m.selectExpr(
+        "n_users", "a", "b", "c", "d",
+        f"round({_MCNEMAR}, 6) AS chi2_cc",
+    )
+
+
+# Wald-Wolfowitz runs z with continuity correction folded out (the plain
+# large-sample form): z = (R - mu) / sigma, mu = 2 n1 n2 / n + 1,
+# sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)) — one shared expression
+# over three exact integers.
+_RUNS_Z = (
+    "(CAST(r_runs AS DOUBLE)"
+    " - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0))"
+    " / sqrt(2.0 * n1 * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)"
+    "        / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)"
+    "           * (CAST(n1 AS DOUBLE) + n2 - 1)))"
+)
+
+
+@query(
+    "stat_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(x AS BIGINT) AS m FROM daily
+        ORDER BY x LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM daily)
+    ),
+    signs AS (
+        SELECT d, CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+        FROM daily WHERE x <> (SELECT m FROM med)
+    ),
+    seq AS (
+        SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM signs
+    ),
+    m2 AS (
+        SELECT CAST(sum(CASE WHEN prev IS NULL OR s <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_runs,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(sum(1 - s) AS BIGINT) AS n2
+        FROM seq
+    )
+    SELECT r_runs, n1, n2, round({_RUNS_Z}, 6) AS z_runs
+    FROM m2
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) for the RANDOMNESS of the daily
+    revenue series around its median: too few runs of above/below-median
+    days means positive serial dependence (trend or regime persistence),
+    too many means oscillation — the model-free check a forecaster runs
+    before trusting an i.i.d. residual assumption. Days exactly AT the
+    exact-order-statistic median are dropped (the standard treatment).
+
+    Exactness: the median is an exact order statistic of the daily
+    integer sums (LIMIT/OFFSET on the sorted reduction); runs, n1, n2
+    are exact BIGINTs from one lag window; z is one shared expression.
+
+    Scale shape: facts reduce to the calendar-bounded daily table; the
+    single-partition lag window runs over |days| rows (metadata). One
+    output row.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)  # median + signs consume it
+    )
+    n_days = daily.count()
+    med = (
+        daily.orderBy("x")
+        .limit((n_days - 1) // 2 + 1)
+        .agg(F.max("x").alias("m"))
+        .collect()[0]["m"]
+    )
+    signs = daily.filter(F.col("x") != med).select(
+        "d", (F.col("x") > med).cast("int").alias("s")
+    )
+    seq = signs.select(
+        "s", F.lag("s").over(W.orderBy("d")).alias("prev")
+    )
+    m2 = seq.agg(
+        F.sum(
+            (F.col("prev").isNull() | (F.col("s") != F.col("prev"))).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("r_runs"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    return m2.selectExpr(
+        "r_runs", "n1", "n2", f"round({_RUNS_Z}, 6) AS z_runs"
+    )

@@ -1959,3 +1959,73 @@ def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- wave 50 (round 9) ---
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT d.source, u.t
+        FROM (SELECT source, string_split(trim(text), ' ') AS ts
+              FROM documents) d, UNNEST(d.ts) AS u(t)
+        WHERE u.t <> ''
+    ),
+    vocab AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, t
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis_legomena,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_type_ppm,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+    FROM vocab GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: hapax legomena (once-only
+    types), dis legomena, the hapax share of the vocabulary, and the
+    type-token ratio — the vocabulary-shape signals beside Heaps' growth
+    (text_vocab_growth) and the Zipf slope (text_zipf_fit). A synthetic
+    or template-generated corpus shows an abnormally LOW hapax share
+    (few novel words), a scraped-garbage corpus an abnormally high one
+    (typos/OCR noise) — which is why corpus-quality dashboards plot
+    exactly these two ppm columns per source.
+
+    Scale shape: one (source, token) combinable count, one per-source
+    rollup — the wordcount shape; every output column an exact integer
+    (ppm by integer division).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        vocab.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+            F.sum((F.col("c") == 2).cast("int"))
+            .cast("long")
+            .alias("n_dis_legomena"),
+            F.expr(
+                "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("hapax_type_ppm"),
+            F.expr(
+                "CAST(count(*) * 1000000 DIV sum(c) AS BIGINT)"
+            ).alias("ttr_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -603,6 +603,11 @@ DRIVER_ORDER: list[str] = [
     "stat_theil_u",                  # r9: uncertainty coefficient, 47-int pivot
     "window_exponential_decay_sum",  # r9: integer-quantized decayed engagement
     "stream_cms_sketch",             # r9: streaming CMS, non-idempotent merge protocol
+    # -- round-9 additions (wave 50) --
+    "stat_mcnemar_test",             # r9: paired-binary change test, 2x2 exact
+    "stat_runs_test",                # r9: Wald-Wolfowitz randomness test
+    "text_hapax_ratio",              # r9: lexical richness, hapax/TTR ppm
+    "agg_median_of_means",           # r9: robust MoM estimator, hash buckets
 ]
 
 

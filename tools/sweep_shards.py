@@ -79,13 +79,17 @@ def main() -> int:
         shard_rows = json.load(open(so))
         n_rows_before += len(shard_rows)
         rows.update(shard_rows)
-        os.remove(so)
     # The index-mod partition means no query can run in two shards; assert
     # it (a dict.update would silently keep the later shard's row).
     assert n_rows_before == len(rows), "a query ran in more than one shard"
     merged = {name: rows[name] for name in registry.QUERIES if name in rows}
     missing = [name for name in registry.QUERIES if name not in rows]
+    # Assert BEFORE deleting shard outputs: queries registered after the
+    # shards started (a mid-sweep wave landing) must fail the merge without
+    # destroying the shards' row data.
     assert not missing, f"shards dropped queries: {missing}"
+    for so in shard_outs:
+        os.remove(so)
     assert list(merged) == [n for n in registry.QUERIES if n in merged], (
         "merged artifact not in registry order"
     )
