@@ -946,17 +946,21 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the hash match proves it (n_matched rows all passed).
     """
     orders = load_table(spark, sf_dir, "orders")
-    bk = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_orderkey").alias("k")
-    ).distinct()
+    bk = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)  # build agg + exact join both read it
+    )
     seeds = [F.lit(s) for s in _JB_SEEDS_STR]
-    # ONE build job (VERDICT r8 item 3 — was checkpoint + collect + count,
-    # three sequential small jobs): a single aggregate returns the build-key
-    # count and the SET BITS together. collect_set is bounded by the filter
-    # geometry (<= m = 65536 ints), never by the key count.
+    # TWO build jobs (VERDICT r8 item 3 — was checkpoint + collect + count,
+    # three): the checkpoint materializes the distinct keys once for both
+    # consumers, then a single Expand-free aggregate returns the key count
+    # (count(*)/3 — the explode emits exactly 3 rows per key; countDistinct
+    # would add an Expand) and the SET BITS together. collect_set is
+    # bounded by the filter geometry (<= m = 65536 ints), never keys.
     build = (
         bk.select(
-            "k",
             F.explode(
                 F.array(
                     *[
@@ -964,10 +968,10 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for s in seeds
                     ]
                 )
-            ).alias("bit"),
+            ).alias("bit")
         )
         .agg(
-            F.countDistinct("k").alias("n_build"),
+            (F.count(F.lit(1)) / 3).cast("long").alias("n_build"),
             F.collect_set("bit").alias("bits"),
         )
         .first()
