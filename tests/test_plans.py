@@ -651,3 +651,43 @@ def test_bloom_pruned_probe_filters_in_scan_stage(spark):
     # the probe scan feeds a Filter without an intervening Exchange: the
     # filter expression names element_at over the literal bitmap
     assert "element_at" in plan, plan
+
+
+def test_pmi_topk_is_take_ordered_with_broadcast_vocab(spark):
+    """PMI top-k must plan as TakeOrderedAndProject, and the frequent-
+    vocabulary df joins must broadcast (the vocab is the reduction; the
+    corpus-side pair table must not shuffle to meet it)."""
+    df = registry.QUERIES["text_pmi_cooccurrence"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_count_vectorizer_vocab_broadcasts(spark):
+    """Vectorization must be a map-side join against the broadcast
+    vocabulary — the (doc, token) occurrence table never shuffles on the
+    token key to meet the vocab."""
+    df = registry.QUERIES["feature_count_vectorizer_df"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_audio_frames_have_no_window_exchange(spark):
+    """Zero-crossing detection recomputes the predecessor sample inline
+    (a hash-decoded sample is a pure function of (asset, index)), so the
+    plan must contain NO Window operator — one explode feeding one
+    combinable aggregate."""
+    df = registry.QUERIES["multimodal_audio_frames"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_decay_sum_has_no_window(spark):
+    """The exponential-decay engagement score uses the offset-explode
+    form: no Window operator; the lag weights ride in as a broadcast
+    14-row dim."""
+    df = registry.QUERIES["window_exponential_decay_sum"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
