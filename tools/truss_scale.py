@@ -36,14 +36,14 @@ OFFSET = 100_000_000
 LABEL_OFFSET = 1000
 
 
-def stage(spark, base: str) -> str:
+def stage(spark, base: str, replicas: int = REPLICAS) -> str:
     from etl_cotrip_signs_spark.session import scratch_dir
 
-    out = scratch_dir(f"truss{REPLICAS}x", base)
+    out = scratch_dir(f"truss{replicas}x", base)
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
-    reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+    reps = spark.range(replicas).select(F.col("id").alias("__rep"))
     src = spark.read.parquet(f"{base}/embeddings.parquet")
     (
         src.crossJoin(F.broadcast(reps))
@@ -57,9 +57,9 @@ def stage(spark, base: str) -> str:
     return out
 
 
-def run_once(spark, sf_dir: str) -> tuple[float, int]:
+def run_once(spark, sf_dir: str, query: str) -> tuple[float, int]:
     t0 = time.perf_counter()
-    n = registry.QUERIES["graph_k_truss"](spark, sf_dir).count()
+    n = registry.QUERIES[query](spark, sf_dir).count()
     return time.perf_counter() - t0, n
 
 
@@ -67,41 +67,46 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--query", default="graph_k_truss",
+                    help="any similarity-graph query (graph_k_truss, "
+                    "graph_densest_subgraph_peel)")
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
     args = ap.parse_args()
     registry.load_all()
 
     spark = get_spark("truss-scale")
-    big = stage(spark, args.base)
+    big = stage(spark, args.base, args.replicas)
     from etl_cotrip_signs_spark.operators.similarity import (
         similarity_threshold_pairs,
     )
 
     e1 = similarity_threshold_pairs(spark, args.base).count()
-    e10 = similarity_threshold_pairs(spark, big).count()
+    eN = similarity_threshold_pairs(spark, big).count()
     spark.stop()
 
+    bk = f"x{args.replicas}"
     try:
         spark = get_spark("truss-scale")
-        w1 = min(run_once(spark, args.base)[0] for _ in range(2))
-        t1 = run_once(spark, args.base)[1]
+        w1 = min(run_once(spark, args.base, args.query)[0] for _ in range(2))
+        t1 = run_once(spark, args.base, args.query)[1]
         spark.stop()
         spark = get_spark("truss-scale")
-        w10, t10 = run_once(spark, big)
+        wN, tN = run_once(spark, big, args.query)
         spark.stop()
-        ratio = round(w10 / w1, 2)
+        ratio = round(wN / w1, 2)
         payload = json.dumps(
             {
-                "query": "graph_k_truss",
+                "query": args.query,
                 "replication": "replica-qualified labels (no cross-replica edges)",
                 "edges_x1": e1,
-                "edges_x10": e10,
-                "edge_ratio": round(e10 / e1, 2),
-                "truss_rows_x1": t1,
-                "truss_rows_x10": t10,
+                f"edges_{bk}": eN,
+                "edge_ratio": round(eN / e1, 2),
+                "rows_x1": t1,
+                f"rows_{bk}": tN,
                 "x1": round(w1, 2),
-                "x10": round(w10, 2),
+                bk: round(wN, 2),
                 "ratio": ratio,
-                "ratio_per_edge": round(ratio / (e10 / e1), 3),
+                "ratio_per_edge": round(ratio / (eN / e1), 3),
             }
         )
         print(payload)
