@@ -2212,3 +2212,106 @@ def graph_densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_round int, n_vertices long, n_edges long, density_ppm long, "
         "rounds_total long, converged boolean",
     )
+
+
+# Newman modularity in EXACT integers: Q = (1/4m^2) * sum_c (4m*e_c - d_c^2)
+# — the scaled sum is a BIGINT, so the partition-quality DECISION is inside
+# the hash and Q itself is one shared division.
+_MOD_Q = (
+    "CAST(q_scaled AS DOUBLE)"
+    " / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE))"
+)
+
+
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH {_LPA_PAIRS},
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+    {','.join(_lpa_round(f'l{i}', f'l{i + 1}') for i in range(_LPA_ROUNDS))},
+    lab AS (SELECT node, label FROM l{_LPA_ROUNDS}),
+    e AS (SELECT s, d FROM pairs),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+    ec AS (
+        SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+        FROM e JOIN lab la ON la.node = e.s
+        JOIN lab lb ON lb.node = e.d
+        WHERE la.label = lb.label GROUP BY la.label
+    ),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+    dc AS (
+        SELECT la.label, CAST(sum(deg.deg) AS BIGINT) AS d_c
+        FROM deg JOIN lab la ON la.node = deg.node GROUP BY la.label
+    ),
+    terms AS (
+        SELECT dc.label,
+               4 * m.m_edges * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c AS t
+        FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN m
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_communities,
+           m.m_edges,
+           CAST(sum(t.t) AS BIGINT) AS q_scaled,
+           round({_MOD_Q}, 6) AS modularity
+    FROM terms t CROSS JOIN m
+    GROUP BY m.m_edges
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (2004) of the LPA community partition over the
+    edit-distance-1 name graph — the partition-quality number every
+    community-detection run is judged by (Q > 0.3 is the folk threshold
+    for 'real structure'). Completes the community stack: LPA finds the
+    partition (hash-green), modularity SCORES it.
+
+    Exactness: Q = (1/4m²)·Σ_c (4m·e_c − d_c²), so the scaled sum is an
+    exact BIGINT over within-community edge counts and degree sums — the
+    quality DECISION hash-matches; Q is one shared division. The oracle
+    replays the same 3 unrolled LPA rounds, so label assignment and
+    score are checked together.
+
+    Scale shape: two label joins onto the edge list + two combinable
+    aggregates — the LPA round cost, once more. Output is 1 row.
+    """
+    from .text import fuzzy_join_del1
+
+    labels = graph_lpa_communities(spark, sf_dir).select(
+        F.col("name").alias("node"), F.col("community").alias("label")
+    ).localCheckpoint(eager=True)  # two label joins + community rollups
+    edges = (
+        fuzzy_join_del1(spark, sf_dir)
+        .select(F.col("name_a").alias("s"), F.col("name_b").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    m = edges.count()
+    ec = (
+        edges.join(labels.select(F.col("node").alias("s"), F.col("label").alias("la")), "s")
+        .join(labels.select(F.col("node").alias("d"), F.col("label").alias("lb")), "d")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        edges.select(F.col("s").alias("node"))
+        .unionAll(edges.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    dc = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    terms = dc.join(ec, "label", "left").select(
+        (
+            4 * F.lit(m) * F.coalesce(F.col("e_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("t")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.lit(m).cast("long").alias("m_edges"),
+        F.sum("t").cast("long").alias("q_scaled"),
+    ).selectExpr(
+        "n_communities", "m_edges", "q_scaled",
+        f"round({_MOD_Q}, 6) AS modularity",
+    )

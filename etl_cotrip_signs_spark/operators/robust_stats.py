@@ -479,3 +479,101 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV plain_mean_milli AS BIGINT)"
         ).alias("mom_vs_mean_ppm"),
     )
+
+
+# Hill tail-index estimator over the top-k order values: per-row
+# micro-quantized ln(x_i / x_ref) (the text_zipf_fit discipline — quantize
+# BEFORE the sum so the corpus statistic is an exact integer sum), then
+# alpha_hat = 1 / mean(ln terms).
+_HILL_K = 100
+
+
+@query(
+    "orders_hill_tail_index",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   ORDER BY floor(o_totalprice * 100) DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    ),
+    ref AS (SELECT cents AS x_ref FROM c WHERE rk = {_HILL_K + 1}),
+    terms AS (
+        SELECT CAST(floor(ln(CAST(c.cents AS DOUBLE)
+                             / CAST(r.x_ref AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS ln_micro
+        FROM c CROSS JOIN ref r WHERE c.rk <= {_HILL_K}
+    )
+    SELECT {_HILL_K} AS k,
+           (SELECT CAST(x_ref AS BIGINT) FROM ref) AS x_ref_cents,
+           CAST(sum(ln_micro) AS BIGINT) AS sum_ln_micro,
+           round(1000000.0 * {_HILL_K} / CAST(sum(ln_micro) AS DOUBLE), 6)
+               AS hill_alpha
+    FROM terms
+    """,
+)
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator (1975) of the Pareto tail index over the top-{_HILL_K}
+    order values: alpha_hat = k / Σ ln(x_(i) / x_(k+1)) — THE heavy-tail
+    diagnostic for revenue/latency/degree distributions (alpha <= 2 means
+    infinite variance: means stop converging and median-of-means becomes
+    mandatory; this estimator tells you WHICH regime the column is in,
+    making it the companion readout to agg_median_of_means).
+
+    Exactness: the top-k and the reference order statistic x_(k+1) come
+    from an exact rank (value desc, key tie-break); each ln ratio is
+    micro-quantized to an integer BEFORE the sum (the text_zipf_fit
+    discipline), so the corpus statistic is an exact BIGINT sum and
+    alpha is one shared division.
+
+    Scale shape: the rank is a top-(k+1) problem — at 100 TB this plans
+    as per-partition bounded heaps feeding one merge, never a full sort;
+    the ln arithmetic touches k+1 rows. Output is 1 row.
+    """
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = (
+        c.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+            ),
+        )
+        .filter(F.col("rk") <= _HILL_K + 1)
+        .localCheckpoint(eager=True)  # ref + terms consume it
+    )
+    ref = ranked.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("cents").alias("x_ref")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.floor(
+                F.log(
+                    F.col("cents").cast("double")
+                    / F.col("x_ref").cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ln_micro"),
+            "x_ref",
+        )
+    )
+    return terms.agg(
+        F.lit(_HILL_K).cast("int").alias("k"),
+        F.max("x_ref").cast("long").alias("x_ref_cents"),
+        F.sum("ln_micro").cast("long").alias("sum_ln_micro"),
+    ).selectExpr(
+        "k",
+        "x_ref_cents",
+        "sum_ln_micro",
+        f"round(1000000.0 * {_HILL_K} / CAST(sum_ln_micro AS DOUBLE), 6)"
+        " AS hill_alpha",
+    )

@@ -2335,3 +2335,91 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m2.selectExpr(
         "r_runs", "n1", "n2", f"round({_RUNS_Z}, 6) AS z_runs"
     )
+
+
+# Cohen's kappa over two deterministic lexical raters: kappa =
+# (po - pe) / (1 - pe), both probabilities expanded over the four exact
+# 2x2 cells in ONE shared expression (n = a+b+c+d).
+_KAPPA = (
+    "((CAST(a AS DOUBLE) + d) / n"
+    " - ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)"
+    "    + (CAST(c AS DOUBLE) + d) * (CAST(b AS DOUBLE) + d))"
+    "   / (CAST(n AS DOUBLE) * n))"
+    " / (1.0"
+    " - ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)"
+    "    + (CAST(c AS DOUBLE) + d) * (CAST(b AS DOUBLE) + d))"
+    "   / (CAST(n AS DOUBLE) * n))"
+)
+
+
+@query(
+    "stat_cohens_kappa",
+    oracle=f"""
+    WITH rated AS (
+        -- char-diff thresholds: ' the ' removes 5 chars per occurrence
+        -- (>= 25 means >= 5 hits), ' a ' removes 3 (>= 12 means >= 4)
+        SELECT CASE WHEN (length(text) - length(replace(text, ' the ', '')))
+                    >= 25 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN (length(text) - length(replace(text, ' a ', '')))
+                    >= 12 THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM rated
+    )
+    SELECT n, a, b, c, d, round({_KAPPA}, 6) AS kappa
+    FROM m
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (1960) between two deterministic lexical
+    English-ness raters (rater A: >= 5 occurrences of ' the '; rater B:
+    >= 4 of ' a ', both as exact char-diff integer compares) — chance-corrected inter-annotator agreement, THE
+    metric a labeling pipeline reports before trusting weak labels or
+    LLM-judge ensembles (raw agreement is inflated by class imbalance;
+    kappa subtracts the agreement two raters would reach by chance).
+    Completes the agreement family beside McNemar (which tests marginal
+    CHANGE on the same 2x2).
+
+    Exactness: the 2x2 table is one combinable aggregate of exact
+    substring-occurrence integers (both raters are deterministic
+    functions of the text, replayed identically by the oracle); kappa is
+    one shared expression over the four cells.
+
+    Scale shape: one map-side projection + one aggregate; 1 row out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chardiff = lambda token: F.length("text") - F.length(  # noqa: E731
+        F.replace(F.col("text"), F.lit(token))
+    )
+    rated = d.select(
+        (chardiff(" the ") >= 25).cast("int").alias("ra"),
+        (chardiff(" a ") >= 12).cast("int").alias("rb"),
+    )
+    m = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("int"))
+        .cast("long")
+        .alias("a"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 0)).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 1)).cast("int"))
+        .cast("long")
+        .alias("c"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("int"))
+        .cast("long")
+        .alias("d"),
+    )
+    return m.selectExpr(
+        "n", "a", "b", "c", "d", f"round({_KAPPA}, 6) AS kappa"
+    )
