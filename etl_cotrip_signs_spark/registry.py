@@ -608,6 +608,10 @@ DRIVER_ORDER: list[str] = [
     "stat_runs_test",                # r9: Wald-Wolfowitz randomness test
     "text_hapax_ratio",              # r9: lexical richness, hapax/TTR ppm
     "agg_median_of_means",           # r9: robust MoM estimator, hash buckets
+    # -- round-9 additions (wave 51) --
+    "graph_modularity_score",        # r9: Newman Q in exact integers over LPA
+    "stat_cohens_kappa",             # r9: chance-corrected rater agreement
+    "orders_hill_tail_index",        # r9: Pareto tail index, micro-quantized
 ]
 
 
