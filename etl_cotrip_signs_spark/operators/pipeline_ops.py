@@ -393,7 +393,8 @@ def cross_partition_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT o_orderpriority,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           CAST(2 * quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT),
+                                  0.5) AS BIGINT) AS exact_p50_x2_cents,
            TRUE AS nd_within_3rsd,
            TRUE AS p50_within_eps
     FROM orders GROUP BY 1 ORDER BY 1
@@ -412,6 +413,12 @@ def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     element lies between the exact 0.48/0.52 interpolated quantiles, a
     superset of the rank-eps guarantee). A sketch drifting outside its
     published bound flips a boolean and fails the driver hash loudly.
+
+    The exact median is pinned as an INTEGER (ADVICE r9): 2x the
+    interpolated median of integer cents. With g = 0.5 every step —
+    b-a, *0.5, the final sum — is exact in binary doubles for values
+    < 2^52, so Spark's a+(b-a)g and DuckDB's (1-g)a+gb are bit-identical
+    and the BIGINT cast removes the .xx5 double-rounding flake entirely.
     At scale the approximate forms are the only affordable ones; this query
     is the evidence they stay within their documented bounds."""
     o = load_table(spark, sf_dir, "orders")
@@ -419,7 +426,10 @@ def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.023).alias("approx_nd"),
         F.countDistinct("o_custkey").alias("exact_nd"),
         F.percentile_approx("o_totalprice", 0.5, 100).alias("approx_p50"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr(
+            "CAST(2 * percentile(CAST(floor(o_totalprice * 100) AS BIGINT),"
+            " 0.5) AS BIGINT)"
+        ).alias("exact_p50_x2_cents"),
         F.expr("percentile(o_totalprice, 0.48)").alias("exact_p48"),
         F.expr("percentile(o_totalprice, 0.52)").alias("exact_p52"),
     )
@@ -429,7 +439,7 @@ def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "o_orderpriority",
         "exact_nd",
-        F.round("exact_p50", 2).alias("exact_p50"),
+        "exact_p50_x2_cents",
         (nd_rel <= F.lit(3 * 0.023)).alias("nd_within_3rsd"),
         (
             (F.col("approx_p50") >= F.col("exact_p48"))

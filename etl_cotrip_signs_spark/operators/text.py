@@ -1925,6 +1925,11 @@ def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split(F.trim("text"), " ").alias("ts")
     )
+    # ADVICE r9: sequence(0, -1) in Spark is the DESCENDING [0, -1] (index
+    # -1 slices from the end), so a doc shorter than one chunk would emit
+    # two spurious chunks where DuckDB's range(0, len//W) emits none.
+    # Pre-filter mirrors range()'s empty behavior exactly.
+    d = d.where(F.size("ts") >= _CHUNK_W)
     chunks = d.select(
         "source",
         F.explode(

@@ -130,6 +130,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (similarity), pipeline_training_corpus + select_token_budget (training),
 # stream_tumbling_events + stream_foreach_batch_upsert (streaming).
 DRIVER_ORDER: list[str] = [
+    # ROTATION (round 10, VERDICT r9 task 1): 36 slots rotate to
+    # first-timers — all 25 round-9 wave-46..51 operators (none had driver
+    # history; three carry this round's r9-ADVICE fixes straight into
+    # slots: text_chunk_boilerplate's short-doc guard, stream_cms_sketch's
+    # interpolated-constant oracle, agg stays via the error-bounds rep) and
+    # 11 never-driver-checked long-tail queries spanning uncovered areas
+    # (signs Part A sink + observability, dynamic partition overwrite,
+    # Benford DQ, BPE token count, LOO target encoding, weighted SSSP,
+    # streaming incremental dedup, Arrow grouped UDF, isotonic PAVA,
+    # dynamic-schema UDTF). The same 14 area/perf reps keep green history
+    # and the STATUS perf targets under driver watch.
     # ROTATION (round 9, VERDICT r8 task 1): 36 slots rotate to
     # first-timers — all 16 round-8 wave-41..45 operators (none had driver
     # history; several carry this round's r8-ADVICE fixes straight into
@@ -174,6 +185,43 @@ DRIVER_ORDER: list[str] = [
     "dedup_components_ngram",         # perf-watch rep: STATUS target (green r2-r6)
     "knn_lsh_ann",                    # perf-watch rep: STATUS target (rows-only by nature)
     "stream_tumbling_events",         # perf-watch rep: streaming (green r2-r6)
+    "sketch_cms_width_sweep",        # r10 in, r9 wave 46: CMS width error sweep
+    "privacy_randomized_response",   # r10 in, r9 wave 46: Warner local DP
+    "stat_grubbs_outlier",           # r10 in, r9 wave 46: Grubbs max-deviation test
+    "sample_balanced_class",         # r10 in, r9 wave 46: class-balanced sample
+    "text_pmi_cooccurrence",         # r10 in, r9 wave 47: PMI collocations
+    "text_chunk_boilerplate",        # r10 in, r9 wave 47: chunk dup profile + the r9-ADVICE short-doc guard
+    "trend_seasonal_mann_kendall",   # r10 in, r9 wave 47: seasonal MK trend
+    "dq_schema_drift_report",        # r10 in, r9 wave 47: parquet-footer drift
+    "multimodal_audio_frames",       # r10 in, r9 wave 48: audio frame features
+    "multimodal_image_tiles_pool",   # r10 in, r9 wave 48: image tile pooling
+    "feature_count_vectorizer_df",   # r10 in, r9 wave 48: count vectorizer
+    "events_entropy_rate_markov",    # r10 in, r9 wave 48: Markov entropy rate
+    "graph_densest_subgraph_peel",   # r10 in, r9 wave 48: Charikar density peel
+    "sketch_ams_f2",                 # r10 in, r9 wave 49: AMS F2 sketch
+    "stat_kendall_tau_b",            # r10 in, r9 wave 49: Kendall tau-b
+    "stat_theil_u",                  # r10 in, r9 wave 49: Theil's U
+    "window_exponential_decay_sum",  # r10 in, r9 wave 49: exp-decay engagement
+    "stream_cms_sketch",             # r10 in, r9 wave 49: streaming CMS + the r9-ADVICE interpolated oracle
+    "stat_mcnemar_test",             # r10 in, r9 wave 50: McNemar paired test
+    "stat_runs_test",                # r10 in, r9 wave 50: Wald-Wolfowitz runs
+    "text_hapax_ratio",              # r10 in, r9 wave 50: hapax/TTR profile
+    "agg_median_of_means",           # r10 in, r9 wave 50: MoM robust estimator
+    "graph_modularity_score",        # r10 in, r9 wave 51: Newman modularity
+    "stat_cohens_kappa",             # r10 in, r9 wave 51: Cohen's kappa
+    "orders_hill_tail_index",        # r10 in, r9 wave 51: Hill tail index
+    "signs_http_sink_roundtrip",     # r10 in, long tail: Part A A6 batch HTTP sink
+    "signs_pipeline_observed_counts",# r10 in, long tail: Part A A9 observability
+    "partition_overwrite_dynamic",   # r10 in, long tail: dynamic partition overwrite
+    "dq_benford_digits",             # r10 in, long tail: Benford first-digit DQ
+    "text_bpe_token_count",          # r10 in, long tail: BPE-ish token counting
+    "feature_target_encoding_loo",   # r10 in, long tail: leave-one-out target encoding
+    "graph_sssp_weighted",           # r10 in, long tail: weighted SSSP frontier
+    "stream_incremental_dedup",      # r10 in, long tail: streaming incremental dedup
+    "arrow_grouped_norm_ppm",        # r10 in, long tail: Arrow grouped-map UDF
+    "isotonic_regression_daily",     # r10 in, long tail: PAVA isotonic fit
+    "udtf_analyze_dynamic_schema",   # r10 in, long tail: dynamic-schema UDTF
+    # -- r10 rotation out (the 36 r9-slot greens; all pass r9) --
     "stat_benjamini_hochberg",    # r9 in, r8 wave 41: BH step-up FDR
     "text_bm25_topk",             # r9 in, r8 wave 41: Okapi BM25 retrieval
     "join_bloom_pruned",          # r9 in, r8 wave 41: bloom-pruned join + the r9 one-pass build fold
@@ -457,8 +505,6 @@ DRIVER_ORDER: list[str] = [
     "knn_ivf_ann",
     "knn_ivf_recall",
     "signs_rest_stream_pipeline",
-    "signs_pipeline_observed_counts",
-    "signs_http_sink_roundtrip",
     "text_tfidf_top_term",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
@@ -478,7 +524,6 @@ DRIVER_ORDER: list[str] = [
     "schema_evolution_roundtrip",
     "signs_datasource_writer_sink",
     "stream_rocksdb_state_agg",
-    "stream_incremental_dedup",
     "graph_pagerank",
     # -- round-4 additions --
     "sample_weighted_reservoir",     # r4: exponential-keys weighted sample (oracle)
@@ -509,7 +554,6 @@ DRIVER_ORDER: list[str] = [
     "json_events_extract",
     "text_fingerprint_md5",
     "text_edit_distance_pairs",
-    "text_bpe_token_count",
     "text_bigrams_topk",
     "text_fingerprint_rolling",
     "text_repetition_score",
@@ -531,12 +575,9 @@ DRIVER_ORDER: list[str] = [
     "layout_zorder_codes",           # r5: morton bit math, hash-verified (oracle)
     "agg_approx_distinct",           # r5 late rotation out of slot 6 for text_bpe_apply
     "entity_match_phonetic_block",   # r5: block->compare->classify linkage (oracle)
-    "dq_benford_digits",             # r5: first-digit Benford audit, exact ppm (oracle)
     "events_chi2_independence",      # r5: chi-square contingency, exact fractions (oracle)
-    "feature_target_encoding_loo",   # r5: LOO + m-estimate target encoding (oracle)
     "feature_quantile_normalize_map",  # r5: quantile-normalization mapping table (oracle)
     "split_time_purged",             # r5: purged K-fold time-series CV split (oracle)
-    "isotonic_regression_daily",     # r5: loop-free PAVA via the minimax identity (oracle)
     "orders_holt_linear",            # r5: Holt smoothing, recursive-CTE oracle (oracle)
     "feature_point_in_time",         # r5: leakage-free training snapshot + label (oracle)
     "agg_aqp_sampled_groupby",       # r5: deterministic-sample AQP estimate + exact error (oracle)
@@ -546,15 +587,11 @@ DRIVER_ORDER: list[str] = [
     "events_anomaly_iqr",            # r5 late rotation out of the first 50 (green r4)
     # --- round-5 continuation-2 waves (oracle unless noted) ---
     "sketch_bloom_membership",       # r5c2: deterministic Bloom filter, FP set in-hash
-    "partition_overwrite_dynamic",   # r5c2: dynamic partition overwrite semantics
     "graph_link_prediction_jaccard", # r5c2: neighborhood-Jaccard baseline
-    "arrow_grouped_norm_ppm",        # r5c2: applyInArrow grouped kernels
-    "udtf_analyze_dynamic_schema",   # r5c2: analyze()-polymorphic UDTF
     "stream_datasource_writer_sink", # r5c2: streaming Python DataSource writer
     "orders_lttb_downsample",        # r5c2: LTTB dashboard downsampling
     "scalars_try_arithmetic",        # r5c2: ANSI try_* error-path pins
     "graph_components_hashmin_jump", # r5c2: O(log n) pointer-jumping CC
-    "graph_sssp_weighted",           # r5c2: Bellman-Ford vs 64 unrolled stages
     "agg_grouping_id_levels",        # r5c2: GROUPING bitmask surface
     "ps_api_groupby_twin",           # r5c2: pandas API on Spark, SQL-twin hash
     "events_rollup_two_level",       # r5c2 rotation out of the first 50 (green r4)
@@ -582,36 +619,11 @@ DRIVER_ORDER: list[str] = [
     # -- round-8 additions (wave 45) --
     # (all 16 wave-41..45 names promoted into the first 50 above — r9)
     # -- round-9 additions (wave 46) --
-    "sketch_cms_width_sweep",        # r9: CMS width/error curve, exact collision mass
-    "privacy_randomized_response",   # r9: Warner local-DP release, hash-replayed coins
-    "stat_grubbs_outlier",           # r9: max-deviation outlier test, n-scaled exact
-    "sample_balanced_class",         # r9: class-balanced downsample, hash-ranked
     # -- round-9 additions (wave 47) --
-    "text_pmi_cooccurrence",         # r9: doc-level PMI collocations, per-row exact
-    "text_chunk_boilerplate",        # r9: sub-document chunk dedup profile
-    "trend_seasonal_mann_kendall",   # r9: within-season MK, exact S/var
-    "dq_schema_drift_report",        # r9: snapshot schema drift vs parquet footers
     # -- round-9 additions (wave 48) --
-    "multimodal_audio_frames",       # r9: PCM frame features, hash-decoded, windowless zc
-    "multimodal_image_tiles_pool",   # r9: average-pool tiling, exact integer means
-    "feature_count_vectorizer_df",   # r9: df-pruned count vectors, checksum-pinned
-    "events_entropy_rate_markov",    # r9: chain entropy rate, 25-cell pivot
-    "graph_densest_subgraph_peel",   # r9: Bahmani parallel peel, 3-approx density
     # -- round-9 additions (wave 49) --
-    "sketch_ams_f2",                 # r9: AMS F2 sketch, exact signed sums
-    "stat_kendall_tau_b",            # r9: tie-corrected concordance correlation
-    "stat_theil_u",                  # r9: uncertainty coefficient, 47-int pivot
-    "window_exponential_decay_sum",  # r9: integer-quantized decayed engagement
-    "stream_cms_sketch",             # r9: streaming CMS, non-idempotent merge protocol
     # -- round-9 additions (wave 50) --
-    "stat_mcnemar_test",             # r9: paired-binary change test, 2x2 exact
-    "stat_runs_test",                # r9: Wald-Wolfowitz randomness test
-    "text_hapax_ratio",              # r9: lexical richness, hapax/TTR ppm
-    "agg_median_of_means",           # r9: robust MoM estimator, hash buckets
     # -- round-9 additions (wave 51) --
-    "graph_modularity_score",        # r9: Newman Q in exact integers over LPA
-    "stat_cohens_kappa",             # r9: chance-corrected rater agreement
-    "orders_hill_tail_index",        # r9: Pareto tail index, micro-quantized
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..io import load_table
+from ..operators.sketches2 import CMS_D, CMS_W
 from ..registry import query
 from ..session import ensure_confs
 
@@ -1715,8 +1716,6 @@ def make_cms_merge_fn(base: str):
     rejected by the versioned pointer protocol (sum, unlike bit_or/max,
     is NOT idempotent — here the protocol is the correctness mechanism,
     not a belt-and-suspenders)."""
-    from ..operators.sketches2 import CMS_D, CMS_W  # noqa: F401
-
     read_ptr, commit_version = versioned_state(base)
 
     def merge(batch_df, batch_id: int) -> None:
@@ -1787,15 +1786,17 @@ def run_stream_cms(events_stream: DataFrame, base: str) -> DataFrame:
     "stream_cms_sketch",
     # Batch-definition oracle: the same d x w count-min cells built in one
     # pass over the full events table — the stream's sum-merged state must
-    # converge to this regardless of micro-batch slicing.
-    oracle="""
+    # converge to this regardless of micro-batch slicing. CMS_W/CMS_D are
+    # interpolated (ADVICE r9): if the sketch constants ever change, the
+    # oracle moves with the implementation instead of silently diverging.
+    oracle=f"""
     WITH cells AS (
         SELECT r.r,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
                                         || '#' || r.r), 1, 8)) AS BIGINT)
-                   % 256 AS bucket,
+                   % {CMS_W} AS bucket,
                count(*) AS cell
-        FROM events, (SELECT unnest(range(4)) AS r) r
+        FROM events, (SELECT unnest(range({CMS_D})) AS r) r
         GROUP BY 1, 2
     )
     SELECT CAST(r AS INT) AS r,

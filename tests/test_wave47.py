@@ -136,3 +136,30 @@ def test_schema_drift_statuses(spark):
         assert r.in_v1 == (r.status != "added")
         assert r.in_v2 == (r.status != "removed")
         assert r.type_changed == (r.status == "type_changed")
+
+
+def test_chunk_boilerplate_short_docs_emit_no_chunks(spark, tmp_path):
+    """ADVICE r9 pin: a document shorter than one chunk must contribute
+    ZERO chunks (DuckDB's range(0, len//W) is empty), not the two spurious
+    chunks Spark's descending sequence(0, -1) used to emit."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c",                       # 3 tokens < _CHUNK_W -> 0 chunks
+                " ".join(["t"] * _CHUNK_W),    # exactly one chunk
+                "",                            # empty -> 0 chunks
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s_short", "s_exact", "s_short"],
+            "n_chars": [5, 15, 0],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = text_chunk_boilerplate(spark, str(tmp_path)).toPandas()
+    # only the exactly-one-chunk source appears; short/empty docs vanish
+    assert list(out.source) == ["s_exact"]
+    assert list(out.n_chunks) == [1]
+    assert list(out.n_distinct_chunks) == [1]
