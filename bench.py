@@ -159,10 +159,35 @@ def main() -> None:
     # on Python GC + the JVM ContextCleaner, and later heavy queries pay
     # for the dead blocks (observed: dedup_components_ngram 8.6-14.6 s
     # in-bench vs 4.0-4.4 s for its own 10x-density probe after hygiene).
+    # Interleaved calibration (VERDICT r9 item 2): the host's throughput
+    # swings 2-8x WITHIN one bench run (observed 0.147-0.771 across minutes
+    # in round 9), so one pre-run sample manufactured a phantom 1.86x
+    # cross-round "regression". Sample the constant-work calibration
+    # before, at each third, and after the headline loop; normalize every
+    # query by the NEAREST sample in time and report the median + spread.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    calibration_samples: list[dict] = []
+
+    def sample_calibration(at: int) -> None:
+        calibration_samples.append(
+            {"at_query": at, "value": run_calibration(spark)}
+        )
+
+    thirds = {0, len(HEADLINE) // 3, 2 * len(HEADLINE) // 3}
+    for i, name in enumerate(HEADLINE):
+        if i in thirds:
+            sample_calibration(i)
         _release_session_state(spark)
         timings[name] = round(min(run_once(name), run_once(name)), 3)
+    sample_calibration(len(HEADLINE))
+    queries_normalized = {
+        name: round(
+            timings[name]
+            / nearest_calibration(i, calibration_samples),
+            2,
+        )
+        for i, name in enumerate(HEADLINE)
+    }
 
     # Probe phase runs in a FRESH session. Root cause pinned in round 5:
     # after the 39-query headline pass the components probe measured 10-24 s
@@ -185,7 +210,13 @@ def main() -> None:
     }
 
     detail_line, headline_line = emit_lines(
-        timings, probes, probes_normalized, probe_rows, calibration
+        timings,
+        probes,
+        probes_normalized,
+        probe_rows,
+        calibration,
+        calibration_samples=calibration_samples,
+        queries_normalized=queries_normalized,
     )
     # Detail (per-query / per-probe maps) goes to a repo file AND an
     # earlier stdout line; the compact headline prints LAST. The driver
@@ -201,12 +232,22 @@ def main() -> None:
     spark.stop()
 
 
+def nearest_calibration(query_index: int, samples: list[dict]) -> float:
+    """The calibration sample taken closest (by headline position) to the
+    query — per-query normalization uses the host-speed reading nearest in
+    time, not one stale pre-run number."""
+    best = min(samples, key=lambda s: abs(s["at_query"] - query_index))
+    return best["value"]
+
+
 def emit_lines(
     timings: dict[str, float],
     probes: dict[str, float],
     probes_normalized: dict[str, float],
     probe_rows: dict[str, int],
     calibration: float,
+    calibration_samples: list[dict] | None = None,
+    queries_normalized: dict[str, float] | None = None,
 ) -> tuple[str, str]:
     """Build the (detail, headline) JSON lines. Headline stays compact —
     scalar fields only, no unbounded per-query maps — so it parses intact
@@ -214,6 +255,23 @@ def emit_lines(
     headline set grows to."""
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    sample_vals = sorted(s["value"] for s in (calibration_samples or []))
+    cal_median = (
+        round(
+            (
+                sample_vals[len(sample_vals) // 2]
+                if len(sample_vals) % 2
+                else (
+                    sample_vals[len(sample_vals) // 2 - 1]
+                    + sample_vals[len(sample_vals) // 2]
+                )
+                / 2
+            ),
+            3,
+        )
+        if sample_vals
+        else None
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -223,6 +281,9 @@ def emit_lines(
         "probes_normalized": probes_normalized,
         "probe_rows": probe_rows,
         "calibration": calibration,
+        "calibration_samples": calibration_samples or [],
+        "calibration_median": cal_median,
+        "queries_normalized": queries_normalized or {},
         "sf": float(sf) if sf else None,
     }
     slowest = max(timings, key=timings.get) if timings else None
@@ -233,6 +294,14 @@ def emit_lines(
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),
         "calibration": calibration,
+        # interleaved host-speed samples (VERDICT r9 item 2): a bounded
+        # list of floats (one per third of the headline loop + the probe
+        # session's reading stays in "calibration") — cross-round compares
+        # normalize per-query by the nearest sample, never one stale read
+        "calibration_samples": [s["value"] for s in calibration_samples]
+        if calibration_samples
+        else [],
+        "calibration_median": cal_median,
         "slowest_query": slowest,
         "slowest_sec": timings.get(slowest) if slowest else None,
         "detail_file": "BENCH_DETAIL.json",

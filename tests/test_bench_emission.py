@@ -66,3 +66,39 @@ def test_detail_line_carries_full_maps():
     assert parsed["probes"] == probes
     assert parsed["probes_normalized"] == normalized
     assert parsed["probe_rows"] == rows
+
+
+def test_interleaved_calibration_samples_on_headline_line():
+    """VERDICT r9 item 2: the headline line carries the interleaved
+    calibration samples (bounded list) and their median; per-query
+    normalization uses the sample nearest in headline position."""
+    timings, probes, normalized, rows = _fake_inputs(10)
+    samples = [
+        {"at_query": 0, "value": 0.10},
+        {"at_query": 3, "value": 0.40},
+        {"at_query": 6, "value": 0.20},
+        {"at_query": 10, "value": 0.30},
+    ]
+    qnorm = {k: 1.0 for k in timings}
+    detail, headline = bench.emit_lines(
+        timings,
+        probes,
+        normalized,
+        rows,
+        calibration=0.092,
+        calibration_samples=samples,
+        queries_normalized=qnorm,
+    )
+    h = json.loads(headline)
+    assert h["calibration_samples"] == [0.10, 0.40, 0.20, 0.30]
+    assert h["calibration_median"] == 0.25
+    assert len(headline) < 1500
+    d = json.loads(detail)
+    assert d["calibration_samples"] == samples
+    assert d["queries_normalized"] == qnorm
+    # nearest-sample selection: ties broken toward the earlier sample
+    assert bench.nearest_calibration(1, samples) == 0.10
+    assert bench.nearest_calibration(2, samples) == 0.40
+    assert bench.nearest_calibration(9, samples) == 0.30
+    assert bench.nearest_calibration(8, samples) == 0.20  # tie -> earlier
+    assert bench.nearest_calibration(7, samples) == 0.20
