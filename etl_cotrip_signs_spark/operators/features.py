@@ -776,9 +776,14 @@ def feature_count_vectorizer_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.orderBy(F.col("df").desc(), F.col("t")))
         .cast("long"),
-    )
+    ).localCheckpoint(eager=True)
+    # Broadcast gate (VERDICT r9 item 4, the text.py/dedup.py discipline):
+    # hint only under a measured vocab row count — a huge-corpus vocabulary
+    # above the cap joins hint-free and AQE picks the exchange.
+    from .text import _maybe_broadcast_vocab
+
     return (
-        occ.join(F.broadcast(vocab), "t")
+        occ.join(_maybe_broadcast_vocab(vocab, vocab.count()), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vocab_terms"),

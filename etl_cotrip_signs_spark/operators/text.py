@@ -1775,6 +1775,31 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- wave 47 (round 9) ---
 
+# Vocab-side broadcast gate (VERDICT r9 item 4, the dedup.py discipline):
+# the frequent-vocabulary tables these queries hang joins on are REDUCTIONS
+# of the corpus (min-df-gated distinct tokens), so at bench scale a
+# broadcast hint is the right plan — but a trillion-token corpus can still
+# carry tens of millions of frequent types, and a FORCED hint there would
+# collect the vocab on the driver and OOM. Gate the hint on a MEASURED row
+# count (the caller holds the vocab localCheckpointed, so the count reads
+# cached partition metadata); above the cap the join runs hint-free and
+# AQE picks the exchange. ~24 B/row (token + count) -> 2M rows ≈ 48 MB,
+# far under Spark's broadcast ceiling.
+import os as _os
+
+_VOCAB_BCAST_CAP = int(
+    _os.environ.get("SPARK_GRAFT_VOCAB_BCAST_CAP", "2000000")
+)
+
+
+def _maybe_broadcast_vocab(df: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast-hint a vocabulary side only when its measured size is
+    bounded — identical contract to dedup._maybe_broadcast."""
+    if n_rows <= _VOCAB_BCAST_CAP:
+        return F.broadcast(df)
+    return df
+
+
 _PMI_MIN_DF = 25  # frequent-vocab gate BEFORE pairing: bounds pair fan-out
 _PMI_MIN_CO = 10
 _PMI_TOPK = 20
@@ -1840,8 +1865,12 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= _PMI_MIN_DF)
+        .localCheckpoint(eager=True)  # one materialization feeds 3 joins
     )
-    keep = tok.join(F.broadcast(df_t.select("t")), "t").select("doc_id", "t")
+    n_vocab = df_t.count()  # cached metadata read post-checkpoint
+    keep = tok.join(
+        _maybe_broadcast_vocab(df_t.select("t"), n_vocab), "t"
+    ).select("doc_id", "t")
     co = (
         keep.select("doc_id", F.col("t").alias("t1"))
         .join(
@@ -1855,11 +1884,17 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         co.join(
-            F.broadcast(df_t.select(F.col("t").alias("t1"), F.col("c").alias("c_x"))),
+            _maybe_broadcast_vocab(
+                df_t.select(F.col("t").alias("t1"), F.col("c").alias("c_x")),
+                n_vocab,
+            ),
             "t1",
         )
         .join(
-            F.broadcast(df_t.select(F.col("t").alias("t2"), F.col("c").alias("c_y"))),
+            _maybe_broadcast_vocab(
+                df_t.select(F.col("t").alias("t2"), F.col("c").alias("c_y")),
+                n_vocab,
+            ),
             "t2",
         )
         .withColumn("n_docs", F.lit(n_docs).cast("long"))

@@ -75,3 +75,29 @@ def test_minhash_recall_oracle_registered():
     sql = registry.ORACLES["dedup_minhash_recall"]
     # composed from the two proven pair oracles
     assert "recall" in sql and "xxh64" in sql.lower()
+
+
+# --- round 10: the text-family vocab broadcast gate (VERDICT r9 item 4) ---
+
+
+def test_pmi_unhinted_matches_broadcast(spark, monkeypatch):
+    from etl_cotrip_signs_spark.operators import text
+
+    base = _rows(text.text_pmi_cooccurrence(spark, SF_SMALL))
+    assert base, "fixture should contain frequent co-occurring pairs"
+    monkeypatch.setattr(text, "_VOCAB_BCAST_CAP", 0)
+    fallback_df = text.text_pmi_cooccurrence(spark, SF_SMALL)
+    # the 100 TB path must not hint-broadcast the vocabulary table
+    assert "ResolvedHint" not in _analyzed(fallback_df)
+    assert _rows(fallback_df) == base
+
+
+def test_count_vectorizer_unhinted_matches_broadcast(spark, monkeypatch):
+    from etl_cotrip_signs_spark.operators import features, text
+
+    base = _rows(features.feature_count_vectorizer_df(spark, SF_SMALL))
+    assert base, "fixture should produce vectorized docs"
+    monkeypatch.setattr(text, "_VOCAB_BCAST_CAP", 0)
+    fallback_df = features.feature_count_vectorizer_df(spark, SF_SMALL)
+    assert "ResolvedHint" not in _analyzed(fallback_df)
+    assert _rows(fallback_df) == base
