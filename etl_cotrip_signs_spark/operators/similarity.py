@@ -53,9 +53,10 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "knn_exact_cosine",
-    oracle=f"""
+# Exact brute-force top-k in DuckDB SQL — knn_exact_cosine's oracle, and
+# the shared exact-twin CTE body for the knn_*_recall decision oracles.
+def _exact_cosine_sql() -> str:
+    return f"""
     SELECT query_id, neighbor_id, cos, rn
     FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -69,7 +70,29 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM embeddings q JOIN embeddings c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
     ) WHERE rn <= {_TOP_K}
-    """,
+    """
+
+
+def _recall_decision_sql(floor_ppm: int) -> str:
+    """Decision-hash oracle for a knn_*_recall query (VERDICT r9 item 5,
+    the agg_approx_error_bounds pattern): the exact-twin counts are fully
+    DuckDB-replayable; the ANN hit share is Spark-private, so the oracle
+    asserts the documented floor as a TRUE literal — a collapsed
+    approximate path flips the boolean and fails the driver hash loudly."""
+    return f"""
+    WITH exact AS ({_exact_cosine_sql()})
+    SELECT CAST({_TOP_K} AS BIGINT) AS k,
+           CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST({floor_ppm} AS BIGINT) AS floor_ppm,
+           TRUE AS recall_ge_floor
+    FROM exact
+    """
+
+
+@query(
+    "knn_exact_cosine",
+    oracle=_exact_cosine_sql(),
 )
 def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the probe queries (exact baseline)."""
@@ -531,12 +554,25 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
-    """Shared recall@k instrumentation: one row (k, n_queries, n_exact,
-    n_hit, recall) comparing an ANN result to the exact baseline — the
-    single definition behind every knn_*_recall query (four copies had
-    drifted here before round 4's review pass). Guarded against an empty
-    exact set (recall 0, not a divide-by-zero null)."""
+# Recall floors (ppm) per approximate path — measured r10 at BOTH fixture
+# scales (sf0.001 / sf0.01): LSH 0.99/0.99, IVF 0.64/0.67, PQ 0.22/0.26,
+# OPQ 0.22/0.24, IVF-PQ 0.21/0.25. The floors sit far below the measured
+# values (fixture drift headroom) but far above zero — a broken candidate
+# join or rank collapses recall to ~0 and flips the decision boolean.
+_RECALL_FLOOR_LSH = 700_000
+_RECALL_FLOOR_IVF = 400_000
+_RECALL_FLOOR_PQ = 100_000
+
+
+def _recall_vs_exact(
+    exact: DataFrame, ann: DataFrame, floor_ppm: int
+) -> DataFrame:
+    """Shared recall@k instrumentation, decision-hash form (VERDICT r9
+    item 5): one row (k, n_queries, n_exact, floor_ppm, recall_ge_floor)
+    comparing an ANN result to the exact baseline — the single definition
+    behind every knn_*_recall query. The exact-twin counts hash against
+    DuckDB; the hit share is compared in integer ppm (no float division)
+    and an empty exact set reads as a collapse (FALSE), never a null."""
     hit = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
     agg = exact.agg(
         F.count(F.lit(1)).alias("n_exact"),
@@ -546,31 +582,38 @@ def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
         F.lit(_TOP_K).cast("long").alias("k"),
         "n_queries",
         "n_exact",
-        "n_hit",
-        F.round(
-            F.col("n_hit").cast("double") / F.greatest("n_exact", F.lit(1)), 4
-        ).alias("recall"),
+        F.lit(floor_ppm).cast("long").alias("floor_ppm"),
+        (
+            (F.col("n_exact") > 0)
+            & (
+                F.col("n_hit") * F.lit(1_000_000)
+                >= F.lit(floor_ppm) * F.col("n_exact")
+            )
+        ).alias("recall_ge_floor"),
     )
 
 
-@query("knn_lsh_recall")  # rows-only: measures the approximate path itself
+@query("knn_lsh_recall", oracle=_recall_decision_sql(_RECALL_FLOOR_LSH))
 def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH-ANN against the exact baseline, as a QUERY —
-    the per-round quality evidence for the approximate path (the repo's
-    pytest pins a floor; this row puts the number in the driver record).
-    One row: (k, n_queries, n_exact, n_hit, recall)."""
+    the per-round quality evidence for the approximate path. Graduated to
+    a decision-hash oracle in round 10: exact-twin counts hash vs DuckDB,
+    the measured hit share must clear the {_RECALL_FLOOR_LSH} ppm floor
+    (multi-probe LSH measures ~990,000 ppm on both fixtures)."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_vs_exact(exact, ann)
+    return _recall_vs_exact(exact, ann, _RECALL_FLOOR_LSH)
 
 
-@query("knn_ivf_recall")  # rows-only: instruments the IVF approximate path
+@query("knn_ivf_recall", oracle=_recall_decision_sql(_RECALL_FLOOR_IVF))
 def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of IVF 2-probe ANN vs the exact baseline — the
-    cells-probed/recall trade (nprobe) made measurable per round."""
+    """Recall@k of IVF 4-probe ANN vs the exact baseline — the
+    cells-probed/recall trade (nprobe) made measurable per round, now a
+    decision-hash row (floor {_RECALL_FLOOR_IVF} ppm vs ~640,000-670,000
+    measured; near-uniform fixture cells barely concentrate neighbors)."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_vs_exact(exact, ann)
+    return _recall_vs_exact(exact, ann, _RECALL_FLOOR_IVF)
 
 
 def kmeans_assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -966,7 +1009,7 @@ def _pq_adc_from_lut() -> F.Column:
     )
 
 
-@query("knn_pq_recall")  # rows-only: instruments the PQ approximate path
+@query("knn_pq_recall", oracle=_recall_decision_sql(_RECALL_FLOOR_PQ))
 def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of PQ-ADC vs the exact cosine baseline — quantization
     loss made measurable per round (same instrumentation contract as
@@ -976,7 +1019,7 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the residual gap IS the quantization cost."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_pq_adc(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_vs_exact(exact, ann)
+    return _recall_vs_exact(exact, ann, _RECALL_FLOOR_PQ)
 
 
 _PCA_TOP = 4
@@ -1105,7 +1148,7 @@ def knn_ivfpq_ann(spark: SparkSession, sf_dir: str, nprobe: int = 4) -> DataFram
     )
 
 
-@query("knn_ivfpq_recall")  # rows-only: instruments the composed index
+@query("knn_ivfpq_recall", oracle=_recall_decision_sql(_RECALL_FLOOR_PQ))
 def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of IVF-PQ vs the exact baseline: the product of the cell-
     probing miss rate (knn_ivf_recall) and the quantization miss rate
@@ -1113,7 +1156,7 @@ def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     that product, the residual training or the cell-key join broke."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_ivfpq_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_vs_exact(exact, ann)
+    return _recall_vs_exact(exact, ann, _RECALL_FLOOR_PQ)
 
 
 # PCA rotations memoized like codebooks (deterministic per corpus;
@@ -1236,14 +1279,14 @@ def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_opq_recall")  # rows-only: instruments the rotated-PQ path
+@query("knn_opq_recall", oracle=_recall_decision_sql(_RECALL_FLOOR_PQ))
 def knn_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of PCA-rotated PQ vs the exact baseline — read next to
     knn_pq_recall: the delta between the two rows IS the value of the
     rotation (codebook bit-efficiency), everything else held equal."""
     exact = knn_exact_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     ann = knn_opq_adc(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_vs_exact(exact, ann)
+    return _recall_vs_exact(exact, ann, _RECALL_FLOOR_PQ)
 
 
 def _kmeans_assign_exact(
