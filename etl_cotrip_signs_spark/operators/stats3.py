@@ -2423,3 +2423,486 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "n", "a", "b", "c", "d", f"round({_KAPPA}, 6) AS kappa"
     )
+
+
+# --- wave 52 (round 10) ---
+
+# Cramér's V: the scaled-integer chi-square. Each cell contributes
+# floor(o² · n · 10⁶ / (r·c)) — an EXACT integer in both engines (Spark
+# decimal DIV, DuckDB hugeint //), summed exactly; chi² = Σterm/10⁶ − n
+# follows from chi² = n(Σ o²/(r·c) − 1). The quotient is ≤ n·10⁶ (o² ≤ r·c
+# always), so the BIGINT div result is safe for any n < 9·10¹²; the 10⁻⁶
+# truncation per cell is applied identically by both engines (it defines
+# the statistic, not an error term).
+_CRAMER_SCALE = 1_000_000
+
+
+@query(
+    "stat_cramers_v",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS e, user_id % 4 AS b,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT e, b, o,
+               sum(o) OVER (PARTITION BY e) AS r,
+               sum(o) OVER (PARTITION BY b) AS c,
+               sum(o) OVER () AS n
+        FROM cells
+    ),
+    t AS (
+        SELECT max(n) AS n,
+               CAST(count(DISTINCT e) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT b) AS BIGINT) AS n_cols,
+               CAST(sum(CAST((CAST(o AS HUGEINT) * o * n * {_CRAMER_SCALE})
+                             // (r * c) AS BIGINT)) AS BIGINT) AS term_sum
+        FROM rc
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_rows, n_cols,
+           CAST(term_sum - n * {_CRAMER_SCALE} AS BIGINT) AS chi2_e6,
+           round(sqrt((CAST(term_sum - n * {_CRAMER_SCALE} AS DOUBLE)
+                       / {_CRAMER_SCALE})
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(least(n_rows, n_cols) AS DOUBLE) - 1))), 6)
+               AS cramers_v
+    FROM t
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (1946) for the event_type × user-bucket contingency —
+    the normalized effect size a pipeline reports NEXT TO a chi-square
+    p-value (significance without magnitude is noise at 100 TB row
+    counts, where everything is "significant"). V = sqrt(chi²/(n·(min(R,C)−1))).
+
+    Exactness: the chi-square is carried as the scaled integer
+    chi2_e6 = Σ floor(o²·n·10⁶/(r·c)) − n·10⁶ — every term an exact
+    integer division both engines replay bit-for-bit (no cross-row float
+    sum anywhere); V is one per-row scalar over that integer.
+
+    Scale shape: one combinable cell count, two tiny window sums over the
+    R×C cell table (20 rows here — the contingency table is a REDUCTION),
+    one final row. The corpus is scanned once.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e"), (F.col("user_id") % 4).alias("b")
+    )
+    cells = e.groupBy("e", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rc = cells.select(
+        "e",
+        "b",
+        "o",
+        F.sum("o").over(W.partitionBy("e")).alias("r"),
+        F.sum("o").over(W.partitionBy("b")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    t = rc.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("e").cast("long").alias("n_rows"),
+        F.countDistinct("b").cast("long").alias("n_cols"),
+        F.sum(
+            F.expr(
+                f"CAST((CAST(o AS DECIMAL(38,0)) * o * n * {_CRAMER_SCALE})"
+                " div (r * c) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("term_sum"),
+    )
+    return t.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "n_rows",
+        "n_cols",
+        f"CAST(term_sum - n * {_CRAMER_SCALE} AS BIGINT) AS chi2_e6",
+        f"round(sqrt((CAST(term_sum - n * {_CRAMER_SCALE} AS DOUBLE)"
+        f" / {_CRAMER_SCALE})"
+        " / (CAST(n AS DOUBLE)"
+        " * (CAST(least(n_rows, n_cols) AS DOUBLE) - 1))), 6)"
+        " AS cramers_v",
+    )
+
+
+# Jarque-Bera from raw power sums. mean/m2/m3/m4 are the standard central-
+# moment expansions over EXACT integer power sums (cents; s3/s4 in
+# DECIMAL(38,0)/HUGEINT — cents⁴ ≈ 10³¹ per row); skew and kurtosis avoid
+# pow() entirely (m2·sqrt(m2), m2·m2) so the only float ops are IEEE
+# +,-,*,/,sqrt — bit-identical across engines from identical inputs.
+_JB_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_JB_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_JB_MEAN} * {_JB_MEAN})"
+_JB_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * {_JB_MEAN} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4 * {_JB_MEAN} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6 * {_JB_MEAN} * {_JB_MEAN}"
+    f" * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_SKEW = f"({_JB_M3} / ({_JB_M2} * sqrt({_JB_M2})))"
+_JB_KURT = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}))"
+_JB_STAT = (
+    f"(CAST(n AS DOUBLE) / 6.0 * ({_JB_SKEW} * {_JB_SKEW}"
+    f" + ({_JB_KURT} - 3.0) * ({_JB_KURT} - 3.0) / 4.0))"
+)
+
+
+@query(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s1,
+               sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)) AS s2,
+               sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)) AS s3,
+               sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)) AS s4
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           round({_JB_SKEW}, 6) AS skew,
+           round({_JB_KURT}, 6) AS kurtosis,
+           round({_JB_STAT}, 4) AS jb_stat
+    FROM m ORDER BY o_orderpriority
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic (1980) per order priority over
+    order totals in cents — JB = n/6·(skew² + (kurt−3)²/4), the
+    moment-based normality screen a feature pipeline runs before choosing
+    between mean/std scaling and robust/rank scaling (heavy tails break
+    the former silently).
+
+    Exactness: the four power sums are exact integers (cents; s3/s4 in
+    DECIMAL(38,0) — cents⁴ ≈ 10³¹/row); skew/kurt/JB are per-GROUP
+    scalars over those integers built from +,-,*,/,sqrt only (no pow,
+    whose libm rounding differs across engines).
+
+    Scale shape: one map-side-combinable aggregate, 5 rows out; the same
+    single-pass moment discipline as agg_stat_moments one power higher.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cd = cents.cast("decimal(38,0)")
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", cents.alias("x"), cd.alias("xd"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("xd") * F.col("xd")).alias("s2"),
+            F.sum(F.col("xd") * F.col("xd") * F.col("xd")).alias("s3"),
+            F.sum(F.col("xd") * F.col("xd") * F.col("xd") * F.col("xd")).alias(
+                "s4"
+            ),
+        )
+    )
+    return m.selectExpr(
+        "o_orderpriority",
+        "n",
+        f"round({_JB_SKEW}, 6) AS skew",
+        f"round({_JB_KURT}, 6) AS kurtosis",
+        f"round({_JB_STAT}, 4) AS jb_stat",
+    ).orderBy("o_orderpriority")
+
+
+# Durbin-Watson. The OLS line is fitted from five exact integer moments;
+# the coefficient expressions cast each moment to DOUBLE BEFORE
+# multiplying (n·sty overflows BIGINT at fixture scale) — identical
+# expression text in both engines ⇒ identical IEEE doubles. Residuals are
+# then FLOORED to integer cents, so both quadratic sums are exact
+# integers and DW is one final double division.
+_DW_B = (
+    "((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"
+)
+_DW_A = f"((CAST(sy AS DOUBLE) - {_DW_B} * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE))"
+_DW_ES = (
+    f"CAST(floor(CAST(y AS DOUBLE) - {_DW_A}"
+    f" - {_DW_B} * CAST(day_x AS DOUBLE)) AS BIGINT)"
+)
+
+
+@query(
+    "stat_durbin_watson",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day_x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(day_x) AS BIGINT) AS st,
+               CAST(sum(day_x * day_x) AS BIGINT) AS st2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(day_x * y) AS BIGINT) AS sty
+        FROM daily
+    ),
+    res AS (
+        SELECT day_x, {_DW_ES} AS es
+        FROM daily CROSS JOIN m
+    ),
+    lagged AS (
+        SELECT es,
+               es - lag(es) OVER (ORDER BY day_x) AS d
+        FROM res
+    )
+    SELECT (SELECT n FROM m) AS n_days,
+           round(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                 / CAST(sum(CAST(es AS HUGEINT) * es) AS DOUBLE), 6) AS dw,
+           round(1.0 - CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                 / CAST(sum(CAST(es AS HUGEINT) * es) AS DOUBLE) / 2.0, 6)
+               AS rho_lag1
+    FROM lagged
+    """,
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (1950) of the daily-revenue OLS residuals —
+    THE autocorrelation screen for a fitted trend: DW ≈ 2 means white
+    residuals, DW → 0 positive serial correlation (the trend is missing
+    structure and the forecast's error bars lie), DW → 4 negative.
+    rho_lag1 = 1 − DW/2 is the implied lag-1 residual correlation.
+
+    Exactness: the trend comes from five exact integer moments; slope and
+    intercept are shared-text IEEE doubles; residuals are FLOORED to
+    integer cents so Σd² and Σe² are exact DECIMAL(38,0)/HUGEINT sums and
+    DW is one final double division rounded once.
+
+    Scale shape: one combinable daily rollup, one 5-integer moment row
+    (broadcast back), one lag window over n_days rows — the corpus is
+    scanned once and the window input is calendar-bounded.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day_x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("day_x").cast("long").alias("st"),
+        F.sum(F.col("day_x") * F.col("day_x")).cast("long").alias("st2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("day_x") * F.col("y")).cast("long").alias("sty"),
+    )
+    res = daily.crossJoin(F.broadcast(m)).selectExpr(
+        "day_x", "n", f"{_DW_ES} AS es"
+    )
+    lagged = res.select(
+        "n",
+        "es",
+        (F.col("es") - F.lag("es").over(W.orderBy("day_x"))).alias("d"),
+    )
+    dd = "CAST(es AS DECIMAL(38,0))"
+    return lagged.groupBy("n").agg(
+        F.expr(
+            "round(CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DOUBLE)"
+            f" / CAST(sum({dd} * es) AS DOUBLE), 6)"
+        ).alias("dw"),
+        F.expr(
+            "round(1.0 - CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DOUBLE)"
+            f" / CAST(sum({dd} * es) AS DOUBLE) / 2.0, 6)"
+        ).alias("rho_lag1"),
+    ).selectExpr("CAST(n AS BIGINT) AS n_days", "dw", "rho_lag1")
+
+
+@query(
+    "stat_cox_stuart",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day_x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT y, row_number() OVER (ORDER BY day_x) AS rn,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    pairs AS (
+        SELECT b.y - a.y AS diff
+        FROM seq a JOIN seq b
+          ON b.rn = a.rn + (a.n - a.n // 2) AND a.rn <= a.n // 2
+    )
+    SELECT (SELECT CAST(max(n) AS BIGINT) FROM seq) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_plus,
+           CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_minus,
+           round((2.0 * CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                  - CAST(sum(CASE WHEN diff <> 0 THEN 1 ELSE 0 END)
+                         AS DOUBLE))
+                 / sqrt(CAST(sum(CASE WHEN diff <> 0 THEN 1 ELSE 0 END)
+                             AS DOUBLE)), 6) AS z_cs
+    FROM pairs
+    """,
+)
+def stat_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test (1955) on the daily-revenue series: pair day
+    i with day i + ceil(n/2) (the middle day drops out for odd n), count
+    sign(later − earlier), and read the binomial z — the distribution-free
+    trend screen that needs no rank variance machinery (the quick cousin
+    of Mann-Kendall: O(n) pairs instead of O(n²) concordances).
+
+    Exactness: daily cents are exact integers; the pairing is a
+    row_number self-join on integer offsets; z is one per-row scalar over
+    three exact counts (ties excluded from n_eff, the standard
+    treatment).
+
+    Scale shape: the pair join is an equi-join on rn (days, not orders) —
+    calendar-bounded; everything else is one combinable rollup.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day_x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    seq = daily.select(
+        "y",
+        F.row_number().over(W.orderBy("day_x")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    a = seq.select("y", "rn", "n").alias("a")
+    b = seq.select(F.col("y").alias("yb"), F.col("rn").alias("rnb")).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("rnb") == F.col("rn") + (F.col("n") - F.floor(F.col("n") / 2)))
+        & (F.col("rn") <= F.floor(F.col("n") / 2)),
+    ).select("n", (F.col("yb") - F.col("y")).alias("diff"))
+    return pairs.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("diff") > 0).cast("int")).cast("long").alias("s_plus"),
+        F.sum((F.col("diff") < 0).cast("int")).cast("long").alias("s_minus"),
+        F.expr(
+            "round((2.0 * CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)"
+            " AS DOUBLE)"
+            " - CAST(sum(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS DOUBLE))"
+            " / sqrt(CAST(sum(CASE WHEN diff <> 0 THEN 1 ELSE 0 END)"
+            " AS DOUBLE)), 6)"
+        ).alias("z_cs"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_days", "n_pairs", "s_plus", "s_minus", "z_cs"
+    )
+
+
+@query(
+    "stat_cliffs_delta",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('click', 'error')
+    ),
+    ranked AS (
+        SELECT g, x,
+               2 * rank() OVER (ORDER BY x)
+                 + count(*) OVER (PARTITION BY x) - 1 AS mr2
+        FROM v
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(sum(CASE WHEN g = 'click' THEN mr2 ELSE 0 END)
+                    AS BIGINT) AS r1_x2
+        FROM ranked
+    )
+    SELECT n1, n2, r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           round(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE), 6) AS cliffs_delta,
+           CASE WHEN abs(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                         / CAST(n1 * n2 AS DOUBLE)) < 0.147
+                    THEN 'negligible'
+                WHEN abs(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                         / CAST(n1 * n2 AS DOUBLE)) < 0.33 THEN 'small'
+                WHEN abs(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                         / CAST(n1 * n2 AS DOUBLE)) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM agg
+    """,
+)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (1993) between click and error event values — the
+    ordinal effect size P(X>Y) − P(X<Y) that reports HOW SEPARATED two
+    groups are where Mann-Whitney only reports whether they differ;
+    Romano (2006) magnitude bands attached.
+
+    Exactness: delta is derived WITHOUT comparing pairs — via the midrank
+    identity #(>) − #(<) = 2U₁ − n₁n₂ with 2U₁ = 2R₁ − n₁(n₁+1), and the
+    DOUBLED midrank 2·mr = 2·rank + tie_count − 1 is an exact integer, so
+    every aggregate is integer and delta is one final rational rounded
+    once.
+
+    Scale shape: one global rank window over the two groups' values (the
+    Mann-Whitney shape — sort-based, no pair join), one combinable
+    aggregate, 1 row out.
+    """
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    ranked = v.select(
+        "g",
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("x"))
+            - 1
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    agg = ranked.agg(
+        F.sum((F.col("g") == "click").cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("g") == "error").cast("int")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == "click", F.col("mr2")).otherwise(0))
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    delta = (
+        "CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)"
+        " / CAST(n1 * n2 AS DOUBLE)"
+    )
+    return agg.selectExpr(
+        "n1",
+        "n2",
+        "r1_x2",
+        "CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2",
+        f"round({delta}, 6) AS cliffs_delta",
+        f"CASE WHEN abs({delta}) < 0.147 THEN 'negligible'"
+        f" WHEN abs({delta}) < 0.33 THEN 'small'"
+        f" WHEN abs({delta}) < 0.474 THEN 'medium'"
+        " ELSE 'large' END AS magnitude",
+    )

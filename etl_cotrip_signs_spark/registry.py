@@ -624,6 +624,12 @@ DRIVER_ORDER: list[str] = [
     # -- round-9 additions (wave 49) --
     # -- round-9 additions (wave 50) --
     # -- round-9 additions (wave 51) --
+    # -- round-10 additions (wave 52: inference stats) --
+    "stat_cramers_v",        # scaled-integer chi2 + effect size
+    "stat_jarque_bera",      # moment normality screen, exact power sums
+    "stat_durbin_watson",    # residual autocorrelation of the OLS trend
+    "stat_cox_stuart",       # O(n) sign trend test
+    "stat_cliffs_delta",     # ordinal effect size via midrank identity
 ]
 
 
