@@ -2428,12 +2428,13 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- wave 52 (round 10) ---
 
 # Cramér's V: the scaled-integer chi-square. Each cell contributes
-# floor(o² · n · 10⁶ / (r·c)) — an EXACT integer in both engines (Spark
-# decimal DIV, DuckDB hugeint //), summed exactly; chi² = Σterm/10⁶ − n
-# follows from chi² = n(Σ o²/(r·c) − 1). The quotient is ≤ n·10⁶ (o² ≤ r·c
-# always), so the BIGINT div result is safe for any n < 9·10¹²; the 10⁻⁶
-# truncation per cell is applied identically by both engines (it defines
-# the statistic, not an error term).
+# floor(o² · n · 10⁶ / (r·c)) — an EXACT integer in both engines (DuckDB
+# hugeint //; Spark via rounded decimal division + a one-step integer
+# fix-up, because Spark's `div` operator casts DECIMAL operands to LONG
+# and wraps), summed exactly; chi² = Σterm/10⁶ − n follows from
+# chi² = n(Σ o²/(r·c) − 1). The quotient is ≤ n·10⁶ (o² ≤ r·c always);
+# the 10⁻⁶ truncation per cell is applied identically by both engines
+# (it defines the statistic, not an error term).
 _CRAMER_SCALE = 1_000_000
 
 
@@ -2501,10 +2502,18 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.countDistinct("e").cast("long").alias("n_rows"),
         F.countDistinct("b").cast("long").alias("n_cols"),
+        # Spark's `div` operator silently casts DECIMAL operands to LONG
+        # (observed wrap-around); exact floor division is done as a rounded
+        # decimal division plus a one-step integer fix-up, all in exact
+        # decimal compares.
         F.sum(
             F.expr(
-                f"CAST((CAST(o AS DECIMAL(38,0)) * o * n * {_CRAMER_SCALE})"
-                " div (r * c) AS BIGINT)"
+                f"CAST((CAST((CAST(o AS DECIMAL(38,0)) * o * n"
+                f" * {_CRAMER_SCALE}) / (r * c) AS DECIMAL(38,0)))"
+                f" - (CASE WHEN (CAST((CAST(o AS DECIMAL(38,0)) * o * n"
+                f" * {_CRAMER_SCALE}) / (r * c) AS DECIMAL(38,0)))"
+                f" * (r * c) > CAST(o AS DECIMAL(38,0)) * o * n"
+                f" * {_CRAMER_SCALE} THEN 1 ELSE 0 END) AS BIGINT)"
             )
         )
         .cast("long")
@@ -2905,4 +2914,378 @@ def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN abs({delta}) < 0.33 THEN 'small'"
         f" WHEN abs({delta}) < 0.474 THEN 'medium'"
         " ELSE 'large' END AS magnitude",
+    )
+
+
+# --- wave 53 (round 10) ---
+
+# Mutual information / G-test: each cell's pointwise log-ratio
+# ln(o·n/(r·c)) is micro-quantized to an integer (1e9 units) BEFORE the
+# o-weighted sum, so the corpus MI is an exact BIGINT sum both engines
+# replay (the text_zipf_fit / orders_hill_tail_index discipline). The
+# G statistic is 2·Σ o·ln(o·n/(r·c)) = 2·mi_e9_sum/1e9 — the
+# likelihood-ratio twin of events_chi2_independence, and MI itself is the
+# feature-relevance readout (how many nats event_type carries about the
+# user bucket).
+_MI_Q = 1_000_000_000
+
+
+@query(
+    "stat_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS e, user_id % 8 AS b,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT o,
+               sum(o) OVER (PARTITION BY e) AS r,
+               sum(o) OVER (PARTITION BY b) AS c,
+               sum(o) OVER () AS n
+        FROM cells
+    ),
+    q AS (
+        SELECT max(n) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(o * CAST(floor(ln((CAST(o AS DOUBLE) * n)
+                                          / (CAST(r AS DOUBLE) * c))
+                                        * {_MI_Q}) AS BIGINT))
+                    AS BIGINT) AS mi_e9_sum
+        FROM rc
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_cells, mi_e9_sum,
+           round(CAST(mi_e9_sum AS DOUBLE) / (CAST(n AS DOUBLE) * {_MI_Q}),
+                 9) AS mi_nats,
+           round(2.0 * CAST(mi_e9_sum AS DOUBLE) / {_MI_Q}, 4) AS g_stat
+    FROM q
+    """,
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and the G-test (likelihood-ratio
+    chi-square, Sokal & Rohlf) for the event_type × user-bucket
+    contingency — MI is THE model-free feature-relevance measure a
+    training pipeline ranks candidate features by, and G = 2n·MI is its
+    significance twin (the likelihood-ratio counterpart of
+    events_chi2_independence's Pearson form).
+
+    Exactness: each cell's pointwise ratio ln(o·n/(r·c)) is
+    micro-quantized to 1e-9 BEFORE the o-weighted sum, so the corpus MI is
+    an exact BIGINT both engines replay — no cross-row float sum. o·n and
+    r·c are < 2^53, exact in doubles.
+
+    Scale shape: one combinable cell count, window sums over the R×C cell
+    table (40 cells — the contingency is a REDUCTION, metadata next to
+    the fact table), one output row.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e"), (F.col("user_id") % 8).alias("b")
+    )
+    cells = e.groupBy("e", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rc = cells.select(
+        "o",
+        F.sum("o").over(W.partitionBy("e")).alias("r"),
+        F.sum("o").over(W.partitionBy("b")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    q = rc.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(
+            F.col("o")
+            * F.floor(
+                F.log(
+                    (F.col("o").cast("double") * F.col("n"))
+                    / (F.col("r").cast("double") * F.col("c"))
+                )
+                * _MI_Q
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("mi_e9_sum"),
+    )
+    return q.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "n_cells",
+        "mi_e9_sum",
+        f"round(CAST(mi_e9_sum AS DOUBLE) / (CAST(n AS DOUBLE) * {_MI_Q}),"
+        " 9) AS mi_nats",
+        f"round(2.0 * CAST(mi_e9_sum AS DOUBLE) / {_MI_Q}, 4) AS g_stat",
+    )
+
+
+# Jonckheere-Terpstra: the k-sample trend test against the ORDERED
+# alternative (priority 1-URGENT < 2-HIGH < ... < 5-LOW), i.e. "does order
+# value drift monotonically across priority classes?" — strictly more
+# powerful than Kruskal-Wallis when the alternative is ordered. The
+# statistic is the sum of pairwise Mann-Whitney counts; we compute it
+# WITHOUT any pair join via per-bin cumulative counts: for groups i<j,
+# 2·U_ij = Σ_bin cnt_j·(2·cum_lt_i + cnt_i). Values are binned to
+# hundred-dollar buckets (floor(price/100)) so the value domain — and the
+# single-partition prefix window — is bounded metadata (the drift_ks_exact
+# shape), not corpus-sized. Ties use the standard Hollander-Wolfe
+# tie-corrected null variance, every moment an exact integer.
+def _jt_pairs_expr() -> str:
+    """Σ_{i<j} cnt_j·(2·cum_lt_i + cnt_i) as one shared textual expression
+    over the pivoted per-bin columns c1..c5 / lt1..lt5."""
+    terms = []
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            terms.append(f"c{j} * (2 * lt{i} + c{i})")
+    return " + ".join(terms)
+
+
+@query(
+    "stat_jonckheere_terpstra",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS bin,
+               {" ".join(f"CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '{i}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}," for i in range(1, 5))}
+               CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, c1, c2, c3, c4, c5,
+               {", ".join(f"sum(c{i}) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c{i} AS lt{i}" for i in range(1, 6))}
+        FROM b
+    ),
+    t AS (
+        SELECT CAST(sum({_jt_pairs_expr()}) AS BIGINT) AS jt_x2,
+               {" ".join(f"sum(c{i}) AS n{i}," for i in range(1, 6))}
+               sum(c1 + c2 + c3 + c4 + c5) AS n,
+               sum(CAST(c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+                   * (c1 + c2 + c3 + c4 + c5 - 1)) AS t2,
+               sum(CAST(c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+                   * (c1 + c2 + c3 + c4 + c5 - 1)
+                   * (c1 + c2 + c3 + c4 + c5 - 2)) AS t3,
+               sum(CAST(c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+                   * (c1 + c2 + c3 + c4 + c5 - 1)
+                   * (2 * (c1 + c2 + c3 + c4 + c5) + 5)) AS t25
+        FROM cum
+    ),
+    m AS (
+        SELECT jt_x2, CAST(n AS BIGINT) AS n,
+               CAST(n * n - ({" + ".join(f"n{i} * n{i}" for i in range(1, 6))}) AS BIGINT) AS e_jt_x4,
+               CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                    - ({" + ".join(f"CAST(n{i} AS HUGEINT) * (n{i} - 1) * (2 * n{i} + 5)" for i in range(1, 6))})
+                    - t25 AS DOUBLE) AS a_term,
+               CAST(({" + ".join(f"CAST(n{i} AS HUGEINT) * (n{i} - 1) * (n{i} - 2)" for i in range(1, 6))}) * t3 AS DOUBLE) AS b_term,
+               CAST(({" + ".join(f"CAST(n{i} AS HUGEINT) * (n{i} - 1)" for i in range(1, 6))}) * t2 AS DOUBLE) AS c_term
+        FROM t
+    )
+    SELECT jt_x2, n, e_jt_x4,
+           round((CAST(jt_x2 AS DOUBLE) / 2 - CAST(e_jt_x4 AS DOUBLE) / 4)
+                 / sqrt(a_term / 72
+                        + b_term / (36.0 * n * (n - 1) * (n - 2))
+                        + c_term / (8.0 * n * (n - 1))), 6) AS z_jt
+    FROM m
+    """,
+)
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test (1954) for a monotone trend in order value
+    across the ORDERED priority classes — the k-sample trend test that
+    beats Kruskal-Wallis when the alternative is ordered (does urgency buy
+    bigger orders?). JT = Σ_{i<j} U_ij over the priority order.
+
+    Exactness: values are binned to hundred-dollar buckets; the doubled
+    statistic 2·JT = Σ_bin Σ_{i<j} cnt_j·(2·cum_lt_i + cnt_i) is an exact
+    BIGINT (ties contribute the standard half via the doubling), the null
+    mean 2·E = n² − Σn_i² is exact, and the Hollander-Wolfe tie-corrected
+    variance is assembled from three exact integer moments (HUGEINT /
+    DECIMAL(38,0) — Σn_i³·Σt_b³ overflows 64 bits at sf0.1); z is one
+    shared float expression.
+
+    Scale shape: one combinable (bin × 5) conditional count, a prefix
+    window over the ~5k-bin value domain (bounded metadata, the
+    drift_ks_exact shape — never corpus-sized), one output row.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("bin"),
+        F.substring("o_orderpriority", 1, 1).alias("g"),
+    )
+    b = o.groupBy("bin").agg(
+        *[
+            F.sum(F.when(F.col("g") == str(i), 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(1, 6)
+        ]
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = b.select(
+        "bin",
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[
+            (F.sum(f"c{i}").over(w) - F.col(f"c{i}")).alias(f"lt{i}")
+            for i in range(1, 6)
+        ],
+    )
+    tb = F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4") + F.col("c5")
+    tbd = tb.cast("decimal(38,0)")
+    t = cum.agg(
+        F.sum(F.expr(_jt_pairs_expr())).cast("long").alias("jt_x2"),
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(1, 6)],
+        F.sum(tb).alias("n"),
+        F.sum(tbd * (tb - 1)).alias("t2"),
+        F.sum(tbd * (tb - 1) * (tb - 2)).alias("t3"),
+        F.sum(tbd * (tb - 1) * (2 * tb + 5)).alias("t25"),
+    )
+    ni_sq = " + ".join(f"n{i} * n{i}" for i in range(1, 6))
+    ni_25 = " + ".join(
+        f"CAST(n{i} AS DECIMAL(38,0)) * (n{i} - 1) * (2 * n{i} + 5)"
+        for i in range(1, 6)
+    )
+    ni_3 = " + ".join(
+        f"CAST(n{i} AS DECIMAL(38,0)) * (n{i} - 1) * (n{i} - 2)"
+        for i in range(1, 6)
+    )
+    ni_2 = " + ".join(
+        f"CAST(n{i} AS DECIMAL(38,0)) * (n{i} - 1)" for i in range(1, 6)
+    )
+    m = t.selectExpr(
+        "jt_x2",
+        "CAST(n AS BIGINT) AS n",
+        f"CAST(n * n - ({ni_sq}) AS BIGINT) AS e_jt_x4",
+        "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)"
+        f" - ({ni_25}) - t25 AS DOUBLE) AS a_term",
+        f"CAST(({ni_3}) * t3 AS DOUBLE) AS b_term",
+        f"CAST(({ni_2}) * t2 AS DOUBLE) AS c_term",
+    )
+    return m.selectExpr(
+        "jt_x2",
+        "n",
+        "e_jt_x4",
+        "round((CAST(jt_x2 AS DOUBLE) / 2 - CAST(e_jt_x4 AS DOUBLE) / 4)"
+        " / sqrt(a_term / 72"
+        " + b_term / (36.0 * n * (n - 1) * (n - 2))"
+        " + c_term / (8.0 * n * (n - 1))), 6) AS z_jt",
+    )
+
+
+# Bartlett's test: the parametric twin of stat_levene_bf. Per-group sum of
+# squares is pinned as the exact scaled integer ss_e6 = floor(1e6·SS)
+# (the stat_cramers_v integer-division discipline: the 1e-6 truncation
+# DEFINES the statistic), each ln of a variance ratio of those integers is
+# micro-quantized to 1e-9 before the (n_i−1)-weighted integer sum, and the
+# Σ1/(n_i−1) correction term is carried as exact floor(1e18/(n_i−1))
+# integers — so NO cross-group float sum exists anywhere.
+_BART_Q = 1_000_000_000
+_BART_INV = 10**18
+
+
+@query(
+    "stat_bartlett",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS s1,
+               sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS HUGEINT)) AS s2
+        FROM orders GROUP BY 1
+    ),
+    pg AS (
+        SELECT ni,
+               CAST((ni * s2 - s1 * s1) * {10**6} // ni AS HUGEINT)
+                   AS ss_e6
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ni) AS BIGINT) AS n,
+               CAST(sum(ss_e6) AS HUGEINT) AS ssp_e6,
+               CAST(sum((ni - 1) * CAST(floor(ln(CAST(ss_e6 AS DOUBLE)
+                                               / (1e6 * (ni - 1)))
+                                            * {_BART_Q}) AS BIGINT))
+                    AS BIGINT) AS wsum_ln_e9,
+               CAST(sum({_BART_INV} // (ni - 1)) AS BIGINT) AS inv_e18
+        FROM pg
+    )
+    SELECT k, n,
+           CAST(wsum_ln_e9 AS BIGINT) AS wsum_ln_e9,
+           CAST((n - k) * CAST(floor(ln(CAST(ssp_e6 AS DOUBLE)
+                                        / (1e6 * (n - k))) * {_BART_Q})
+                               AS BIGINT) - wsum_ln_e9
+                AS BIGINT) AS num_e9,
+           round(CAST((n - k) * CAST(floor(ln(CAST(ssp_e6 AS DOUBLE)
+                                              / (1e6 * (n - k)))
+                                           * {_BART_Q}) AS BIGINT)
+                      - wsum_ln_e9 AS DOUBLE) / {_BART_Q}
+                 / (1 + (CAST(inv_e18 - {_BART_INV} // (n - k) AS DOUBLE)
+                         / {_BART_INV}) / (3.0 * (k - 1))), 4)
+               AS chi2_bartlett
+    FROM t
+    """,
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test (1937) for homogeneity of order-value variance
+    across the five priority classes — the parametric (normal-theory)
+    twin of stat_levene_bf, sharper when Jarque-Bera says the tails are
+    tame, and the classic gate before pooling variances in a stratified
+    estimator. χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C.
+
+    Exactness: per-group SS is the exact scaled integer
+    floor(1e6·(n_i·S2 − S1²)/n_i); each ln is micro-quantized to 1e-9
+    BEFORE the (n_i−1)-weighted BIGINT sum; the Σ1/(n_i−1) correction is
+    exact floor(1e18/(n_i−1)) integers. The only float ops are per-row
+    ln/division on identical inputs — no cross-group float accumulation.
+
+    Scale shape: one combinable (count, sum, sum-of-squares) aggregate —
+    the agg_stat_moments shape — then arithmetic over k=5 group rows.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", cents.alias("x"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ni"),
+            F.sum("x").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+        )
+    )
+    # Exact floor((n_i*S2 - S1^2)*1e6 / n_i): Spark `div` casts decimals
+    # to LONG (wraps), so use rounded decimal division + integer fix-up.
+    pg = g.selectExpr(
+        "ni",
+        f"(ni * s2 - s1 * s1) * {10**6} AS big",
+    ).selectExpr(
+        "ni",
+        "CAST(big / ni AS DECIMAL(38,0)) AS q0",
+        "big",
+    ).selectExpr(
+        "ni",
+        "CAST(q0 - (CASE WHEN q0 * ni > big THEN 1 ELSE 0 END)"
+        " AS DECIMAL(38,0)) AS ss_e6",
+    )
+    t = pg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ss_e6").alias("ssp_e6"),
+        F.sum(
+            F.expr(
+                "(ni - 1) * CAST(floor(ln(CAST(ss_e6 AS DOUBLE)"
+                f" / (1e6 * (ni - 1))) * {_BART_Q}) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("wsum_ln_e9"),
+        F.sum(F.expr(f"{_BART_INV} div (ni - 1)")).cast("long").alias(
+            "inv_e18"
+        ),
+    )
+    lp = (
+        f"CAST(floor(ln(CAST(ssp_e6 AS DOUBLE) / (1e6 * (n - k)))"
+        f" * {_BART_Q}) AS BIGINT)"
+    )
+    return t.selectExpr(
+        "k",
+        "n",
+        "wsum_ln_e9",
+        f"CAST((n - k) * {lp} - wsum_ln_e9 AS BIGINT) AS num_e9",
+        f"round(CAST((n - k) * {lp} - wsum_ln_e9 AS DOUBLE) / {_BART_Q}"
+        f" / (1 + (CAST(inv_e18 - {_BART_INV} div (n - k) AS DOUBLE)"
+        f" / {_BART_INV}) / (3.0 * (k - 1))), 4)"
+        " AS chi2_bartlett",
     )

@@ -630,6 +630,10 @@ DRIVER_ORDER: list[str] = [
     "stat_durbin_watson",    # residual autocorrelation of the OLS trend
     "stat_cox_stuart",       # O(n) sign trend test
     "stat_cliffs_delta",     # ordinal effect size via midrank identity
+    # -- round-10 additions (wave 53: inference stats II) --
+    "stat_mutual_information",   # MI nats + G-test, quantized pointwise logs
+    "stat_jonckheere_terpstra",  # ordered k-sample trend, no pair join
+    "stat_bartlett",             # variance homogeneity, quantized lns
 ]
 
 
