@@ -2166,3 +2166,363 @@ def window_exponential_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- wave 54 (round 10) ---
+
+# PACF via Durbin-Levinson. The autocovariance RATIOS r_k = G_k/G_0 are
+# ratios of exact DECIMAL(38,0) integers (G_k = n²·A_k − n·S1·(B_k+C_k)
+# + (n−k)·S1², the n³-scaled biased autocovariance), so the float tail —
+# the DL recursion itself — consumes identical doubles in both engines
+# and uses only IEEE +,-,*,/ in textually identical expressions, staged
+# one level at a time (chained selects / CTEs) so no expression swells
+# exponentially.
+_PACF_LAGS = 5
+
+# (new_column, shared SQL expression) in Durbin-Levinson order; each level
+# references only columns defined by earlier stages.
+_PACF_STAGES: list[tuple[str, str]] = [
+    ("p11", "r1"),
+    ("p22", "(r2 - p11 * r1) / (1 - p11 * r1)"),
+    ("p21", "p11 - p22 * p11"),
+    (
+        "p33",
+        "(r3 - (p21 * r2 + p22 * r1)) / (1 - (p21 * r1 + p22 * r2))",
+    ),
+    ("p31", "p21 - p33 * p22"),
+    ("p32", "p22 - p33 * p21"),
+    (
+        "p44",
+        "(r4 - (p31 * r3 + p32 * r2 + p33 * r1))"
+        " / (1 - (p31 * r1 + p32 * r2 + p33 * r3))",
+    ),
+    ("p41", "p31 - p44 * p33"),
+    ("p42", "p32 - p44 * p32"),
+    ("p43", "p33 - p44 * p31"),
+    (
+        "p55",
+        "(r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))"
+        " / (1 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4))",
+    ),
+]
+
+
+def _pacf_g_exprs() -> list[str]:
+    """The shared G_k expressions over the lag-moment columns, k=0..5."""
+    return [
+        f"n * n * a{k} - n * s1 * (b{k} + c{k})"
+        f" + (n - {k}) * s1 * s1 AS g{k}"
+        for k in range(_PACF_LAGS + 1)
+    ]
+
+
+_PACF_R = [
+    f"CAST(g{k} AS DOUBLE) / CAST(g0 AS DOUBLE) AS r{k}"
+    for k in range(1, _PACF_LAGS + 1)
+]
+
+
+def _pacf_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(y, {k}) OVER (ORDER BY day_x) AS y{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    mom_cols = ",\n               ".join(
+        f"sum(CASE WHEN y{k} IS NOT NULL THEN CAST(y AS HUGEINT) * y{k} END) AS a{k},"
+        f" sum(CASE WHEN y{k} IS NOT NULL THEN CAST(y AS HUGEINT) END) AS b{k},"
+        f" sum(CAST(y{k} AS HUGEINT)) AS c{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    g_cols = ",\n               ".join(_pacf_g_exprs())
+    stages_sql = ""
+    prev = "r"
+    for i, (col, expr) in enumerate(_PACF_STAGES):
+        stages_sql += f", s{i} AS (SELECT *, {expr} AS {col} FROM {prev})\n"
+        prev = f"s{i}"
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day_x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day_x, y,
+               {lag_cols}
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(y AS HUGEINT)) AS s1,
+               sum(CAST(y AS HUGEINT) * y) AS a0,
+               sum(CAST(y AS HUGEINT)) AS b0,
+               sum(CAST(y AS HUGEINT)) AS c0,
+               {mom_cols}
+        FROM lagged
+    ),
+    g AS (
+        SELECT n,
+               {g_cols}
+        FROM mom
+    ),
+    r AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+               {", ".join(_PACF_R)}
+        FROM g
+    )
+    {stages_sql}
+    SELECT n_days,
+           {", ".join(f"round(r{k}, 9) AS acf_{k}" for k in range(1, 6))},
+           round(p11, 6) AS pacf_1, round(p22, 6) AS pacf_2,
+           round(p33, 6) AS pacf_3, round(p44, 6) AS pacf_4,
+           round(p55, 6) AS pacf_5
+    FROM {prev}
+    """
+
+
+@query("trend_pacf_daily", oracle=_pacf_oracle())
+def trend_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily-revenue series at lags 1-5 via
+    the Durbin-Levinson recursion — THE AR-order selection readout (the
+    lag where PACF cuts off is the AR(p) order), completing the Box-
+    Jenkins identification pair with events_acf_multi_lag. An LLM-data
+    pipeline uses it to decide how many lag features a forecasting head
+    actually needs.
+
+    Exactness: the autocovariance ratios r_k = G_k/G_0 are ratios of
+    exact DECIMAL(38,0) integers (G_k = n²A_k − n·S1(B_k+C_k) + (n−k)S1²;
+    daily cents squared times n² overflows BIGINT at sf1, hence decimal);
+    the DL recursion is staged one level at a time with textually
+    identical IEEE +,-,*,/ expressions in both engines — no pow, no
+    cross-row float sums.
+
+    Scale shape: one combinable daily rollup, ONE lag window over the
+    calendar-bounded day series (~2.4k rows regardless of corpus size),
+    a 23-integer moment row, then scalar recursion. Corpus scanned once.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day_x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    w = Window.orderBy("day_x")
+    lagged = daily.select(
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, 6)],
+    )
+    d38 = "CAST(y AS DECIMAL(38,0))"
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.expr(f"sum({d38})").alias("s1"),
+        F.expr(f"sum({d38} * y)").alias("a0"),
+        F.expr(f"sum({d38})").alias("b0"),
+        F.expr(f"sum({d38})").alias("c0"),
+        *[
+            c
+            for k in range(1, 6)
+            for c in (
+                F.expr(
+                    f"sum(CASE WHEN y{k} IS NOT NULL THEN {d38} * y{k} END)"
+                ).alias(f"a{k}"),
+                F.expr(
+                    f"sum(CASE WHEN y{k} IS NOT NULL THEN {d38} END)"
+                ).alias(f"b{k}"),
+                F.expr(f"sum(CAST(y{k} AS DECIMAL(38,0)))").alias(f"c{k}"),
+            )
+        ],
+    )
+    g = mom.selectExpr("n", *_pacf_g_exprs())
+    r = g.selectExpr("CAST(n AS BIGINT) AS n_days", *_PACF_R)
+    cur = r
+    for col, expr in _PACF_STAGES:
+        cur = cur.selectExpr("*", f"{expr} AS {col}")
+    return cur.selectExpr(
+        "n_days",
+        *[f"round(r{k}, 9) AS acf_{k}" for k in range(1, 6)],
+        "round(p11, 6) AS pacf_1",
+        "round(p22, 6) AS pacf_2",
+        "round(p33, 6) AS pacf_3",
+        "round(p44, 6) AS pacf_4",
+        "round(p55, 6) AS pacf_5",
+    )
+
+
+# Granger causality (lag-1): does yesterday's CLICK volume improve the
+# prediction of today's VIEW volume beyond yesterday's views alone? The
+# restricted (y~y1) and unrestricted (y~y1+x1) OLS fits come from exact
+# integer moments; F is one shared textual expression. The centered
+# second moments (n1·Σab − Σa·Σb) are exact DECIMAL(38,0) integers.
+_GRANGER_S = {
+    "syy": ("yt", "yt"),
+    "sya": ("yt", "y1"),
+    "syb": ("yt", "x1"),
+    "saa": ("y1", "y1"),
+    "sbb": ("x1", "x1"),
+    "sab": ("y1", "x1"),
+}
+_GRANGER_FINAL = """
+    round(CAST(c_sya AS DOUBLE) / CAST(c_saa AS DOUBLE), 6) AS beta_r,
+    round((CAST(c_sbb AS DOUBLE) * CAST(c_sya AS DOUBLE)
+           - CAST(c_sab AS DOUBLE) * CAST(c_syb AS DOUBLE))
+          / (CAST(c_saa AS DOUBLE) * CAST(c_sbb AS DOUBLE)
+             - CAST(c_sab AS DOUBLE) * CAST(c_sab AS DOUBLE)), 6) AS beta_y1,
+    round((CAST(c_saa AS DOUBLE) * CAST(c_syb AS DOUBLE)
+           - CAST(c_sab AS DOUBLE) * CAST(c_sya AS DOUBLE))
+          / (CAST(c_saa AS DOUBLE) * CAST(c_sbb AS DOUBLE)
+             - CAST(c_sab AS DOUBLE) * CAST(c_sab AS DOUBLE)), 6) AS beta_x1,
+    round(((CAST(c_syy AS DOUBLE)
+            - CAST(c_sya AS DOUBLE) * c_sya / CAST(c_saa AS DOUBLE))
+           - (CAST(c_syy AS DOUBLE)
+              - ((CAST(c_sbb AS DOUBLE) * CAST(c_sya AS DOUBLE)
+                  - CAST(c_sab AS DOUBLE) * CAST(c_syb AS DOUBLE))
+                 * c_sya
+                 + (CAST(c_saa AS DOUBLE) * CAST(c_syb AS DOUBLE)
+                    - CAST(c_sab AS DOUBLE) * CAST(c_sya AS DOUBLE))
+                 * c_syb)
+                / (CAST(c_saa AS DOUBLE) * CAST(c_sbb AS DOUBLE)
+                   - CAST(c_sab AS DOUBLE) * CAST(c_sab AS DOUBLE))))
+          / ((CAST(c_syy AS DOUBLE)
+              - ((CAST(c_sbb AS DOUBLE) * CAST(c_sya AS DOUBLE)
+                  - CAST(c_sab AS DOUBLE) * CAST(c_syb AS DOUBLE))
+                 * c_sya
+                 + (CAST(c_saa AS DOUBLE) * CAST(c_syb AS DOUBLE)
+                    - CAST(c_sab AS DOUBLE) * CAST(c_sya AS DOUBLE))
+                 * c_syb)
+                / (CAST(c_saa AS DOUBLE) * CAST(c_sbb AS DOUBLE)
+                   - CAST(c_sab AS DOUBLE) * CAST(c_sab AS DOUBLE)))
+             / (n1 - 3)), 4) AS f_granger
+"""
+
+
+def _granger_oracle() -> str:
+    raw = ", ".join(
+        f"sum(CAST({u} AS HUGEINT) * {v}) AS m_{k}"
+        for k, (u, v) in _GRANGER_S.items()
+    )
+    cent = ", ".join(
+        f"CAST(n1 * m_{k} - s_{u} * s_{v} AS HUGEINT) AS c_{k}"
+        for k, (u, v) in _GRANGER_S.items()
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS day_x,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(floor(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(floor(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT y AS yt,
+               lag(y) OVER (ORDER BY day_x) AS y1,
+               lag(x) OVER (ORDER BY day_x) AS x1
+        FROM daily
+    ),
+    pairs AS (SELECT * FROM lagged WHERE y1 IS NOT NULL),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n1,
+               sum(CAST(yt AS HUGEINT)) AS s_yt,
+               sum(CAST(y1 AS HUGEINT)) AS s_y1,
+               sum(CAST(x1 AS HUGEINT)) AS s_x1,
+               {raw}
+        FROM pairs
+    ),
+    cent AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, {cent}
+        FROM mom
+    )
+    SELECT n1 AS n_pairs, {_GRANGER_FINAL}
+    FROM cent
+    """
+
+
+@query("events_granger_lag1", oracle=_granger_oracle())
+def events_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality F-test (1969): does yesterday's click
+    revenue improve today's view-revenue forecast beyond yesterday's
+    views alone? F = (RSS_restricted − RSS_unrestricted)/(RSS_u/(n−3)) —
+    the leading-indicator screen a feature pipeline runs before paying
+    for cross-series lag features.
+
+    Exactness: daily series in integer cents (missing type-days coalesce
+    to 0 over the shared day spine); all raw and centered second moments
+    are exact DECIMAL(38,0)/HUGEINT integers; the two OLS fits and F are
+    closed-form Cramer expressions over those integers, textually
+    identical in both engines.
+
+    Scale shape: one combinable (day × type) conditional rollup, one lag
+    window over the calendar-bounded day series, a 10-integer moment
+    row, scalar algebra. Corpus scanned once.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_x"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("day_x").agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("day_x")
+    pairs = (
+        daily.select(
+            F.col("y").alias("yt"),
+            F.lag("y").over(w).alias("y1"),
+            F.lag("x").over(w).alias("x1"),
+        )
+        .filter(F.col("y1").isNotNull())
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n1"),
+        F.expr("sum(CAST(yt AS DECIMAL(38,0)))").alias("s_yt"),
+        F.expr("sum(CAST(y1 AS DECIMAL(38,0)))").alias("s_y1"),
+        F.expr("sum(CAST(x1 AS DECIMAL(38,0)))").alias("s_x1"),
+        *[
+            F.expr(f"sum(CAST({u} AS DECIMAL(38,0)) * {v})").alias(f"m_{k}")
+            for k, (u, v) in _GRANGER_S.items()
+        ],
+    )
+    cent = mom.selectExpr(
+        "CAST(n1 AS BIGINT) AS n1",
+        *[
+            f"CAST(n1 * m_{k} - s_{u} * s_{v} AS DECIMAL(38,0)) AS c_{k}"
+            for k, (u, v) in _GRANGER_S.items()
+        ],
+    )
+    return cent.selectExpr("n1 AS n_pairs", *_granger_final_cols())
+
+
+def _granger_final_cols() -> list[str]:
+    """Split the shared final SELECT into per-column expressions for
+    Spark's selectExpr (DuckDB consumes the same text as one block)."""
+    cols, depth, cur = [], 0, []
+    for ch in _GRANGER_FINAL:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur).strip())
+    return [c for c in cols if c]

@@ -634,6 +634,9 @@ DRIVER_ORDER: list[str] = [
     "stat_mutual_information",   # MI nats + G-test, quantized pointwise logs
     "stat_jonckheere_terpstra",  # ordered k-sample trend, no pair join
     "stat_bartlett",             # variance homogeneity, quantized lns
+    # -- round-10 additions (wave 54: Box-Jenkins identification) --
+    "trend_pacf_daily",          # Durbin-Levinson PACF, exact acov ratios
+    "events_granger_lag1",       # lag-1 Granger F from exact moments
 ]
 
 
