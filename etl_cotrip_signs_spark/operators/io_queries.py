@@ -1137,3 +1137,193 @@ def layout_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("layout", "n_rows", "n_files", "n_runs_status")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+# --- wave 55 (round 10): zone-map pruning simulation ---
+
+# Per-file min/max zone maps are THE scan reducer at 100 TB: a predicate
+# that touches 3 months of a 7-year table should read ~4% of the files —
+# IF the layout clusters the filter column. The simulation packs lineitem
+# into 64 "files" under two layouts (key-range clustered vs xxhash64
+# shuffled), builds the ship-date zone map per file, and prices four
+# literal date predicates: files pruned, rows scanned, scan amplification
+# vs the exact match count. Everything is exact integer arithmetic, so
+# both engines replay the full pruning decision.
+_ZM_FILES = 64
+_ZM_PREDS = [
+    ("q1_1996", 9496, 9586),        # one quarter
+    ("y_1997", 9862, 10226),        # one year
+    ("jun_1998", 10378, 10407),     # one month
+    ("all_time", 0, 30000),         # no pruning possible
+]
+
+
+def _zm_pred_values_sql() -> str:
+    return ", ".join(f"('{p}', {lo}, {hi})" for p, lo, hi in _ZM_PREDS)
+
+
+def _zonemap_oracle() -> str:
+    from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
+
+    seed = chain_seed("zm")
+    return (
+        XXH64_MACROS
+        + f"""
+    WITH base AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS day_x,
+               l_orderkey
+        FROM lineitem
+    ),
+    kr AS (SELECT min(day_x) AS mnd, max(day_x) AS mxd FROM base),
+    assigned AS (
+        SELECT day_x,
+               CAST(least({_ZM_FILES - 1},
+                    (b.day_x - kr.mnd) * {_ZM_FILES}
+                    // (kr.mxd - kr.mnd + 1)) AS BIGINT) AS f_clustered,
+               CAST(((xxh64_long(b.l_orderkey, {seed}::UBIGINT)
+                      % {_ZM_FILES}) + {_ZM_FILES}) % {_ZM_FILES}
+                    AS BIGINT) AS f_hashed
+        FROM base b CROSS JOIN kr
+    ),
+    stacked AS (
+        SELECT 'clustered' AS layout, f_clustered AS f, day_x FROM assigned
+        UNION ALL
+        SELECT 'hashed' AS layout, f_hashed AS f, day_x FROM assigned
+    ),
+    zones AS (
+        SELECT layout, f, min(day_x) AS mn, max(day_x) AS mx,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM stacked GROUP BY 1, 2
+    ),
+    preds AS (SELECT * FROM (VALUES {_zm_pred_values_sql()})
+              AS t(pred, lo, hi)),
+    pruned AS (
+        SELECT p.pred, z.layout,
+               CAST(count(*) AS BIGINT) AS files_total,
+               CAST(sum(CASE WHEN z.mx < p.lo OR z.mn > p.hi
+                             THEN 0 ELSE 1 END) AS BIGINT) AS files_scanned,
+               CAST(sum(CASE WHEN z.mx < p.lo OR z.mn > p.hi
+                             THEN 0 ELSE z.n_rows END) AS BIGINT)
+                   AS rows_scanned
+        FROM zones z CROSS JOIN preds p GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT p.pred, CAST(sum(CASE WHEN b.day_x BETWEEN p.lo AND p.hi
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_matched
+        FROM base b CROSS JOIN preds p GROUP BY 1
+    )
+    SELECT pr.layout, pr.pred, pr.files_total, pr.files_scanned,
+           pr.rows_scanned, m.rows_matched,
+           CAST(1000000 * pr.rows_scanned
+                // greatest(m.rows_matched, 1) AS BIGINT) AS amp_ppm
+    FROM pruned pr JOIN matched m USING (pred)
+    ORDER BY 1, 2
+    """
+    )
+
+
+@query("layout_zonemap_pruning", oracle=_zonemap_oracle())
+def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) pruning simulation over two layouts of
+    the same table — the decision layer behind every 'files skipped'
+    number a lakehouse scan reports. lineitem is packed into 64 files by
+    (a) ship-date range clustering (the date-partitioned layout every
+    warehouse writes, so ship-date zones are tight) and (b) xxhash64
+    shuffling of l_orderkey (zones all span the full calendar — nothing
+    prunes); four literal
+    date predicates are then priced: files scanned, rows scanned, and
+    scan amplification vs the exact match count.
+
+    Exactness: file assignment, zone bounds, pruning decisions, and
+    amplification ppm are all exact integer arithmetic (xxhash64 replayed
+    by the DuckDB XXH64 macros); every number in the row hash-matches.
+
+    Scale shape: one scan builds both assignments; zone maps are one
+    combinable (layout × 64-file) aggregate; pruning joins 128 zone rows
+    against 4 predicate literals — metadata × metadata. At 100 TB this
+    is exactly the manifest-level arithmetic a query planner does without
+    touching data files.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_x"),
+        "l_orderkey",
+    )
+    kr = li.agg(F.min("day_x").alias("mnd"), F.max("day_x").alias("mxd"))
+    assigned = li.crossJoin(F.broadcast(kr)).select(
+        "day_x",
+        F.least(
+            F.lit(_ZM_FILES - 1),
+            F.expr(f"(day_x - mnd) * {_ZM_FILES} div (mxd - mnd + 1)"),
+        )
+        .cast("long")
+        .alias("f_clustered"),
+        F.pmod(F.xxhash64(F.lit("zm"), F.col("l_orderkey")), F.lit(_ZM_FILES))
+        .cast("long")
+        .alias("f_hashed"),
+    )
+    stacked = assigned.selectExpr(
+        "stack(2, 'clustered', f_clustered, 'hashed', f_hashed)"
+        " AS (layout, f)",
+        "day_x",
+    )
+    zones = stacked.groupBy("layout", "f").agg(
+        F.min("day_x").alias("mn"),
+        F.max("day_x").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        [(p, lo, hi) for p, lo, hi in _ZM_PREDS], "pred string, lo long, hi long"
+    )
+    pruned = (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("pred", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(
+                F.when((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi")), 0)
+                .otherwise(1)
+            )
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(
+                F.when((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi")), 0)
+                .otherwise(F.col("n_rows"))
+            )
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+    # exact match counts as ONE conditional aggregate over the same scan
+    # (no fact-table expansion), unpivoted to (pred, rows_matched)
+    matched = li.agg(
+        *[
+            F.sum(F.col("day_x").between(lo, hi).cast("int"))
+            .cast("long")
+            .alias(f"m_{p}")
+            for p, lo, hi in _ZM_PREDS
+        ]
+    ).selectExpr(
+        "stack("
+        + str(len(_ZM_PREDS))
+        + ", "
+        + ", ".join(f"'{p}', m_{p}" for p, _, _ in _ZM_PREDS)
+        + ") AS (pred, rows_matched)"
+    )
+    return (
+        pruned.join(F.broadcast(matched), "pred")
+        .selectExpr(
+            "layout",
+            "pred",
+            "files_total",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matched",
+            "CAST(1000000 * rows_scanned div greatest(rows_matched, 1)"
+            " AS BIGINT) AS amp_ppm",
+        )
+        .orderBy("layout", "pred")
+    )

@@ -3289,3 +3289,162 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / {_BART_INV}) / (3.0 * (k - 1))), 4)"
         " AS chi2_bartlett",
     )
+
+
+# Fisher's exact test via the hypergeometric RECURRENCE, not factorials:
+# pmf(k)/pmf(k-1) = (r-k+1)(c-k+1) / (k(n-r-c+k)) is an exact integer
+# ratio; its ln is micro-quantized (1e-12) per step and prefix-summed to
+# an exact integer log-profile lrel(k). The two-sided inclusion rule
+# {k : pmf(k) <= pmf(a)} becomes an INTEGER comparison on lrel, and the
+# probability masses are sums of integer-quantized exp weights — so the
+# whole decision path is deterministic cross-engine (the
+# stat_benjamini_hochberg exp discipline, one step stricter).
+_FISHER_LQ = 10**12
+_FISHER_WQ = 10**15
+_FISHER_CENTS = 45_000  # "big-ticket": value >= $450.00
+
+
+@query(
+    "stat_fisher_exact",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND floor(value * 100) >= {_FISHER_CENTS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r,
+               CAST(sum(CASE WHEN floor(value * 100) >= {_FISHER_CENTS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+    ),
+    support AS (
+        SELECT t.*, greatest(0, r + c - n) AS kmin, least(r, c) AS kmax
+        FROM t
+    ),
+    ks AS (
+        SELECT s.*, unnest(generate_series(s.kmin, s.kmax)) AS k
+        FROM support s
+    ),
+    steps AS (
+        SELECT *, CASE WHEN k = kmin THEN 0
+                       ELSE CAST(floor(ln((CAST(r - k + 1 AS DOUBLE))
+                                          * (c - k + 1)
+                                          / ((CAST(k AS DOUBLE))
+                                             * (n - r - c + k)))
+                                       * {_FISHER_LQ}) AS BIGINT) END AS st
+        FROM ks
+    ),
+    prof AS (
+        SELECT *, sum(st) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS lrel
+        FROM steps
+    ),
+    anch AS (
+        SELECT *, max(lrel) OVER () AS lmax,
+               max(CASE WHEN k = a THEN lrel END) OVER () AS la
+        FROM prof
+    ),
+    w AS (
+        SELECT *, CAST(floor(exp(CAST(lrel - lmax AS DOUBLE)
+                                 / {_FISHER_LQ}) * {_FISHER_WQ})
+                       AS HUGEINT) AS wk
+        FROM anch
+    )
+    SELECT max(a) AS a, max(r) AS r_margin, max(c) AS c_margin,
+           max(n) AS n,
+           CAST(max(kmax) - max(kmin) + 1 AS BIGINT) AS k_support,
+           round(CAST(sum(CASE WHEN lrel <= la THEN wk ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6) AS p_two,
+           round(CAST(sum(CASE WHEN k <= a THEN wk ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6) AS p_left,
+           round(CAST(sum(CASE WHEN k >= a THEN wk ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6) AS p_right
+    FROM w
+    """,
+)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (1935) for the 2×2 contingency
+    (is-purchase × is-big-ticket) — the small-cell significance test a
+    chi-square cannot be trusted for, and the standard rare-event screen
+    (label leakage, contamination, A/B guardrails on sparse segments).
+
+    Exactness: no factorials — the hypergeometric pmf is built from its
+    exact integer RECURRENCE ratio; each step's ln is micro-quantized to
+    1e-12 and prefix-summed into an exact integer log-profile, so the
+    two-sided inclusion set {k : pmf(k) ≤ pmf(a)} is an integer
+    comparison, and p-values are ratios of sums of integer-quantized
+    weights (HUGEINT/DECIMAL — the support can reach min(r,c) terms).
+
+    Scale shape: ONE pass over the corpus for the four cells; the support
+    explode is bounded by the smaller margin (metadata, not corpus); the
+    prefix window runs over that bounded support. At 100 TB the corpus
+    cost is the single conditional aggregate.
+    """
+    t = load_table(spark, sf_dir, "events").agg(
+        F.sum(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100) >= _FISHER_CENTS)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("r"),
+        F.sum((F.floor(F.col("value") * 100) >= _FISHER_CENTS).cast("int"))
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    support = t.selectExpr(
+        "*", "greatest(0, r + c - n) AS kmin", "least(r, c) AS kmax"
+    )
+    ks = support.select(
+        "*", F.explode(F.sequence("kmin", "kmax")).alias("k")
+    )
+    steps = ks.selectExpr(
+        "*",
+        "CASE WHEN k = kmin THEN 0"
+        " ELSE CAST(floor(ln((CAST(r - k + 1 AS DOUBLE)) * (c - k + 1)"
+        " / ((CAST(k AS DOUBLE)) * (n - r - c + k)))"
+        f" * {_FISHER_LQ}) AS BIGINT) END AS st",
+    )
+    prof = steps.select(
+        "*",
+        F.sum("st")
+        .over(W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("lrel"),
+    )
+    anch = prof.select(
+        "*",
+        F.max("lrel").over(W.partitionBy()).alias("lmax"),
+        F.max(F.when(F.col("k") == F.col("a"), F.col("lrel")))
+        .over(W.partitionBy())
+        .alias("la"),
+    )
+    w = anch.selectExpr(
+        "*",
+        f"CAST(floor(exp(CAST(lrel - lmax AS DOUBLE) / {_FISHER_LQ})"
+        f" * {_FISHER_WQ}) AS DECIMAL(38,0)) AS wk",
+    )
+    return w.agg(
+        F.max("a").alias("a"),
+        F.max("r").alias("r_margin"),
+        F.max("c").alias("c_margin"),
+        F.max("n").alias("n"),
+        (F.max("kmax") - F.max("kmin") + 1).cast("long").alias("k_support"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN lrel <= la THEN wk ELSE 0 END)"
+            " AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6)"
+        ).alias("p_two"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN k <= a THEN wk ELSE 0 END)"
+            " AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6)"
+        ).alias("p_left"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN k >= a THEN wk ELSE 0 END)"
+            " AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6)"
+        ).alias("p_right"),
+    )

@@ -637,6 +637,9 @@ DRIVER_ORDER: list[str] = [
     # -- round-10 additions (wave 54: Box-Jenkins identification) --
     "trend_pacf_daily",          # Durbin-Levinson PACF, exact acov ratios
     "events_granger_lag1",       # lag-1 Granger F from exact moments
+    # -- round-10 additions (wave 55: planner + exact inference) --
+    "layout_zonemap_pruning",    # per-file min/max skip arithmetic, 2 layouts
+    "stat_fisher_exact",         # hypergeometric recurrence, integer log-profile
 ]
 
 
