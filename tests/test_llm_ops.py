@@ -276,26 +276,39 @@ def test_kmeans_lloyd_invariants(spark):
     from .conftest import SF_ORACLE
 
     registry.load_all()
-    out = registry.QUERIES["kmeans_lloyd_embeddings"](spark, SF_ORACLE).toPandas()
+    from etl_cotrip_signs_spark.operators.similarity import kmeans_lloyd_detail
+
+    out, _ = kmeans_lloyd_detail(spark, SF_ORACLE)
+    out = out.toPandas()
     assert out.n_vectors.sum() == 500  # all vectors assigned
     assert len(out) <= 8
     assert (out.inertia >= 0).all()
-    again = registry.QUERIES["kmeans_lloyd_embeddings"](spark, SF_ORACLE).toPandas()
+    again, _ = kmeans_lloyd_detail(spark, SF_ORACLE)
+    again = again.toPandas()
     a = out.sort_values("cluster").reset_index(drop=True)
     b = again.sort_values("cluster").reset_index(drop=True)
     assert a.equals(b)
+    # the registered decision row must read all-TRUE on the fixture
+    row = registry.QUERIES["kmeans_lloyd_embeddings"](spark, SF_ORACLE).collect()[0]
+    assert row.covered_all and row.clusters_nonempty
+    assert row.inertia_nonincreasing and row.inertia_lt_total_ss
+    assert row.n_total == 500
 
 
 def test_kmeans_inertia_improves_over_first_assignment(spark):
     """Three Lloyd's rounds must not be worse than the round-0 assignment
     (inertia is non-increasing in exact arithmetic; FP avg noise is far
     below the gap on this fixture)."""
-    from etl_cotrip_signs_spark.operators.similarity import kmeans_lloyd_embeddings
+    from etl_cotrip_signs_spark.operators.similarity import kmeans_lloyd_detail
     from .conftest import SF_ORACLE
 
-    one = kmeans_lloyd_embeddings(spark, SF_ORACLE, n_iter=1).toPandas()
-    three = kmeans_lloyd_embeddings(spark, SF_ORACLE, n_iter=3).toPandas()
-    assert three.inertia.sum() <= one.inertia.sum() + 1e-6
+    one, _ = kmeans_lloyd_detail(spark, SF_ORACLE, n_iter=1)
+    three, inertias = kmeans_lloyd_detail(spark, SF_ORACLE, n_iter=3)
+    assert three.toPandas().inertia.sum() <= one.toPandas().inertia.sum() + 1e-6
+    # per-round inertia trace is monotone non-increasing (Lloyd theorem)
+    assert all(
+        inertias[i + 1] <= inertias[i] + 1e-6 for i in range(len(inertias) - 1)
+    )
 
 
 def test_ngram_jaccard_df_cap_matches_oracle_on_hot_only_pairs(spark, tmp_path):
