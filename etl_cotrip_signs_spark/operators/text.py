@@ -2069,3 +2069,204 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- wave 56 (round 10) ---
+
+# Good-Turing: the count-of-counts table and the Turing discounts
+# r* = (r+1)·N_{r+1}/N_r — THE unseen-mass estimator (P0 = N_1/N) for
+# vocabulary coverage: how much probability mass a corpus' LM should
+# reserve for words it has never seen. All integers; the discount is an
+# exact scaled integer division.
+_GT_MAX_R = 8
+
+
+@query(
+    "text_good_turing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(trim(text), ' ') AS a FROM documents
+    ),
+    tok AS (
+        SELECT unnest(list_transform(range(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS t
+        FROM toks WHERE len(a) >= 3
+    ),
+    vocab AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ),
+    coc AS (
+        SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM vocab GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(sum(n_r) AS BIGINT) AS n_types,
+               CAST(max(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM coc
+    )
+    SELECT a.r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+           CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000000
+                // a.n_r AS BIGINT) AS r_star_e6,
+           t.n_tokens, t.n_types,
+           CAST(t.n1 * 1000000 // t.n_tokens AS BIGINT) AS p0_ppm
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1 CROSS JOIN tot t
+    WHERE a.r <= {_GT_MAX_R}
+    ORDER BY a.r
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency estimation (Good 1953) over the corpus'
+    word-TRIGRAM vocabulary: the count-of-counts table N_r, the Turing discounts
+    r* = (r+1)·N_{r+1}/N_r for r ≤ 8, and the unseen-mass
+    estimate P0 = N_1/N — the coverage readout that says how much
+    probability a language model trained on THIS corpus should reserve
+    for out-of-vocabulary tokens (the smoothing-choice gate beside
+    text_zipf_fit's tail slope and text_vocab_growth's Heaps curve).
+
+    Exactness: every column is an exact integer (counts, and discounts /
+    P0 as scaled integer divisions on longs) — no floats anywhere.
+
+    Scale shape: the wordcount shape (combinable (token) count), then a
+    count-of-counts rollup whose domain is BOUNDED by the max term
+    frequency — the output join runs on metadata. One corpus scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # word TRIGRAMS, not unigrams: the synthetic corpus has a ~31-type
+    # unigram vocabulary (min count 26 — no rare mass at all); the
+    # trigram distribution has a real Zipf tail (9.4k hapax at sf0.01).
+    # size >= 3 guard mirrors range()'s empty behavior (the
+    # text_chunk_boilerplate short-doc lesson: sequence(0,-1) DESCENDS).
+    tok = (
+        d.select(F.split(F.trim("text"), " ").alias("a"))
+        .filter(F.size("a") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 3),"
+                    " i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+                )
+            ).alias("t")
+        )
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    coc = vocab.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    coc = coc.localCheckpoint(eager=True)  # 3 consumers: tot, self-join x2
+    tot = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("n_types"),
+        F.max(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        coc.filter(F.col("r") <= _GT_MAX_R)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "r",
+            "n_r",
+            "CAST(coalesce(n_r_next, 0) AS BIGINT) AS n_r_next",
+            "CAST((r + 1) * coalesce(n_r_next, 0) * 1000000"
+            " div n_r AS BIGINT) AS r_star_e6",
+            "n_tokens",
+            "n_types",
+            "CAST(n1 * 1000000 div n_tokens AS BIGINT) AS p0_ppm",
+        )
+        .orderBy("r")
+    )
+
+
+# Per-source KL divergence against the corpus unigram distribution — the
+# "which source is the outlier" decomposition (weighted-average of these
+# KLs = the mutual information between source and token). Pointwise logs
+# micro-quantized before the exact integer sum, the stat_mutual_information
+# discipline applied per source.
+_KL_Q = 1_000_000_000
+
+
+@query(
+    "text_kl_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+    ),
+    st AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c_st FROM tok
+        WHERE t <> '' GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT source, t, c_st,
+               sum(c_st) OVER (PARTITION BY t) AS c_t,
+               sum(c_st) OVER (PARTITION BY source) AS n_s,
+               sum(c_st) OVER () AS n
+        FROM st
+    )
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c_st * CAST(floor(ln((CAST(c_st AS DOUBLE) * n)
+                                         / (CAST(n_s AS DOUBLE) * c_t))
+                                      * {_KL_Q}) AS BIGINT)) AS BIGINT)
+               AS kl_e9_sum,
+           round(CAST(sum(c_st * CAST(floor(ln((CAST(c_st AS DOUBLE) * n)
+                                              / (CAST(n_s AS DOUBLE) * c_t))
+                                           * {_KL_Q}) AS BIGINT)) AS DOUBLE)
+                 / (CAST(max(n_s) AS DOUBLE) * {_KL_Q}), 9) AS kl_nats
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(p_source ‖ p_corpus) over unigram
+    distributions — the 'which source is the outlier' readout a corpus
+    composition dashboard sorts by (the n_s-weighted average of these KLs
+    IS the source↔token mutual information, so this is the per-source
+    decomposition of stat_mutual_information's corpus-level number).
+
+    Exactness: each pointwise log-ratio ln(c_st·N/(n_s·c_t)) is
+    micro-quantized to 1e-9 BEFORE the c_st-weighted sum, so each
+    source's KL numerator is an exact BIGINT both engines replay.
+
+    Scale shape: one combinable (source, token) count, two window sums
+    over the vocabulary-sized table (token marginal, source marginal),
+    one per-source rollup. One corpus scan; the window input is bounded
+    by |sources| × |vocab|, not corpus tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    m = st.select(
+        "source",
+        "c_st",
+        F.sum("c_st").over(W.partitionBy("t")).alias("c_t"),
+        F.sum("c_st").over(W.partitionBy("source")).alias("n_s"),
+        F.sum("c_st").over(W.partitionBy()).alias("n"),
+    )
+    qln = (
+        f"CAST(floor(ln((CAST(c_st AS DOUBLE) * n)"
+        f" / (CAST(n_s AS DOUBLE) * c_t)) * {_KL_Q}) AS BIGINT)"
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.expr(f"c_st * {qln}")).cast("long").alias("kl_e9_sum"),
+            F.expr(
+                f"round(CAST(sum(c_st * {qln}) AS DOUBLE)"
+                f" / (CAST(max(n_s) AS DOUBLE) * {_KL_Q}), 9)"
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
 
@@ -2526,3 +2527,171 @@ def _granger_final_cols() -> list[str]:
             cur.append(ch)
     cols.append("".join(cur).strip())
     return [c for c in cols if c]
+
+
+# Watermark-lateness audit: each event ARRIVES at its event time plus a
+# deterministic network-jitter delay (xxh64 mod 2 minutes — the fixture's
+# event_id order is exactly event-time order, so real out-of-orderness
+# must be modeled, and the hash makes it replayable). Lateness = how far
+# behind the high-water mark (max event-time seen so far in arrival
+# order) the event's own timestamp is — this prices Spark's
+# withWatermark(delay) BEFORE deploying it: the drop counts at candidate
+# delays are exactly the events a streaming job with that watermark
+# would discard. The global prefix max uses the two-pass discipline over
+# MINUTE buckets of arrival time — per-bucket maxima first, a window
+# over the bucket table (calendar-bounded metadata), then
+# partition-local combine — never a single-partition window over the
+# corpus.
+_WM_JITTER_US = 120_000_000   # 0..2 min deterministic arrival jitter
+_WM_BUCKET_US = 60_000_000    # 1-minute arrival buckets
+_WM_DELAYS_US = [0, 60_000_000, 3_600_000_000]  # 0s, 1min, 1h
+
+
+@query(
+    "events_watermark_lateness",
+    oracle=XXH64_MACROS
+    + f"""
+    WITH raw AS (
+        SELECT event_id, epoch_us(ts) AS t_us FROM events
+    ),
+    base AS (
+        SELECT event_id, t_us,
+               t_us + ((xxh64_long(event_id, {chain_seed("jit")}::UBIGINT)
+                        % {_WM_JITTER_US}) + {_WM_JITTER_US})
+                      % {_WM_JITTER_US} AS arr_us
+        FROM raw
+    ),
+    based AS (
+        SELECT *, arr_us // {_WM_BUCKET_US} AS b FROM base
+    ),
+    bmax AS (
+        SELECT b, max(t_us) AS bmx FROM based GROUP BY 1
+    ),
+    bpre AS (
+        SELECT b, max(bmx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) AS prior_mx
+        FROM bmax
+    ),
+    hwm AS (
+        SELECT e.event_id, e.t_us,
+               greatest(
+                   coalesce(p.prior_mx, -1000000000000000000),
+                   coalesce(max(e.t_us) OVER (
+                       PARTITION BY e.b ORDER BY e.arr_us, e.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1000000000000000000)) AS wm
+        FROM based e JOIN bpre p USING (b)
+    ),
+    lat AS (
+        SELECT greatest(0, wm - t_us) AS late_us FROM hwm
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(sum(CASE WHEN late_us > 0 AND late_us <= 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+           CAST(sum(CASE WHEN late_us > 60000000
+                         AND late_us <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+           CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late_gt_1h,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           {", ".join(f"CAST(sum(CASE WHEN late_us > {d} THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_{i}" for i, d in enumerate(_WM_DELAYS_US))}
+    FROM lat
+    """,
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit over the events stream: each event
+    arrives at its event time plus a deterministic xxh64 network-jitter
+    delay (0-2 min; the fixture's id order IS time order, so real
+    out-of-orderness must be modeled — and the hash makes the model
+    replayable in DuckDB). Per-arrival lateness vs the high-water mark
+    (max event-time seen so far in arrival order) feeds a lateness
+    histogram plus EXACT drop counts at candidate watermark delays
+    0s/1min/1h — the numbers that price ``withWatermark(delay)`` BEFORE
+    a streaming job deploys it (each drop count is exactly what that
+    delay would discard).
+
+    Exactness: everything is integer micros on deterministic hashes; the
+    prefix maxima and drop decisions replay exactly in both engines.
+
+    Scale shape: the global prefix max uses the
+    global_row_number_two_pass discipline over MINUTE buckets of arrival
+    time — per-bucket maxima (one combinable aggregate), ONE window over
+    the bucket table (calendar-bounded metadata), then a partition-local
+    prefix within each minute. No single-partition window ever sees the
+    corpus.
+    """
+    raw = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    base = raw.select(
+        "event_id",
+        "t_us",
+        (
+            F.col("t_us")
+            + F.pmod(
+                F.xxhash64(F.lit("jit"), F.col("event_id")),
+                F.lit(_WM_JITTER_US),
+            )
+        ).alias("arr_us"),
+    ).withColumn("b", F.expr(f"arr_us div {_WM_BUCKET_US}"))
+    bmax = base.groupBy("b").agg(F.max("t_us").alias("bmx"))
+    bpre = bmax.select(
+        "b",
+        F.max("bmx")
+        .over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("prior_mx"),
+    )
+    # sentinel far below any real epoch-micros but safe from ANSI
+    # overflow in wm - t_us (long-min minus a positive would wrap)
+    neg_inf = -1_000_000_000_000_000_000
+    hwm = base.join(F.broadcast(bpre), "b").select(
+        F.greatest(
+            F.coalesce(F.col("prior_mx"), F.lit(neg_inf)),
+            F.coalesce(
+                F.max("t_us").over(
+                    Window.partitionBy("b")
+                    .orderBy("arr_us", "event_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(neg_inf),
+            ),
+        ).alias("wm"),
+        "t_us",
+    )
+    lat = hwm.select(F.greatest(F.lit(0), F.col("wm") - F.col("t_us")).alias("late_us"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("int")).cast("long").alias("n_late"),
+        F.sum(
+            ((F.col("late_us") > 0) & (F.col("late_us") <= 60_000_000)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_late_1m"),
+        F.sum(
+            (
+                (F.col("late_us") > 60_000_000)
+                & (F.col("late_us") <= 3_600_000_000)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_late_1h"),
+        F.sum((F.col("late_us") > 3_600_000_000).cast("int"))
+        .cast("long")
+        .alias("n_late_gt_1h"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        *[
+            F.sum((F.col("late_us") > d).cast("int"))
+            .cast("long")
+            .alias(f"dropped_at_{i}")
+            for i, d in enumerate(_WM_DELAYS_US)
+        ],
+    )

@@ -640,6 +640,10 @@ DRIVER_ORDER: list[str] = [
     # -- round-10 additions (wave 55: planner + exact inference) --
     "layout_zonemap_pruning",    # per-file min/max skip arithmetic, 2 layouts
     "stat_fisher_exact",         # hypergeometric recurrence, integer log-profile
+    # -- round-10 additions (wave 56: corpus coverage + streaming ops) --
+    "text_good_turing",          # count-of-counts, Turing discounts, P0
+    "text_kl_source_divergence", # per-source KL vs corpus, quantized logs
+    "events_watermark_lateness", # two-pass prefix max, drop counts per delay
 ]
 
 
