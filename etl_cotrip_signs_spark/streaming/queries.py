@@ -377,10 +377,11 @@ def _tws_unavailable_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently disappearing or erroring.
 
     Round-5 re-checks (2026-08-14/15), round-6 re-probe (2026-08-15),
-    round-7 re-probe (2026-08-16), round-8 re-probe (2026-08-16), and
-    round-9 re-probe (2026-08-16, this runtime): ``import
-    google.protobuf`` still raises ModuleNotFoundError, network installs
-    are forbidden; the waiver stands.
+    round-7 re-probe (2026-08-16), round-8 re-probe (2026-08-16),
+    round-9 re-probe (2026-08-16), and round-10 re-probe (2026-08-16,
+    this runtime): ``import google.protobuf`` still raises
+    ModuleNotFoundError, network installs are forbidden; the waiver
+    stands.
     The processor class above self-activates (HAS_TWS) the moment a runtime
     ships protobuf — no code change needed then."""
     return spark.createDataFrame(
