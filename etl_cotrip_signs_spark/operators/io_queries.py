@@ -1327,3 +1327,196 @@ def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "pred")
     )
+
+
+# --- wave 57 (round 10): bloom-filter file skipping ---
+
+# The equality-predicate companion to layout_zonemap_pruning: zone maps
+# skip RANGE predicates on clustered columns; per-file Bloom filters skip
+# EQUALITY predicates on high-cardinality columns regardless of layout.
+# The trick that keeps this one-pass: a probe key's k bit positions are
+# LITERAL CONSTANTS (computed from the reference xxh64 in Python at
+# definition time), so "is bit b set in file f's bloom" reduces to one
+# conditional MAX per (file, probe, hash) — no 4096-bit vectors are ever
+# materialized.
+_FB_M = 4096
+_FB_K = 3
+_FB_PROBES = [1, 7, 13, 986021]  # three present keys + one absent
+
+
+def _fb_seeds() -> list[int]:
+    from ..functions.xxh64_sql import chain_seed
+
+    return [chain_seed(f"fb{i}") for i in range(_FB_K)]
+
+
+def _fb_probe_bits() -> dict[int, list[int]]:
+    """bit positions per probe key, from the reference implementation —
+    identical to Spark's pmod(xxhash64(lit('fb<i>'), key), m) and to the
+    DuckDB macro replay by construction (tests/test_xxh64_sql.py)."""
+    from ..functions.xxh64_ref import xxh64_signed
+
+    seeds = _fb_seeds()
+    return {
+        pk: [
+            xxh64_signed(pk.to_bytes(8, "little", signed=True), s) % _FB_M
+            for s in seeds
+        ]
+        for pk in _FB_PROBES
+    }
+
+
+def _bloomfile_oracle() -> str:
+    bits = _fb_probe_bits()
+    hit_cols = []
+    for pk, bs in bits.items():
+        for i, b in enumerate(bs):
+            hit_cols.append(
+                f"max(CASE WHEN h{i} = {b} THEN 1 ELSE 0 END) AS hit_{pk}_{i}"
+            )
+        hit_cols.append(
+            f"max(CASE WHEN l_partkey = {pk} THEN 1 ELSE 0 END)"
+            f" AS true_{pk}"
+        )
+    from ..functions.xxh64_sql import XXH64_MACROS
+
+    seeds = _fb_seeds()
+    h_cols = ", ".join(
+        f"((xxh64_long(l_partkey, {s}::UBIGINT) % {_FB_M}) + {_FB_M})"
+        f" % {_FB_M} AS h{i}"
+        for i, s in enumerate(seeds)
+    )
+    per_pred = []
+    for pk, _ in bits.items():
+        passing = " + ".join(f"hit_{pk}_{i}" for i in range(_FB_K))
+        per_pred.append(f"""
+        SELECT {pk} AS probe_key,
+               CAST(count(*) AS BIGINT) AS files_total,
+               CAST(sum(CASE WHEN {passing} = {_FB_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS files_passing,
+               CAST(sum(true_{pk}) AS BIGINT) AS files_with_match,
+               CAST(sum(CASE WHEN {passing} = {_FB_K} AND true_{pk} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_positive_files,
+               CAST(sum(CASE WHEN {passing} = {_FB_K} THEN n_rows
+                             ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(sum(match_rows_{pk}) AS BIGINT) AS rows_matched
+        FROM per_file""")
+    match_cols = ", ".join(
+        f"sum(CASE WHEN l_partkey = {pk} THEN 1 ELSE 0 END)"
+        f" AS match_rows_{pk}"
+        for pk in bits
+    )
+    return (
+        XXH64_MACROS
+        + f"""
+    WITH kr AS (
+        SELECT min(CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT)) AS mnd,
+               max(CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT)) AS mxd
+        FROM lineitem
+    ),
+    base AS (
+        SELECT l_partkey,
+               least(63, (CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                          - kr.mnd) * 64 // (kr.mxd - kr.mnd + 1)) AS f,
+               {h_cols}
+        FROM lineitem CROSS JOIN kr
+    ),
+    per_file AS (
+        SELECT f, CAST(count(*) AS BIGINT) AS n_rows,
+               {match_cols},
+               {", ".join(hit_cols)}
+        FROM base GROUP BY 1
+    )
+    {" UNION ALL ".join(per_pred)}
+    ORDER BY probe_key
+    """
+    )
+
+
+@query("layout_bloomfilter_pruning", oracle=_bloomfile_oracle())
+def layout_bloomfilter_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter skipping for EQUALITY predicates — the
+    companion to layout_zonemap_pruning (zone maps prune ranges on
+    clustered columns; Blooms prune point lookups on high-cardinality
+    columns in ANY layout). lineitem is packed into the same 64
+    date-clustered files; each file conceptually carries a k=3, m=4096
+    Bloom over l_partkey; four probe keys (three present, one absent)
+    are priced: files passing, true-match files, false positives, rows
+    scanned vs rows matched.
+
+    The scan-free trick: a probe key's k bit positions are literal
+    constants (reference xxh64 at definition time), so the whole audit
+    is ONE aggregate computing a conditional MAX per (file, probe, bit)
+    — no bitmap is materialized, and the corpus is scanned once.
+
+    Exactness: every count is an exact integer on deterministic hashes
+    (DuckDB replays via the XXH64 macros); the false-positive count is
+    the measured cost of m/n at this fill rate.
+    """
+    bits = _fb_probe_bits()
+    seeds = _fb_seeds()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_x"),
+    )
+    kr = li.agg(F.min("day_x").alias("mnd"), F.max("day_x").alias("mxd"))
+    base = li.crossJoin(F.broadcast(kr)).select(
+        "l_partkey",
+        F.least(
+            F.lit(63),
+            F.expr("(day_x - mnd) * 64 div (mxd - mnd + 1)"),
+        ).alias("f"),
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(f"fb{i}"), F.col("l_partkey")), F.lit(_FB_M)
+            ).alias(f"h{i}")
+            for i in range(len(seeds))
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for pk, bs in bits.items():
+        for i, b in enumerate(bs):
+            aggs.append(
+                F.max((F.col(f"h{i}") == b).cast("int")).alias(f"hit_{pk}_{i}")
+            )
+        aggs.append(
+            F.max((F.col("l_partkey") == pk).cast("int")).alias(f"true_{pk}")
+        )
+        aggs.append(
+            F.sum((F.col("l_partkey") == pk).cast("int")).alias(
+                f"match_rows_{pk}"
+            )
+        )
+    # 64 rows; checkpoint so the four per-probe rollups don't re-scan
+    # the corpus
+    per_file = base.groupBy("f").agg(*aggs).localCheckpoint(eager=True)
+    out = None
+    for pk in bits:
+        passing = " + ".join(f"hit_{pk}_{i}" for i in range(_FB_K))
+        pred = per_file.selectExpr(
+            f"{pk} AS probe_key",
+            "n_rows",
+            f"CASE WHEN {passing} = {_FB_K} THEN 1 ELSE 0 END AS pass",
+            f"true_{pk} AS tr",
+            f"match_rows_{pk} AS mr",
+        ).agg(
+            F.max("probe_key").cast("long").alias("probe_key"),
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum("pass").cast("long").alias("files_passing"),
+            F.sum("tr").cast("long").alias("files_with_match"),
+            F.sum(F.expr("CASE WHEN pass = 1 AND tr = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("false_positive_files"),
+            F.sum(F.expr("CASE WHEN pass = 1 THEN n_rows ELSE 0 END"))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("mr").cast("long").alias("rows_matched"),
+        )
+        out = pred if out is None else out.unionAll(pred)
+    return out.orderBy("probe_key")

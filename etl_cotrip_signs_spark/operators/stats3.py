@@ -3448,3 +3448,128 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / CAST(sum(wk) AS DOUBLE), 6)"
         ).alias("p_right"),
     )
+
+
+# Page's trend test: blocks = Monday-aligned weeks, treatments =
+# weekday 1..7, value = that day's revenue cents. Week/weekday come from
+# pure integer arithmetic on epoch days (1970-01-01 is a Thursday, so
+# day_x + 3 is Monday-aligned) — no engine date-function divergence.
+# Weeks with missing days are ZERO-FILLED (no sales that day) so every
+# observed week is a complete block; L is computed with DOUBLED
+# within-block midranks so ties (including the zero-fill ties) never
+# produce .5, and the null moments are the exact closed forms.
+_PAGE_K = 7
+
+
+@query(
+    "stat_page_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day_x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    keyed AS (
+        SELECT (day_x + 3) // 7 AS wk,
+               ((day_x + 3) % 7 + 7) % 7 + 1 AS dow, y
+        FROM daily
+    ),
+    grid AS (
+        SELECT w.wk, d.dow, coalesce(k.y, 0) AS y
+        FROM (SELECT DISTINCT wk FROM keyed) w
+        CROSS JOIN (SELECT unnest(generate_series(1, {_PAGE_K})) AS dow) d
+        LEFT JOIN keyed k ON k.wk = w.wk AND k.dow = d.dow
+    ),
+    ranked AS (
+        SELECT wk, dow,
+               CAST(2 * rank() OVER (PARTITION BY wk ORDER BY y)
+                    + count(*) OVER (PARTITION BY wk, y) - 1
+                    AS BIGINT) AS r2
+        FROM grid
+    ),
+    t AS (
+        SELECT CAST(count(DISTINCT wk) AS BIGINT) AS b,
+               CAST(sum(dow * r2) AS BIGINT) AS l2
+        FROM ranked
+    )
+    SELECT b, l2,
+           CAST(b * {_PAGE_K} * {(_PAGE_K + 1) ** 2} AS BIGINT) AS e_l2_x2,
+           round((CAST(l2 AS DOUBLE) / 2
+                  - CAST(b AS DOUBLE) * {_PAGE_K} * {(_PAGE_K + 1) ** 2}
+                    / 4)
+                 / sqrt(CAST(b AS DOUBLE) * {_PAGE_K * _PAGE_K}
+                        * {_PAGE_K + 1} * {_PAGE_K**2 - 1} / 144.0), 6)
+               AS z_page
+    FROM t
+    """,
+)
+def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (1963) for an ordered alternative in repeated
+    measures: are weekday revenues monotonically ordered Monday → Sunday
+    within each observed week (missing days zero-filled — no sales that
+    day)? The within-block twin of
+    stat_jonckheere_terpstra (Jonckheere: independent ordered groups;
+    Page: ordered treatments inside blocks), and strictly more powerful
+    than stat_friedman_test when the alternative is ordered.
+    L = Σ_j j·R_j over weekday rank sums.
+
+    Exactness: week and weekday come from pure integer arithmetic on
+    epoch days (Monday-aligned via day_x + 3 — no engine date-function
+    divergence); within-block DOUBLED midranks keep ties exact; L2 and
+    the null mean E[2L] = b·k(k+1)² are exact BIGINTs; z is one shared
+    expression with the closed-form variance b·k²(k+1)(k²−1)/144.
+
+    Scale shape: one combinable daily rollup; ranking windows are
+    partitioned per week over ≤7 rows each (calendar-bounded); one
+    output row.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day_x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    keyed = daily.selectExpr(
+        "(day_x + 3) div 7 AS wk",
+        "pmod(day_x + 3, 7) + 1 AS dow",
+        "y",
+    )
+    weeks = keyed.select("wk").distinct()
+    dows = spark.range(1, _PAGE_K + 1).select(F.col("id").alias("dow"))
+    grid = (
+        weeks.crossJoin(F.broadcast(dows))
+        .join(keyed, ["wk", "dow"], "left")
+        .select("wk", "dow", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    ranked = grid.select(
+        "wk",
+        "dow",
+        (
+            2 * F.rank().over(W.partitionBy("wk").orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("wk", "y"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    t = ranked.agg(
+        F.countDistinct("wk").cast("long").alias("b"),
+        F.sum(F.col("dow") * F.col("r2")).cast("long").alias("l2"),
+    )
+    return t.selectExpr(
+        "b",
+        "l2",
+        f"CAST(b * {_PAGE_K} * {(_PAGE_K + 1) ** 2} AS BIGINT) AS e_l2_x2",
+        "round((CAST(l2 AS DOUBLE) / 2"
+        f" - CAST(b AS DOUBLE) * {_PAGE_K} * {(_PAGE_K + 1) ** 2} / 4)"
+        f" / sqrt(CAST(b AS DOUBLE) * {_PAGE_K * _PAGE_K}"
+        f" * {_PAGE_K + 1} * {_PAGE_K**2 - 1} / 144.0), 6)"
+        " AS z_page",
+    )

@@ -2695,3 +2695,121 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, d in enumerate(_WM_DELAYS_US)
         ],
     )
+
+
+# --- wave 57 (round 10): daily-series motif discovery ---
+
+# Matrix-profile-style motif search (Yeh et al. 2016's problem, solved
+# exactly): the closest pair of non-overlapping 7-day windows in the
+# daily-revenue series, by exact integer squared Euclidean distance on
+# FLOOR-DOLLAR daily revenue (cents div 100 — a squared cents difference
+# summed over 7 days would pass BIGINT range near sf1; dollars keep the
+# whole metric in exact BIGINTs on both engines).
+# The all-pairs join is |days|² — CALENDAR-bounded metadata that
+# does not grow with corpus rows (2400² ≈ 2.9M pairs at every SF), which
+# is what makes the exact quadratic affordable where a corpus-quadratic
+# join never is.
+_MOTIF_W = 7
+_MOTIF_TOPK = 5
+
+
+@query(
+    "trend_motif_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day_x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    // 100 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT row_number() OVER (ORDER BY day_x) AS rn, day_x, y
+        FROM daily
+    ),
+    win AS (
+        SELECT rn, day_x,
+               {", ".join(f"lead(y, {k}) OVER (ORDER BY rn) AS y{k}" for k in range(1, _MOTIF_W))},
+               y AS y0
+        FROM seq
+    ),
+    full_win AS (
+        SELECT rn, day_x,
+               {", ".join(f"y{k}" for k in range(_MOTIF_W))}
+        FROM win WHERE y{_MOTIF_W - 1} IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.rn AS rn_a, b.rn AS rn_b, a.day_x AS day_a,
+               b.day_x AS day_b,
+               {" + ".join(f"(a.y{k} - b.y{k}) * (a.y{k} - b.y{k})" for k in range(_MOTIF_W))}
+                   AS d2
+        FROM full_win a JOIN full_win b
+          ON b.rn >= a.rn + {_MOTIF_W}
+    )
+    SELECT day_a, day_b, CAST(d2 AS BIGINT) AS d2
+    FROM pairs
+    ORDER BY d2, day_a, day_b
+    LIMIT {_MOTIF_TOPK}
+    """,
+)
+def trend_motif_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_MOTIF_TOPK} motif pairs of the daily-revenue series: the
+    closest non-overlapping 7-day window pairs by EXACT integer squared
+    Euclidean distance — the repeated-pattern detector (matrix-profile
+    motif, Yeh et al. 2016) that surfaces recurring demand shapes, and
+    the honest exact baseline an approximate MP implementation would be
+    graded against.
+
+    Exactness: distances are sums of squared integer FLOOR-DOLLAR
+    differences (cents div 100 first — squared cents would pass BIGINT
+    range near sf1; dollars keep every d2 an exact BIGINT on both
+    engines); the top-k is ordered by (d2, day_a, day_b) so ties break
+    deterministically.
+
+    Scale shape: the all-pairs join is |days|² — CALENDAR-bounded
+    metadata (≈2.9M pairs regardless of corpus size), planned as a
+    range self-join over the ~2.4k-row window table, then
+    TakeOrderedAndProject. The corpus contributes one combinable daily
+    rollup.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day_x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_x")
+        .agg(F.expr("sum(cents) div 100").cast("long").alias("y"))
+    )
+    w = Window.orderBy("rn")
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day_x")).alias("rn"),
+        "day_x",
+        F.col("y").alias("y0"),
+    )
+    win = seq.select(
+        "rn",
+        "day_x",
+        "y0",
+        *[F.lead("y0", k).over(w).alias(f"y{k}") for k in range(1, _MOTIF_W)],
+    ).filter(F.col(f"y{_MOTIF_W - 1}").isNotNull())
+    win = win.localCheckpoint(eager=True)  # both sides of the self-join
+    a = win.select(
+        F.col("rn").alias("rn_a"),
+        F.col("day_x").alias("day_a"),
+        *[F.col(f"y{k}").alias(f"a{k}") for k in range(_MOTIF_W)],
+    )
+    b = win.select(
+        F.col("rn").alias("rn_b"),
+        F.col("day_x").alias("day_b"),
+        *[F.col(f"y{k}").alias(f"b{k}") for k in range(_MOTIF_W)],
+    )
+    d2 = " + ".join(
+        f"(a{k} - b{k}) * (a{k} - b{k})" for k in range(_MOTIF_W)
+    )
+    pairs = a.join(b, F.col("rn_b") >= F.col("rn_a") + _MOTIF_W).selectExpr(
+        "day_a", "day_b", f"CAST({d2} AS BIGINT) AS d2"
+    )
+    return pairs.orderBy("d2", "day_a", "day_b").limit(_MOTIF_TOPK)

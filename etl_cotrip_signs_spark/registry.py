@@ -644,6 +644,10 @@ DRIVER_ORDER: list[str] = [
     "text_good_turing",          # count-of-counts, Turing discounts, P0
     "text_kl_source_divergence", # per-source KL vs corpus, quantized logs
     "events_watermark_lateness", # two-pass prefix max, drop counts per delay
+    # -- round-10 additions (wave 57: file skipping + motifs + Page) --
+    "layout_bloomfilter_pruning",  # per-file bloom equality skipping
+    "trend_motif_daily",           # exact 7-day motif pairs, calendar-bounded
+    "stat_page_trend",             # Page's L, ordered weekday alternative
 ]
 
 
