@@ -2270,3 +2270,108 @@ def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Goh-Barabási burstiness per high-df term over its DOCUMENT gap
+# sequence: B = (σ_g − μ_g)/(σ_g + μ_g) ∈ (−1, 1) — bursty terms (B→1)
+# cluster in few documents (topical words), regular terms (B→−1) spread
+# evenly (function words/boilerplate). The gap moments are exact
+# integers (doc-id differences), so only the final σ/B expression
+# touches floats.
+_BURST_TOP = 10
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+    ),
+    df_rank AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS df,
+               row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+        FROM tok WHERE t <> '' GROUP BY 1
+    ),
+    top AS (SELECT t, df FROM df_rank WHERE rk <= {_BURST_TOP}),
+    gaps AS (
+        SELECT k.t, top.df,
+               k.doc_id - lag(k.doc_id) OVER (
+                   PARTITION BY k.t ORDER BY k.doc_id) AS g
+        FROM tok k JOIN top ON top.t = k.t
+    ),
+    m AS (
+        SELECT t, max(df) AS df,
+               CAST(count(g) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS s1,
+               CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS s2
+        FROM gaps GROUP BY 1
+    )
+    SELECT t AS term, CAST(df AS BIGINT) AS df, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap,
+           round((sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                  - CAST(s1 AS DOUBLE) / n_gaps)
+                 / (sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                    + CAST(s1 AS DOUBLE) / n_gaps), 6) AS burstiness
+    FROM m ORDER BY term
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness (2008) B = (σ−μ)/(σ+μ) of each top-df
+    term's document-gap sequence — the topicality/boilerplate separator:
+    bursty terms (B near 1) concentrate in few documents, regular terms
+    (B near −1) recur evenly (function words, template boilerplate).
+    Complements text_hapax_ratio (shape of the rare tail) with the shape
+    of the COMMON head, and flags template contamination a df threshold
+    alone cannot see.
+
+    Exactness: gaps are integer doc-id differences; n·S2 − S1² is an
+    exact DECIMAL(38,0)/HUGEINT; σ, μ and B are one shared float
+    expression over those integers, rounded once.
+
+    Scale shape: one (doc, term) distinct projection (the inverted-index
+    shape), a top-k over the df table, gap windows PARTITIONED per term
+    over that term's posting list (bounded by df), a 10-row output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    tok = tok.localCheckpoint(eager=True)  # df ranking + gap join
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("df").desc(), F.col("t"))),
+        )
+        .filter(F.col("rk") <= _BURST_TOP)
+        .select("t", "df")
+    )
+    gaps = tok.join(F.broadcast(top), "t").select(
+        "t",
+        "df",
+        (
+            F.col("doc_id")
+            - F.lag("doc_id").over(W.partitionBy("t").orderBy("doc_id"))
+        ).alias("g"),
+    )
+    m = gaps.groupBy("t").agg(
+        F.max("df").alias("df"),
+        F.count("g").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
+    )
+    sigma = "sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps"
+    mu = "CAST(s1 AS DOUBLE) / n_gaps"
+    return m.selectExpr(
+        "t AS term",
+        "CAST(df AS BIGINT) AS df",
+        "n_gaps",
+        f"round({mu}, 6) AS mean_gap",
+        f"round(({sigma} - {mu}) / ({sigma} + {mu}), 6) AS burstiness",
+    ).orderBy("term")

@@ -2813,3 +2813,95 @@ def trend_motif_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_a", "day_b", f"CAST({d2} AS BIGINT) AS d2"
     )
     return pairs.orderBy("d2", "day_a", "day_b").limit(_MOTIF_TOPK)
+
+
+# --- wave 58 (round 10): burstiness ---
+
+# Fano factor per event type over 1-minute windows, empty windows
+# included: F = Var(N)/E[N], the dispersion index that separates
+# Poisson-like (F≈1) from bursty (F>1) and regular (F<1) streams — the
+# capacity-planning readout beside events_interarrival_stats. The window
+# spine is the global minute span (calendar-bounded), so empty windows
+# are counted without generating them: Var·n² = n·ΣC² − S1² needs only
+# the NONEMPTY window counts plus the spine size.
+_FANO_WIN_US = 60_000_000
+_FANO_SCALE = 1_000_000
+
+
+@query(
+    "events_fano_factor",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, epoch_us(ts) // {_FANO_WIN_US} AS w
+        FROM events
+    ),
+    spine AS (
+        SELECT max(w) - min(w) + 1 AS n_windows FROM base
+    ),
+    wc AS (
+        SELECT event_type, w, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nonempty_windows,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM wc GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(s.n_windows AS BIGINT) AS n_windows,
+           m.n_events, m.nonempty_windows,
+           CAST((s.n_windows * m.s2 - m.n_events * m.n_events)
+                * {_FANO_SCALE}
+                // (s.n_windows * m.n_events) AS BIGINT) AS fano_e6
+    FROM m CROSS JOIN spine s
+    ORDER BY 1
+    """,
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (dispersion index) per event type over 1-minute
+    windows, EMPTY WINDOWS INCLUDED: F = Var(N)/E[N] — F≈1 is
+    Poisson-like arrivals, F>1 bursty, F<1 regular. The
+    capacity-planning twin of events_interarrival_stats (that one
+    measures gaps between events; this one measures clumping of counts),
+    and the standard burstiness screen before sizing streaming state.
+
+    Exactness: empty windows are counted WITHOUT being generated —
+    Var·n² = n·ΣC² − S1² needs only nonempty window counts plus the
+    calendar-bounded spine size; fano_e6 is one exact scaled integer
+    division on positive longs.
+
+    Scale shape: one combinable (type × minute) count (bounded by
+    |types| × calendar minutes), one per-type rollup, a 1-row spine
+    broadcast. One corpus scan.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) div {_FANO_WIN_US}"
+        ).alias("w"),
+    )
+    spine = base.agg(
+        (F.max("w") - F.min("w") + 1).alias("n_windows")
+    )
+    wc = base.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = wc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nonempty_windows"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return (
+        m.crossJoin(F.broadcast(spine))
+        .selectExpr(
+            "event_type",
+            "CAST(n_windows AS BIGINT) AS n_windows",
+            "n_events",
+            "nonempty_windows",
+            f"CAST((n_windows * s2 - n_events * n_events) * {_FANO_SCALE}"
+            " div (n_windows * n_events) AS BIGINT) AS fano_e6",
+        )
+        .orderBy("event_type")
+    )

@@ -648,6 +648,9 @@ DRIVER_ORDER: list[str] = [
     "layout_bloomfilter_pruning",  # per-file bloom equality skipping
     "trend_motif_daily",           # exact 7-day motif pairs, calendar-bounded
     "stat_page_trend",             # Page's L, ordered weekday alternative
+    # -- round-10 additions (wave 58: burstiness) --
+    "events_fano_factor",          # dispersion index, empty windows counted
+    "text_term_burstiness",        # Goh-Barabasi gap burstiness per term
 ]
 
 
