@@ -1316,12 +1316,25 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_users = ui.agg(F.countDistinct("u").alias("n_users"))
     deg = ui.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # freq (the frequent-item dimension, tiny by the 2.5%-reach filter) has
+    # FOUR consumers (fui + both degree lookups) and fui has TWO (both sides
+    # of the per-user pair self-join); without materialization each consumer
+    # re-derived the deg aggregate / the reach join from the ui checkpoint —
+    # the before-plan carried 25 Exchanges for a 3-shuffle algorithm
+    # (plans/r10/recsys_item_item_cosine_before.txt). Eager checkpoints cut
+    # the re-derivations; both tables are the small decision side, never the
+    # interaction matrix itself.
     freq = (
         deg.crossJoin(F.broadcast(n_users))
         .filter(F.col("d") * 40 >= F.col("n_users"))
         .select("i", "d")
+        .localCheckpoint(eager=True)
     )
-    fui = ui.join(F.broadcast(freq.select("i")), "i").select("u", "i")
+    fui = (
+        ui.join(F.broadcast(freq.select("i")), "i")
+        .select("u", "i")
+        .localCheckpoint(eager=True)
+    )
     a = fui.select(F.col("u").alias("k"), F.col("i").alias("i1"))
     b = fui.select(F.col("u").alias("k"), F.col("i").alias("i2"))
     co = (

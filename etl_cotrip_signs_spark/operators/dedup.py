@@ -215,6 +215,14 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             for i in range(_MINHASH_K)
         ],
     )
+    # The band table is ALSO eagerly materialized (r10, guide §8): it is the
+    # lightweight decision proxy (doc_id, band_id, band_hash — ~20 bytes x
+    # _BANDS per doc) consumed by BOTH sides of the band self-join, and
+    # Catalyst does not CSE across a self-join — without this checkpoint the
+    # 32 array_min(transform(hs, ...)) signature projections (the dominant
+    # per-doc compute: k hashes of every shingle) appeared twice in the
+    # physical plan, once under the probe side and once under the
+    # BroadcastExchange (plans/r10/dedup_minhash_docs_before.txt nodes 3+8).
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -230,7 +238,7 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_hash"),
-    )
+    ).localCheckpoint(eager=True)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     pairs = (
@@ -1164,6 +1172,13 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= F.col("nt") - F.expr("(8 * nt + 9) div 10") + 1)
         .select("doc_id", "s", "nt")
+        # materialized once (r10): both sides of the candidate self-join
+        # consume it, and without the checkpoint each side re-ran the whole
+        # explode + df-aggregate + posting join + rank window chain
+        # (plans/r10/dedup_ppjoin_prefix_before.txt). The prefix table is
+        # the ~20%-of-postings index the PPJoin theorem bounds — small side
+        # by construction.
+        .localCheckpoint(eager=True)
     )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("nt").alias("na"))
@@ -1368,44 +1383,44 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
         ).alias("band", "h"),
     )
-    cand = (
+    # r10 rework: the bucket self-join's match rows already SAY which
+    # coordinates agree — a (pair, band) row exists iff mh_band(a) ==
+    # mh_band(b) — so the per-pair agreement BITMASK (sum of 2^band; each
+    # coordinate matches at most once per pair) is computable in the same
+    # aggregate that used to be `cand.distinct()`. Every config's band_hit
+    # then becomes a bitwise test on the mask, which removes the two
+    # 32-column signature joins the before-plan carried
+    # (plans/r10/dedup_minhash_band_tuning_before.txt) — only the two
+    # shingle-array verify joins remain (guide §2.3: shuffle keys and
+    # metadata, not payloads).
+    pair_mask = (
         buckets.select(F.col("doc_id").alias("doc_a"), "band", "h")
         .join(
             buckets.select(F.col("doc_id").alias("doc_b"), "band", "h"),
             ["band", "h"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.expr("shiftleft(1L, band)")).alias("mask"))
     )
     hits = {}
     for b_cnt, r in _TUNE_CONFIGS:
         band_hit = None
         for band in range(b_cnt):
-            h = None
-            for j in range(r):
-                eq = F.col(f"a{r * band + j}") == F.col(f"b{r * band + j}")
-                h = eq if h is None else (h & eq)
+            band_mask = sum(1 << (r * band + j) for j in range(r))
+            h = (
+                F.col("mask").bitwiseAND(F.lit(band_mask))
+                == F.lit(band_mask)
+            )
             band_hit = h if band_hit is None else (band_hit | h)
         hits[f"b{b_cnt}r{r}"] = band_hit
-    # Size-gated hints (ADVICE r7 item 1): sig (16 ints/doc) and hs_df
-    # (shingle-hash arrays) are O(corpus); broadcast only while the
-    # measured doc count is bounded, else hint-free (AQE plans the
-    # exchange on the doc key). Both counts are cached-metadata reads —
-    # the frames were localCheckpointed above.
+    # Size-gated hints (ADVICE r7 item 1): hs_df (shingle-hash arrays) is
+    # O(corpus); broadcast only while the measured doc count is bounded,
+    # else hint-free (AQE plans the exchange on the doc key). The count is
+    # a cached-metadata read — sig was localCheckpointed above.
     n_docs = sig.count()
     scored = (
-        cand.distinct()
-        .join(_maybe_broadcast(sig_a, n_docs), "doc_a")
-        .join(_maybe_broadcast(sig_b, n_docs), "doc_b")
-        .join(
+        pair_mask.join(
             _maybe_broadcast(
                 hs_df.select(
                     F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")
@@ -1431,20 +1446,48 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5
             ).alias("is_true"),
         )
-        .localCheckpoint(eager=True)  # 3 config aggregates consume it
+        .localCheckpoint(eager=True)  # the single totals aggregate reads it
     )
+    # ONE aggregate pass computes all three configs' counts (the union of
+    # three filtered aggregates scanned the checkpointed scored table three
+    # times); the 1-row totals frame is checkpointed so the 3-row reshape
+    # union does not re-run the aggregate per branch.
+    totals = scored.agg(
+        *[
+            e
+            for cfg in hits
+            for e in (
+                F.sum(F.when(F.col(cfg), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nc_{cfg}"),
+                F.sum(
+                    F.when(F.col(cfg) & F.col("is_true"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"nv_{cfg}"),
+            )
+        ]
+    ).localCheckpoint(eager=True)
     out = None
     for b_cnt, r in _TUNE_CONFIGS:
         cfg = f"b{b_cnt}r{r}"
-        row = scored.filter(F.col(cfg)).agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum(F.col("is_true").cast("int")).cast("long").alias("n_verified"),
-        ).select(
+        # NULL semantics of the old filtered aggregate reproduced exactly:
+        # count(*) over an empty set was 0 (never null) and sum(...) over an
+        # empty set was NULL — a zero-candidate config must emit
+        # (n_candidates=0, n_verified=NULL), as the oracle's sum() does.
+        row = totals.select(
             F.lit(cfg).alias("config"),
             F.lit(b_cnt).cast("int").alias("b"),
             F.lit(r).cast("int").alias("r"),
-            "n_candidates",
-            "n_verified",
+            F.coalesce(F.col(f"nc_{cfg}"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.when(
+                F.coalesce(F.col(f"nc_{cfg}"), F.lit(0).cast("long")) == 0,
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.coalesce(F.col(f"nv_{cfg}"), F.lit(0).cast("long")))
+            .alias("n_verified"),
         )
         out = row if out is None else out.unionAll(row)
     # ppm numerator widened to DECIMAL(38,0) (ADVICE r7 item 5 — the same

@@ -1752,6 +1752,21 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx"),
         F.count(F.lit(1)).over(Window.partitionBy("u")).alias("deg"),
     ).localCheckpoint(eager=True)  # every step joins it
+    # Per-node degree lookup (one row per node, no aggregate: idx==0 picks
+    # exactly one adjacency row per node with deg >= 1). r10 rework of the
+    # step join: the old shape joined the state to the FULL adjacency on
+    # cur == u — emitting deg rows per walker — and only then filtered
+    # pmod(h, deg) == idx down to one. Resolving deg first (dimension-sized
+    # lookup) lets the step compute its target index up front and hit the
+    # adjacency with a fully-equi (u, idx) key: the step join's output AND
+    # its matching work drop from |walkers|·deg to |walkers| rows (guide
+    # §2.3/§3 — shuffle and join fewer rows). The chosen neighbor is
+    # identical: same h, same deg, same idx arithmetic over the same
+    # id-ordered index.
+    degs = adj.filter(F.col("idx") == 0).select(
+        F.col("u").alias("du"), "deg"
+    )
+    adj_ix = adj.select("u", "v", "idx")
     state = pts.select(F.col("id").alias("walker"), F.col("id").alias("cur"))
     visits = []
     for t in range(1, _WALK_STEPS + 1):
@@ -1760,8 +1775,16 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "h",
                 F.xxhash64(F.lit(f"walk:{t}"), F.col("walker"), F.col("cur")),
             )
-            .join(adj, F.col("cur") == F.col("u"))
-            .filter(F.pmod(F.col("h"), F.col("deg")) == F.col("idx"))
+            .join(degs, F.col("cur") == F.col("du"))
+            .select(
+                "walker",
+                "cur",
+                F.pmod(F.col("h"), F.col("deg")).alias("tgt"),
+            )
+            .join(
+                adj_ix,
+                (F.col("cur") == adj_ix["u"]) & (F.col("tgt") == adj_ix["idx"]),
+            )
             .select("walker", F.col("v").alias("cur"))
         )
         state = nxt.localCheckpoint(eager=True)  # next step + visit union

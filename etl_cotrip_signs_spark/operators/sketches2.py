@@ -222,21 +222,30 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("key")
     )
-    keyed = li.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    cells = None
-    probes = None
-    for r in range(CMS_D):
-        c = keyed.groupBy(
-            F.lit(r).alias("r"), _cms_bucket_spark(F.col("key"), r).alias("bucket")
-        ).agg(F.sum("exact_cnt").alias("cell"))
-        p = keyed.select(
-            "key",
-            "exact_cnt",
-            F.lit(r).alias("r"),
-            _cms_bucket_spark(F.col("key"), r).alias("bucket"),
-        )
-        cells = c if cells is None else cells.unionByName(c)
-        probes = p if probes is None else probes.unionByName(p)
+    # keyed (the only data-sized pass: lineitem scan + per-key count) is
+    # eagerly materialized ONCE (r10): the previous 2 x CMS_D union branches
+    # each re-derived it — 8 full lineitem scans + aggregates in the plan
+    # (12 Exchanges, plans/r10/sketch_cms_heavy_hitters_before.txt). The
+    # probe rows for all d sketch rows come from ONE posexplode of the d
+    # bucket ids (pos IS the row index r), and the cells are a re-aggregate
+    # of those probe rows — identical (r, bucket, cell) algebra, one pass.
+    keyed = (
+        li.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    probes = keyed.select(
+        "key",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[_cms_bucket_spark(F.col("key"), r) for r in range(CMS_D)]
+            )
+        ).alias("r", "bucket"),
+    )
+    cells = probes.groupBy("r", "bucket").agg(
+        F.sum("exact_cnt").alias("cell")
+    )
     est = (
         probes.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy("key", "exact_cnt")

@@ -358,56 +358,58 @@ def sketch_iblt_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines apply the same rule)."""
     seeds = [F.lit(f"i{i}") for i in range(3)]
 
-    def cells_of(keys: DataFrame) -> DataFrame:
-        return (
-            keys.select(
-                "k",
-                F.explode(
-                    F.array_distinct(
-                        F.array(
-                            *[
-                                F.pmod(
-                                    F.xxhash64(s, F.col("k")), F.lit(_IBLT_M)
-                                )
-                                for s in seeds
-                            ]
-                        )
-                    )
-                ).alias("cell"),
-            )
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.expr("bit_xor(k)").alias("xsum"),
-                F.expr("bit_xor(xxhash64('chk', k))").alias("hsum"),
-            )
-        )
-
     a_keys = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
     )
-    b_keys = a_keys.filter(
-        ~((F.col("k") < 600) & (F.col("k") % 7 == 3))
+    # r10 one-pass build: the old shape scanned orders twice (replica A and
+    # the derived replica B), built two cell aggregates, and subtracted them
+    # through a full-outer join (3 Exchanges,
+    # plans/r10/sketch_iblt_diff_before.txt). XOR and count subtraction are
+    # both key-local algebra: a key present in BOTH replicas contributes
+    # xa ^ xb = 0 and ca - cb = 0, so the DIFF sketch can be aggregated
+    # directly from one pass over A ∪ B with membership flags —
+    # cnt = sum(in_a - in_b), xsum/hsum = bit_xor over keys where
+    # in_a != in_b (common keys self-cancel; algebraically identical to the
+    # subtracted sketches, cell for cell).
+    keyed = a_keys.select(
+        "k",
+        F.lit(1).alias("in_a"),
+        F.when(
+            (F.col("k") < 600) & (F.col("k") % 7 == 3), F.lit(0)
+        ).otherwise(F.lit(1)).alias("in_b"),
     ).unionByName(
         spark.range(1, 51).select(
-            (F.lit(1000000000000) + 37 * F.col("id")).alias("k")
+            (F.lit(1000000000000) + 37 * F.col("id")).alias("k"),
+            F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"),
         )
     )
-    a = cells_of(a_keys).withColumnsRenamed(
-        {"cnt": "ca", "xsum": "xa", "hsum": "ha"}
-    )
-    b = cells_of(b_keys).withColumnsRenamed(
-        {"cnt": "cb", "xsum": "xb", "hsum": "hb"}
-    )
     cells = (
-        a.join(b, "cell", "full_outer")
-        .select(
-            "cell",
-            (F.coalesce("ca", F.lit(0)) - F.coalesce("cb", F.lit(0))).alias(
-                "cnt"
-            ),
-            F.expr("coalesce(xa, 0L) ^ coalesce(xb, 0L)").alias("xsum"),
-            F.expr("coalesce(ha, 0L) ^ coalesce(hb, 0L)").alias("hsum"),
+        keyed.select(
+            "k",
+            "in_a",
+            "in_b",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.pmod(F.xxhash64(s, F.col("k")), F.lit(_IBLT_M))
+                            for s in seeds
+                        ]
+                    )
+                )
+            ).alias("cell"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("in_a") - F.col("in_b")).alias("cnt"),
+            F.expr(
+                "bit_xor(CASE WHEN in_a != in_b THEN k ELSE 0L END)"
+            ).alias("xsum"),
+            F.expr(
+                "bit_xor(CASE WHEN in_a != in_b"
+                " THEN xxhash64('chk', k) ELSE 0L END)"
+            ).alias("hsum"),
         )
         .localCheckpoint(eager=True)
     )
@@ -785,6 +787,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .select(F.col("event_type").alias("t"), F.col("user_id").alias("uid"))
         .distinct()
+        # materialized once (r10): ev has FOUR consumers (the sketch build
+        # plus the three exact-count honesty branches) and each re-derived
+        # the events scan + distinct shuffle from parquet — 4 full scans in
+        # the before-plan (plans/r10/sketch_kmv_distinct_before.txt). The
+        # distinct (t, uid) table is user-dimension-sized, not event-sized.
+        .localCheckpoint(eager=True)
     )
     hashed = ev.select("t", F.xxhash64(F.lit("kmv"), F.col("uid")).alias("h"))
     from pyspark.sql import Window as _W

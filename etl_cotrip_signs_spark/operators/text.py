@@ -1191,10 +1191,18 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = runs.filter(~F.col("w").isin("the", "a")).select(
         "doc_id", "run", "i", "w"
     )
-    plen = pw.groupBy("doc_id", "run").agg(
-        F.count(F.lit(1)).cast("long").alias("len")
-    )
-    pw2 = pw.join(plen, ["doc_id", "run"]).localCheckpoint(eager=True)
+    # phrase length as a window over (doc_id, run) instead of a groupBy +
+    # join-back (r10): HashPartitioning(doc_id) from the run-segmentation
+    # window already satisfies the (doc_id, run) clustering, so this adds
+    # NO exchange and removes the aggregate + join the before-plan carried
+    # (plans/r10/text_rake_keywords_before.txt) — guide §2.4 (two
+    # operations keyed the same way share one exchange).
+    pw2 = pw.withColumn(
+        "len",
+        F.count(F.lit(1))
+        .over(W.partitionBy("doc_id", "run"))
+        .cast("long"),
+    ).localCheckpoint(eager=True)
     deg = pw2.groupBy("w").agg(F.sum("len").cast("long").alias("deg"))
     scored = (
         pw2.join(F.broadcast(deg), "w")
@@ -1860,7 +1868,13 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("t"),
     ).filter(F.col("t") != "")
-    n_docs = tok.select("doc_id").distinct().count()
+    # n_docs without the explode + distinct + count pass (r10): a document
+    # yields >= 1 token row iff its trimmed text is non-empty (split on ' '
+    # emits '' components only between/around spaces, and array_distinct of
+    # an all-'' array still passes nothing through the t != '' filter only
+    # when trim(text) = ''), so counting docs directly off the base scan is
+    # exactly the old distinct-doc_id count at a fraction of the cost.
+    n_docs = d.filter(F.trim("text") != "").count()
     df_t = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1868,9 +1882,16 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # one materialization feeds 3 joins
     )
     n_vocab = df_t.count()  # cached metadata read post-checkpoint
-    keep = tok.join(
-        _maybe_broadcast_vocab(df_t.select("t"), n_vocab), "t"
-    ).select("doc_id", "t")
+    keep = (
+        tok.join(_maybe_broadcast_vocab(df_t.select("t"), n_vocab), "t")
+        .select("doc_id", "t")
+        # materialized once (r10): both sides of the per-doc pair self-join
+        # consume keep; without the checkpoint each side re-ran the corpus
+        # explode + vocab join (plans/r10/text_pmi_cooccurrence_before.txt).
+        # The frequent-vocab restriction bounds it well below the raw token
+        # table.
+        .localCheckpoint(eager=True)
+    )
     co = (
         keep.select("doc_id", F.col("t").alias("t1"))
         .join(
