@@ -1400,6 +1400,16 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
+    # Convergence detector (r10): distances are monotone — a node's dist
+    # never increases (min over a union that includes the old value) and
+    # nodes are only ever added — so the table is unchanged iff its
+    # (row count, total dist) pair is unchanged: any strict relaxation
+    # lowers the sum, any newly reached node raises the count. Tracking
+    # that pair costs ONE combinable aggregate over the just-checkpointed
+    # table per round, replacing the old per-round self-JOIN change count
+    # (two shuffles + a join per round, ~25 rounds at sf0.01 — the
+    # dominant fixed overhead of the loop, guide §1.2 step 1).
+    sig_prev = None
     for _round in range(128):
         relax = dist.join(sym, dist.node == sym.s).select(
             F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
@@ -1411,17 +1421,18 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "node", "left")
-            .filter(
-                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-            )
-            .count()
-        )
+        sig_row = new_dist.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) so the monotone-sum detector can never wrap at
+            # scale (a wrap that lands exactly on the previous sum would
+            # false-converge)
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("total"),
+        ).first()
+        sig = (sig_row["n"], sig_row["total"])
         dist = new_dist
-        if improved == 0:
+        if sig == sig_prev:
             break
+        sig_prev = sig
     else:  # pragma: no cover - stall guard
         raise RuntimeError("Bellman-Ford failed to converge in 128 rounds")
     return dist.select(F.col("node").alias("id"), F.col("dist").cast("long").alias("dist_d2"))
@@ -1752,21 +1763,15 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx"),
         F.count(F.lit(1)).over(Window.partitionBy("u")).alias("deg"),
     ).localCheckpoint(eager=True)  # every step joins it
-    # Per-node degree lookup (one row per node, no aggregate: idx==0 picks
-    # exactly one adjacency row per node with deg >= 1). r10 rework of the
-    # step join: the old shape joined the state to the FULL adjacency on
-    # cur == u — emitting deg rows per walker — and only then filtered
-    # pmod(h, deg) == idx down to one. Resolving deg first (dimension-sized
-    # lookup) lets the step compute its target index up front and hit the
-    # adjacency with a fully-equi (u, idx) key: the step join's output AND
-    # its matching work drop from |walkers|·deg to |walkers| rows (guide
-    # §2.3/§3 — shuffle and join fewer rows). The chosen neighbor is
-    # identical: same h, same deg, same idx arithmetic over the same
-    # id-ordered index.
-    degs = adj.filter(F.col("idx") == 0).select(
-        F.col("u").alias("du"), "deg"
-    )
-    adj_ix = adj.select("u", "v", "idx")
+    # r10 NOTE (tried and reverted, kept for the record): resolving deg via
+    # a per-node lookup first and equi-joining the adjacency on (u, idx) —
+    # so each step emits one row per walker instead of deg rows — measured
+    # SLOWER solo at sf0.1 (normalized median 2.46 vs 1.77 over 5 fresh
+    # A/B sessions): the extra join per step (x4 steps, each a separate
+    # eager-checkpoint job) costs more than the fan-out it saves on this
+    # graph's small average degree. The fan-out-then-filter shape stays; at
+    # a degree regime where it loses, the two-join form is the documented
+    # alternative.
     state = pts.select(F.col("id").alias("walker"), F.col("id").alias("cur"))
     visits = []
     for t in range(1, _WALK_STEPS + 1):
@@ -1775,16 +1780,8 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "h",
                 F.xxhash64(F.lit(f"walk:{t}"), F.col("walker"), F.col("cur")),
             )
-            .join(degs, F.col("cur") == F.col("du"))
-            .select(
-                "walker",
-                "cur",
-                F.pmod(F.col("h"), F.col("deg")).alias("tgt"),
-            )
-            .join(
-                adj_ix,
-                (F.col("cur") == adj_ix["u"]) & (F.col("tgt") == adj_ix["idx"]),
-            )
+            .join(adj, F.col("cur") == F.col("u"))
+            .filter(F.pmod(F.col("h"), F.col("deg")) == F.col("idx"))
             .select("walker", F.col("v").alias("cur"))
         )
         state = nxt.localCheckpoint(eager=True)  # next step + visit union
