@@ -497,11 +497,24 @@ def kcore_nodes(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    core = _kcore_peel_sym(sym, k)
+    return core.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("s").alias("node"), F.col("deg").alias("core_degree")
+    )
+
+
+def _kcore_peel_sym(sym: DataFrame, k: int) -> DataFrame:
+    """Peel an already-symmetric, already-checkpointed edge list to its
+    k-core fixpoint; returns the surviving symmetric edge list. Split out
+    (r10) so ladder callers can exploit core NESTING: the k-core is a
+    subgraph of every j-core with j < k, so peeling for k inside the
+    (k-2)-core reaches the identical fixpoint without re-shedding the
+    low-degree mass the previous rung already removed."""
     while True:
         deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         weak = deg.filter(F.col("deg") < k).select("s").localCheckpoint(eager=True)
         if weak.isEmpty():
-            return deg.select(F.col("s").alias("node"), F.col("deg").alias("core_degree"))
+            return sym
         sym = (
             sym.join(F.broadcast(weak), ["s"], "left_anti")
             .join(
@@ -608,14 +621,32 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuzzy_join_del1(spark, sf_dir)
         .localCheckpoint(eager=True)  # every k's peeling descends from it
     )
+    # r10: the profile ladder exploits core NESTING — each rung peels the
+    # PREVIOUS rung's surviving edge list instead of the full graph (the
+    # (k+2)-core of G equals the (k+2)-core of G's k-core, because cores
+    # are the maximal min-degree subgraphs and nest by definition). The
+    # old ladder re-shed the same low-degree mass at every k.
+    sym = (
+        pairs.select(F.col("name_a").alias("s"), F.col("name_b").alias("d"))
+        .union(
+            pairs.select(F.col("name_b").alias("s"), F.col("name_a").alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     out: list[tuple[int, int, int]] = []
     k = 2
     while True:
-        core = kcore_nodes(pairs, k=k, src_col="name_a", dst_col="name_b")
-        stats = core.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.max("core_degree"), F.lit(0)).alias("max_deg"),
-        ).first()
+        sym = _kcore_peel_sym(sym, k)
+        stats = (
+            sym.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max("core_degree"), F.lit(0)).alias("max_deg"),
+            )
+            .first()
+        )
         n = int(stats["n"])
         out.append((k, n, int(stats["max_deg"])))
         if n == 0 or k > 256:  # max-degree bound; 256 = runaway guard
@@ -2212,7 +2243,16 @@ def graph_densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .localCheckpoint(eager=True)
         )
-        nv, ne = deg.count(), edges.count()
+        # One aggregate job yields BOTH loop scalars (r10): every edge
+        # contributes exactly two degree units, so ne == sum(deg) / 2 — the
+        # separate edges.count() job per round (plus the deg.count() job)
+        # collapses into a single combinable pass over the checkpointed
+        # degree table. Same integers, one job fewer per round.
+        sig = deg.agg(
+            F.count(F.lit(1)).alias("nv"), F.sum("deg").alias("sum_deg")
+        ).first()
+        nv = int(sig["nv"])
+        ne = int(sig["sum_deg"]) // 2 if sig["sum_deg"] is not None else 0
         if nv == 0:
             converged = True
             break
