@@ -215,14 +215,16 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             for i in range(_MINHASH_K)
         ],
     )
-    # The band table is ALSO eagerly materialized (r10, guide §8): it is the
-    # lightweight decision proxy (doc_id, band_id, band_hash — ~20 bytes x
-    # _BANDS per doc) consumed by BOTH sides of the band self-join, and
-    # Catalyst does not CSE across a self-join — without this checkpoint the
-    # 32 array_min(transform(hs, ...)) signature projections (the dominant
-    # per-doc compute: k hashes of every shingle) appeared twice in the
-    # physical plan, once under the probe side and once under the
-    # BroadcastExchange (plans/r10/dedup_minhash_docs_before.txt nodes 3+8).
+    # r10 NOTE (tried and reverted, kept for the record): eagerly
+    # checkpointing `bands` removes the duplicated 32-transform signature
+    # projection (it appears on BOTH sides of the self-join below — nodes
+    # 3+8 of plans/r10/dedup_minhash_docs_before.txt) but measured FLAT at
+    # sf0.1 solo and 1.31 -> 2.99 normalized on the 10x density probe: the
+    # materialized band table loses the inline plan's statistics, the band
+    # self-join degrades from broadcast to a shuffle strategy, and the
+    # serialization costs more than the duplicate (fully parallel) sig
+    # compute. On a cluster where the duplicate compute is the binding cost
+    # the checkpoint is the right call; locally it is not.
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -238,7 +240,7 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_hash"),
-    ).localCheckpoint(eager=True)
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     pairs = (
@@ -1172,13 +1174,17 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= F.col("nt") - F.expr("(8 * nt + 9) div 10") + 1)
         .select("doc_id", "s", "nt")
-        # materialized once (r10): both sides of the candidate self-join
-        # consume it, and without the checkpoint each side re-ran the whole
-        # explode + df-aggregate + posting join + rank window chain
-        # (plans/r10/dedup_ppjoin_prefix_before.txt). The prefix table is
-        # the ~20%-of-postings index the PPJoin theorem bounds — small side
-        # by construction.
-        .localCheckpoint(eager=True)
+        # r10 NOTE (tried and reverted): eagerly checkpointing `prefix` so
+        # the candidate self-join below computes the explode + df-aggregate
+        # + rank-window chain once (it appears on both sides of the
+        # before-plan) measured 2.48 -> 4.05 s in-bench at sf0.1 and
+        # 0.80 -> 3.63 normalized on the 10x density probe: the
+        # materialized table loses the inline plan's statistics, the
+        # candidate join degrades from broadcast to a shuffle strategy, and
+        # locally the duplicate chains run concurrently on idle cores so
+        # deduplicating them buys no wall. Keep the inline form; on a
+        # saturated cluster the materialized prefix index is worth
+        # re-evaluating.
     )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("nt").alias("na"))
