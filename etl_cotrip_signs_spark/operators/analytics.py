@@ -1343,9 +1343,20 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i1", "i2")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
     )
+    # Mirror each pair via ONE explode instead of a self-union: the union's
+    # two branches each re-derived the whole fui self-join + co aggregate
+    # (Catalyst does not CSE across union branches — the r10/r11 before-plans
+    # carried TWO SortMergeJoin+HashAggregate subtrees for `co`). The explode
+    # keeps a single derivation in a linear plan (guide §2.4).
     both = co.select(
-        F.col("i1").alias("ia"), F.col("i2").alias("ib"), "co"
-    ).unionAll(co.select(F.col("i2").alias("ia"), F.col("i1").alias("ib"), "co"))
+        F.explode(
+            F.array(
+                F.struct(F.col("i1").alias("ia"), F.col("i2").alias("ib")),
+                F.struct(F.col("i2").alias("ia"), F.col("i1").alias("ib")),
+            )
+        ).alias("p"),
+        "co",
+    ).select("p.ia", "p.ib", "co")
     scored = (
         both.join(
             F.broadcast(freq.select(F.col("i").alias("ia"), F.col("d").alias("deg_a"))),

@@ -1452,10 +1452,14 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5
             ).alias("is_true"),
         )
-        .localCheckpoint(eager=True)  # the single totals aggregate reads it
+        # r11: no checkpoint here — `totals` below is scored's ONLY
+        # consumer now (the r10 bitmask rework removed the other two), so
+        # materializing the pair-space table bought nothing and cost one
+        # extra write+read of the largest intermediate. The aggregate
+        # pipelines straight off the verify join in one job.
     )
     # ONE aggregate pass computes all three configs' counts (the union of
-    # three filtered aggregates scanned the checkpointed scored table three
+    # three filtered aggregates scanned the scored table three
     # times); the 1-row totals frame is checkpointed so the 3-row reshape
     # union does not re-run the aggregate per branch.
     totals = scored.agg(

@@ -66,28 +66,38 @@ def connected_components(
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = labels_init.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.s == labels.node)
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
+        # One aggregate per round (r11, guide §2.4): min over {own label} ∪
+        # {s-neighbors' labels} — algebraically identical to the old
+        # two-join form (join + groupBy-min + left-join + least), but each
+        # round is a single union + groupBy instead of two joins, dropping
+        # one join and one exchange per round. The self row is tagged so the
+        # SAME aggregate carries the previous label out (exactly one own=1
+        # row per node), making the convergence check a cheap filter-count
+        # over the checkpointed output with no join back to the old labels.
+        # Edge endpoints must be ⊆ nodes (all callers build the node list
+        # from the edge list or a superset); the old left-join form silently
+        # dropped unknown endpoints, the union form would add them.
+        self_rows = labels.select(
+            "node", "component", F.lit(1).alias("own")
+        )
+        propagated = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"), F.col("component"), F.lit(0).alias("own")
         )
         proposed = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                "component",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("new_component"),
+            propagated.unionAll(self_rows)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(
+                    F.when(F.col("own") == 1, F.col("component"))
+                ).alias("prev_component"),
             )
             .localCheckpoint(eager=True)
         )
         changed = proposed.filter(
-            F.col("new_component") != F.col("component")
+            F.col("component") != F.col("prev_component")
         ).count()
-        labels = proposed.select(
-            "node", F.col("new_component").alias("component")
-        )
+        labels = proposed.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -1803,25 +1813,47 @@ def graph_random_walk_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph's small average degree. The fan-out-then-filter shape stays; at
     # a degree regime where it loses, the two-join form is the documented
     # alternative.
+    # r11 (guide §2.4 / VERDICT r10 item 4): the four per-step eager
+    # checkpoints existed because step t's state fed TWO consumers (step
+    # t+1 and the visit union) — without them the union's four branches
+    # would recompute 1+2+3+4 = 10 step joins. Carrying the visit history
+    # as one column per step turns the walk into a single LINEAR plan:
+    # four chained (join + filter) steps over the one checkpointed
+    # adjacency, then one explode + count. 4 checkpoint jobs + a 4-branch
+    # union job collapse into ONE job; each step's join+filter pipelines
+    # inside the same stage (the |walkers|·deg fan-out is never
+    # materialized). Only step 1 can drop walkers (isolated start nodes);
+    # every later cur is an edge endpoint of the symmetric graph, so deg
+    # >= 1 and the inner joins after step 1 are row-preserving — the
+    # exploded (c1..cT) multiset is exactly the old per-step visit union.
     state = pts.select(F.col("id").alias("walker"), F.col("id").alias("cur"))
-    visits = []
     for t in range(1, _WALK_STEPS + 1):
-        nxt = (
-            state.withColumn(
-                "h",
-                F.xxhash64(F.lit(f"walk:{t}"), F.col("walker"), F.col("cur")),
-            )
-            .join(adj, F.col("cur") == F.col("u"))
-            .filter(F.pmod(F.col("h"), F.col("deg")) == F.col("idx"))
-            .select("walker", F.col("v").alias("cur"))
+        a = adj.select(
+            F.col("u").alias(f"_u{t}"),
+            F.col("v").alias(f"_v{t}"),
+            F.col("idx").alias(f"_idx{t}"),
+            F.col("deg").alias(f"_deg{t}"),
         )
-        state = nxt.localCheckpoint(eager=True)  # next step + visit union
-        visits.append(state.select("cur"))
-    out = visits[0]
-    for vdf in visits[1:]:
-        out = out.unionAll(vdf)
-    return out.groupBy(F.col("cur").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_visits")
+        h = F.xxhash64(F.lit(f"walk:{t}"), F.col("walker"), F.col("cur"))
+        state = (
+            state.withColumn("h", h)
+            .join(a, F.col("cur") == F.col(f"_u{t}"))
+            .filter(F.pmod(F.col("h"), F.col(f"_deg{t}")) == F.col(f"_idx{t}"))
+            .select(
+                "walker",
+                *[F.col(f"c{s}") for s in range(1, t)],
+                F.col(f"_v{t}").alias(f"c{t}"),
+            )
+            .withColumn("cur", F.col(f"c{t}"))
+        )
+    return (
+        state.select(
+            F.explode(
+                F.array(*[F.col(f"c{t}") for t in range(1, _WALK_STEPS + 1)])
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_visits"))
     )
 
 

@@ -990,35 +990,43 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w", F.expr(_BOOT_W.format(u=_BOOT_U.format(h="h"))))
     )
+    # r11 (guide §2.4): the old shape derived the per-user/replicate chain
+    # THREE times — `point` re-aggregated `per`, and `lo`/`hi` each
+    # re-derived the full explode + replicate aggregate behind separate
+    # cross-joined branches (the r11 before-plan carries three events
+    # scans and two identical Generate subtrees). Every replicate group
+    # sees every user exactly once, so the point stats (n_users, sx) ride
+    # the SAME per-replicate aggregate for free, and both order statistics
+    # come out of one conditional aggregate over the 64 ranked rows: one
+    # scan, one derivation, no cross joins.
     sums = w.groupBy("b").agg(
         F.sum(F.col("w") * F.col("x")).cast("long").alias("num"),
         F.sum("w").cast("long").alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx"),
     )
     ranked = sums.selectExpr(
         "num",
         "den",
+        "n_users",
+        "sx",
         "row_number() OVER (ORDER BY CASE WHEN den = 0 THEN 0"
         " ELSE CAST(num AS DOUBLE) / den END, b) AS rn",
     )
-    point = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("x").cast("long").alias("sx"),
-    )
-    lo = ranked.filter(F.col("rn") == 4).selectExpr(
-        "num DIV den AS lo_mean_milli"
-    )
-    hi = ranked.filter(F.col("rn") == _BOOT_B - 3).selectExpr(
-        "num DIV den AS hi_mean_milli"
-    )
-    return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .selectExpr(
-            "n_users",
-            "sx DIV n_users AS point_mean_milli",
-            "lo_mean_milli",
-            "hi_mean_milli",
-        )
+    return ranked.agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.max("sx").cast("long").alias("sx"),
+        F.max(F.when(F.col("rn") == 4, F.expr("num DIV den")))
+        .cast("long")
+        .alias("lo_mean_milli"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 3, F.expr("num DIV den")))
+        .cast("long")
+        .alias("hi_mean_milli"),
+    ).selectExpr(
+        "n_users",
+        "sx DIV n_users AS point_mean_milli",
+        "lo_mean_milli",
+        "hi_mean_milli",
     )
 
 
