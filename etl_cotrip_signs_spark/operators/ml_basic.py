@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
+from ..functions.vectors import lit_long_array
 from ..registry import query
 
 # Fixed bucket width in cents ($655.36): data-independent, so the split
@@ -249,10 +250,7 @@ def kmeans_maximin_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for r in range(1, _MAXIMIN_K):
         chosen_lit = F.array(
-            *[
-                F.array(*[F.lit(int(x)).cast("long") for x in vec])
-                for _, vec, _ in chosen
-            ]
+            *[lit_long_array(vec) for _, vec, _ in chosen]
         )
         dmin = F.array_min(
             F.transform(

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
-from ..functions.vectors import cosine, sq_norm, to_double
+from ..functions.vectors import cosine, lit_double_array, lit_long_array, sq_norm, to_double
 from ..functions.xxh64_sql import XXH64_MACROS, chain_seed
 from ..io import load_table
 from ..registry import query
@@ -632,7 +632,7 @@ def kmeans_assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFr
         *[
             F.struct(
                 F.lit(int(ci)).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+                lit_double_array(vec).alias("centroid"),
             )
             for ci, vec in cents
         ]
@@ -854,7 +854,7 @@ def _pq_cents_lit(cents: dict[tuple[int, int], list[float]]):
         *[
             F.array(
                 *[
-                    F.array(*[F.lit(float(x)) for x in cents[(s, c)]])
+                    lit_double_array(cents[(s, c)])
                     for c in range(_PQ_KS)
                 ]
             )
@@ -1362,9 +1362,7 @@ def _kmeans_assign_exact(
         *[
             F.struct(
                 F.lit(int(ci)).alias("cluster"),
-                F.array(*[F.lit(int(x)).cast("long") for x in vec]).alias(
-                    "centroid"
-                ),
+                lit_long_array(vec).alias("centroid"),
             )
             for ci, vec in cents
         ]

@@ -989,9 +989,17 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in build["bits"]:
         b = int(b)
         words[b >> 6] |= 1 << (b & 63)
-    # signed-long literal array (Spark longs are signed; bit 63 wraps)
+    # signed-long literal array (Spark longs are signed; bit 63 wraps).
+    # r11: ONE parsed array literal instead of 1024 F.lit(...).cast(...)
+    # Column objects — the per-element py4j construction measured ~3 s of
+    # pure driver time per invocation (guide §5: the driver should do
+    # almost no work; here it was 2048+ py4j round trips), while parsing
+    # one ~8 KB expression string is milliseconds. Same expression tree
+    # after analysis.
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+    bitmap = F.expr(
+        "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),

@@ -1874,6 +1874,11 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an all-'' array still passes nothing through the t != '' filter only
     # when trim(text) = ''), so counting docs directly off the base scan is
     # exactly the old distinct-doc_id count at a fraction of the cost.
+    # ADVICE r10: this additionally assumes doc_id is UNIQUE in documents
+    # (it is the table's key — enforced by the fixture generator and by
+    # every dedup oracle joining documents on doc_id); under duplicated
+    # doc_ids the old countDistinct(doc_id) and this row count would
+    # diverge.
     n_docs = d.filter(F.trim("text") != "").count()
     df_t = (
         tok.groupBy("t")

@@ -1545,20 +1545,25 @@ def events_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("v_milli").cast("long").alias("v"))
     )
+    # r11 (guide §2.4): the totals used to be a SECOND derivation of
+    # `daily` (scan + aggregate) cross-joined back in — the before-plan
+    # carried two events scans. The full-frame window rides the same
+    # single sort as the prefix window (both order by day over the
+    # calendar-bounded daily table), so (s, n) cost no extra exchange,
+    # scan, or join.
     w = Window.orderBy("day")
+    wfull = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     pref = daily.select(
         "day",
         F.sum("v").over(w).cast("long").alias("s1"),
         F.row_number().over(w).cast("long").alias("n1"),
+        F.sum("v").over(wfull).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wfull).cast("long").alias("n"),
     )
-    tot = daily.agg(
-        F.sum("v").cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    scored = (
-        pref.crossJoin(F.broadcast(tot))
-        .filter(F.col("n1") < F.col("n"))
-        .selectExpr("day", "s1", "n1", "s", "n", f"{_CHG_J} AS j")
+    scored = pref.filter(F.col("n1") < F.col("n")).selectExpr(
+        "day", "s1", "n1", "s", "n", f"{_CHG_J} AS j"
     )
     best = scored.select(
         "*",

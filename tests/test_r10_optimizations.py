@@ -81,10 +81,24 @@ def test_minhash_band_join_stays_broadcast(spark):
     join degrades to a shuffle strategy (2.3x slower on the 10x density
     probe). Any re-materialization that reintroduces that shift fails
     here before it reaches a bench."""
+    import re
+
     df = registry.QUERIES["dedup_minhash_docs"](spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # ADVICE r10: scope the assertion to the band self-join subtree (the
+    # only join keyed on band_hash) instead of a global SMJ ban — an
+    # unrelated join legitimately planning as SMJ at another scale or AQE
+    # setting must not fail this pin.
+    band_joins = [
+        b
+        for b in re.split(r"\n\(\d+\) ", plan)
+        if "Join" in b.split("\n", 1)[0] and "band_hash" in b
+    ]
+    assert band_joins, plan  # the band join must exist
+    for b in band_joins:
+        head = b.split("\n", 1)[0]
+        assert head.startswith("BroadcastHashJoin"), b
 
 
 def test_densest_peel_edge_count_identity(spark):
