@@ -185,46 +185,86 @@ DRIVER_ORDER: list[str] = [
     "dedup_components_ngram",         # perf-watch rep: STATUS target (green r2-r6)
     "knn_lsh_ann",                    # perf-watch rep: STATUS target (rows-only by nature)
     "stream_tumbling_events",         # perf-watch rep: streaming (green r2-r6)
-    "sketch_cms_width_sweep",        # r10 in, r9 wave 46: CMS width error sweep
-    "privacy_randomized_response",   # r10 in, r9 wave 46: Warner local DP
-    "stat_grubbs_outlier",           # r10 in, r9 wave 46: Grubbs max-deviation test
-    "sample_balanced_class",         # r10 in, r9 wave 46: class-balanced sample
-    "text_pmi_cooccurrence",         # r10 in, r9 wave 47: PMI collocations
-    "text_chunk_boilerplate",        # r10 in, r9 wave 47: chunk dup profile + the r9-ADVICE short-doc guard
-    "trend_seasonal_mann_kendall",   # r10 in, r9 wave 47: seasonal MK trend
-    "dq_schema_drift_report",        # r10 in, r9 wave 47: parquet-footer drift
-    "multimodal_audio_frames",       # r10 in, r9 wave 48: audio frame features
-    "multimodal_image_tiles_pool",   # r10 in, r9 wave 48: image tile pooling
-    "feature_count_vectorizer_df",   # r10 in, r9 wave 48: count vectorizer
-    "events_entropy_rate_markov",    # r10 in, r9 wave 48: Markov entropy rate
-    "graph_densest_subgraph_peel",   # r10 in, r9 wave 48: Charikar density peel
-    "sketch_ams_f2",                 # r10 in, r9 wave 49: AMS F2 sketch
-    "stat_kendall_tau_b",            # r10 in, r9 wave 49: Kendall tau-b
-    "stat_theil_u",                  # r10 in, r9 wave 49: Theil's U
-    "window_exponential_decay_sum",  # r10 in, r9 wave 49: exp-decay engagement
-    "stream_cms_sketch",             # r10 in, r9 wave 49: streaming CMS + the r9-ADVICE interpolated oracle
-    "stat_mcnemar_test",             # r10 in, r9 wave 50: McNemar paired test
-    "stat_runs_test",                # r10 in, r9 wave 50: Wald-Wolfowitz runs
-    "text_hapax_ratio",              # r10 in, r9 wave 50: hapax/TTR profile
-    "agg_median_of_means",           # r10 in, r9 wave 50: MoM robust estimator
-    "graph_modularity_score",        # r10 in, r9 wave 51: Newman modularity
-    "stat_cohens_kappa",             # r10 in, r9 wave 51: Cohen's kappa
-    "orders_hill_tail_index",        # r10 in, r9 wave 51: Hill tail index
-    "signs_http_sink_roundtrip",     # r10 in, long tail: Part A A6 batch HTTP sink
-    "signs_pipeline_observed_counts",# r10 in, long tail: Part A A9 observability
-    "partition_overwrite_dynamic",   # r10 in, long tail: dynamic partition overwrite
-    "dq_benford_digits",             # r10 in, long tail: Benford first-digit DQ
-    "text_bpe_token_count",          # r10 in, long tail: BPE-ish token counting
-    "feature_target_encoding_loo",   # r10 in, long tail: leave-one-out target encoding
-    "graph_sssp_weighted",           # r10 in, long tail: weighted SSSP frontier
-    "stream_incremental_dedup",      # r10 in, long tail: streaming incremental dedup
-    "arrow_grouped_norm_ppm",        # r10 in, long tail: Arrow grouped-map UDF
-    "isotonic_regression_daily",     # r10 in, long tail: PAVA isotonic fit
-    "udtf_analyze_dynamic_schema",   # r10 in, long tail: dynamic-schema UDTF
+    # ROTATION (round 11, VERDICT r10 task 1): 36 slots rotate to the
+    # round-10/11 OPTIMIZATION-TOUCHED queries (every operator whose plan
+    # changed in the two optimization rounds gets an at-HEAD driver row —
+    # graph_kcore first, closing the r10 evidence gap), the five wave-57/58
+    # operators registered after the r10 rotation, and five wave-52..55
+    # never-driver-checked stats. The same 14 area/perf reps keep green
+    # history above.
+    "graph_kcore",  # r11 in, r10-touched: nested k-core ladder (VERDICT r10 item 1 — the weak component, first at-HEAD driver row)
+    "graph_sssp_weighted",  # r11 keep: r10 convergence-detector rework under continued watch
+    "graph_densest_subgraph_peel",  # r11 keep: r10 folded peel-loop aggregate under continued watch
+    "sketch_cms_heavy_hitters",  # r11 in, r10-touched: checkpointed keyed + one-posexplode probes
+    "recsys_item_item_cosine",  # r11 in, r10+r11-touched: checkpoints + explode pair mirror
+    "sketch_kmv_distinct",  # r11 in, r10-touched: checkpointed ev
+    "sketch_iblt_diff",  # r11 in, r10-touched: one-scan membership-flag build
+    "text_rake_keywords",  # r11 in, r10-touched: window phrase length
+    "text_pmi_cooccurrence",  # r11 keep: r10 n_docs shortcut + keep checkpoint under continued watch
+    "dedup_minhash_band_tuning",  # r11 in, r10+r11-touched: bitmask rework + scored-checkpoint drop
+    "dedup_minhash_docs",  # r11 in, r11-touched: bands checkpoint + size-gated broadcast hint
+    "dedup_ppjoin_prefix",  # r11 in, r11-touched: prefix checkpoint + size-gated broadcast hint
+    "dedup_minhash_recall",  # r11 in, composes the r11-touched minhash candidate chain
+    "graph_random_walk_xxh",  # r11 in, r11-touched: fused 4-join walk chain
+    "stat_bootstrap_ci",  # r11 in, r11-touched: one-scan replicate chain
+    "events_changepoint_argmax",  # r11 in, r11-touched: full-frame-window totals
+    "join_bloom_pruned",  # r11 in, r11-touched: one-parse bitmap literal
+    "dedup_survivors_quality",  # r11 in, consumes the r11 one-aggregate CC rounds
+    "split_group_preserving",  # r11 in, consumes the r11 one-aggregate CC rounds
+    "entity_resolution_names",  # r11 in, consumes the r11 one-aggregate CC rounds (string labels)
+    "kmeans_maximin_init",  # r11 in, r11-touched: one-parse codebook literals
+    "kmeans_lloyd_exact",  # r11 in, r11-touched: one-parse codebook literals
+    "kmeans_lloyd_embeddings",  # r11 in, r11-touched: one-parse codebook literals (decision-hash oracle)
+    "knn_pq_recall",  # r11 in, r11-touched: one-parse PQ codebook literals
+    "knn_opq_recall",  # r11 in, r11-touched: one-parse OPQ codebook literals
+    "knn_ivfpq_recall",  # r11 in, r11-touched: one-parse IVF-PQ codebook literals
+    "layout_bloomfilter_pruning",  # r11 in, r10 wave 57: never driver-checked
+    "trend_motif_daily",  # r11 in, r10 wave 57: never driver-checked
+    "stat_page_trend",  # r11 in, r10 wave 57: never driver-checked
+    "events_fano_factor",  # r11 in, r10 wave 58: never driver-checked
+    "text_term_burstiness",  # r11 in, r10 wave 58: never driver-checked
+    "stat_cramers_v",  # r11 in, r10 wave 52: never driver-checked
+    "stat_mutual_information",  # r11 in, r10 wave 53: never driver-checked
+    "trend_pacf_daily",  # r11 in, r10 wave 54: never driver-checked
+    "layout_zonemap_pruning",  # r11 in, r10 wave 55: never driver-checked
+    "stat_fisher_exact",  # r11 in, r10 wave 55: never driver-checked
+    # -- r11 rotation out (the r10-slot greens not re-staged; all pass r10) --
+    "sketch_cms_width_sweep",
+    "privacy_randomized_response",
+    "stat_grubbs_outlier",
+    "sample_balanced_class",
+    "text_chunk_boilerplate",
+    "trend_seasonal_mann_kendall",
+    "dq_schema_drift_report",
+    "multimodal_audio_frames",
+    "multimodal_image_tiles_pool",
+    "feature_count_vectorizer_df",
+    "events_entropy_rate_markov",
+    "sketch_ams_f2",
+    "stat_kendall_tau_b",
+    "stat_theil_u",
+    "window_exponential_decay_sum",
+    "stream_cms_sketch",
+    "stat_mcnemar_test",
+    "stat_runs_test",
+    "text_hapax_ratio",
+    "agg_median_of_means",
+    "graph_modularity_score",
+    "stat_cohens_kappa",
+    "orders_hill_tail_index",
+    "signs_http_sink_roundtrip",
+    "signs_pipeline_observed_counts",
+    "partition_overwrite_dynamic",
+    "dq_benford_digits",
+    "text_bpe_token_count",
+    "feature_target_encoding_loo",
+    "stream_incremental_dedup",
+    "arrow_grouped_norm_ppm",
+    "isotonic_regression_daily",
+    "udtf_analyze_dynamic_schema",
     # -- r10 rotation out (the 36 r9-slot greens; all pass r9) --
     "stat_benjamini_hochberg",    # r9 in, r8 wave 41: BH step-up FDR
     "text_bm25_topk",             # r9 in, r8 wave 41: Okapi BM25 retrieval
-    "join_bloom_pruned",          # r9 in, r8 wave 41: bloom-pruned join + the r9 one-pass build fold
     "events_hurst_rs",            # r9 in, r8 wave 41: rescaled-range Hurst
     "sample_stratified_neyman",   # r9 in, r8 wave 41: Neyman allocation
     "table_vacuum_plan",          # r9 in, r8 wave 41: VACUUM retention dry run
@@ -246,7 +286,6 @@ DRIVER_ORDER: list[str] = [
     "xml_scan_roundtrip",         # r9 in, long tail: Spark 4 native XML source
     "sql_udf_money_pipeline",     # r9 in, long tail: SQL-defined functions
     "graph_pagerank_exact",       # r9 in, long tail: integer power iteration
-    "kmeans_lloyd_exact",         # r9 in, long tail: integer Lloyd's iterations
     "privacy_k_anonymity",        # r9 in, long tail: k-anon/l-diversity gate
     "entity_blocking_soundex",    # r9 in, long tail: phonetic blocking
     "join_asof_directions",       # r9 in, long tail: as-of join family
@@ -256,23 +295,19 @@ DRIVER_ORDER: list[str] = [
     "skyline_price_size",         # r9 in, long tail: 2D Pareto frontier
     "ivm_agg_delta",              # r9 in, long tail: incremental view maintenance
     "events_markov_stationary",   # r9 in, long tail: stationary distribution
-    "text_rake_keywords",         # r9 in, long tail: RAKE keyword scoring
     "dq_constraint_report",       # r9 in, long tail: declarative DQ gate
     # -- r9 rotation out (the 36 r8-slot greens; all pass r8) --
     "sample_reservoir_hash",
     "embedding_jl_projection",
     "stat_levene_bf",
-    "sketch_kmv_distinct",
     "ml_naive_bayes_events",
     "privacy_dp_laplace_counts",
     "table_clone_shallow",
     "events_acf_multi_lag",
-    "dedup_minhash_band_tuning",
     "agg_listagg_ordered",
     "stat_friedman_test",
     "multimodal_shard_pack",
     "stream_stream_left_join",
-    "dedup_minhash_recall",
     "signs_capabilities_matrix",
     "signs_config_validation",
     "q4_order_priority",
@@ -299,7 +334,6 @@ DRIVER_ORDER: list[str] = [
     "table_time_travel",              # r7 in, r6 wave: manifest snapshot reads + the r6-ADVICE oracle fix
     "deletion_vector_read",           # r7 in, r6 wave: positional DV suppression
     "partition_evolution_read",       # r7 in, r6 wave: mixed-spec partition read
-    "stat_bootstrap_ci",              # r7 in, r6 wave: Poisson-bootstrap CI
     "layout_packing_plan",            # r7 in, r6 wave: compaction bin packing
     "layout_encoding_audit",          # r7 in, r6 wave: run-length physical audit
     "reshape_pivot_unpivot",          # r7 in, r6 wave: PIVOT/UNPIVOT round trip
@@ -310,7 +344,6 @@ DRIVER_ORDER: list[str] = [
     "mix_temperature_sampling",       # r7 in, r6 wave: temperature corpus mixing
     "graph_degree_assortativity",     # r7 in, r6 wave: Newman assortativity
     "window_topk_with_ties",          # r7 in, r6 wave: rank-based WITH TIES
-    "events_changepoint_argmax",      # r7 in, r6 wave: CUSUM argmax changepoint
     "text_langid_confusion",          # r7 in, r6 wave: classifier confusion matrix
     "events_type_entropy",            # r7 in, r6 wave: entropy/perplexity
     "drift_wasserstein_exact",        # r7 in, r6 wave: exact W1 drift
@@ -352,13 +385,11 @@ DRIVER_ORDER: list[str] = [
     "graph_sssp_frontier",
     "graph_lpa_communities",
     "graph_clustering_coefficient",
-    "recsys_item_item_cosine",
     "stream_sliding_events",
     "stream_static_join",
     "stream_observed_counts",
     "events_cep_click_purchase",
     "interval_allen_relations",
-    "graph_random_walk_xxh",
     "geo_point_in_polygon",
     "binaryfile_scan_roundtrip",
     "abc_class_migration",
@@ -384,22 +415,18 @@ DRIVER_ORDER: list[str] = [
     # -- r6 rotation out (all green r5) --
     "q16_supplier_part_counts",
     "q20_excess_availability",
-    "sketch_cms_heavy_hitters",
     "text_bpe_apply",
     "drift_ks_exact",
     "sketch_hll_exact_registers",
     "hierarchy_closure_doubling",
     "q21_waiting_orders",
     "variant_json_extract",
-    "sketch_iblt_diff",
     "join_null_aware_anti",
     "q9_product_profit",
     "fuzzy_join_del1",
     "window_topk_via_agg",
     "graph_bfs_hops",
-    "dedup_ppjoin_prefix",
     "orders_interval_islands",
-    "split_group_preserving",
     "stream_bitmap_distinct",
     "ml_decision_stump_gini",
     "global_row_number_two_pass",
@@ -409,11 +436,9 @@ DRIVER_ORDER: list[str] = [
     "agg_bitmap_distinct_rollup",
     "dedup_substring_spans",
     "orders_survival_km",
-    "entity_resolution_names",
     "udtf_table_arg_stats",
     "arrow_vector_norms",
     "cdc_merge_full",
-    "graph_kcore",
     "file_manifest_stats",
     # -- r5 continuation-4 rotation out (all green r4) --
     "stat_corr_moments",
@@ -433,7 +458,6 @@ DRIVER_ORDER: list[str] = [
     "knn_lsh_recall",
     "stream_session_windows",
     "json_schema_roundtrip",
-    "dedup_minhash_docs",
     "similarity_threshold_pairs",
     "dedup_embedding_cosine",
     "embedding_centroids",
@@ -508,7 +532,6 @@ DRIVER_ORDER: list[str] = [
     "text_tfidf_top_term",
     "similarity_threshold_pairs_lsh",
     "dedup_embedding_cosine_lsh",
-    "dedup_survivors_quality",
     "window_topk_orders_per_cust",
     "window_running_revenue",
     # -- round-3 additions --
@@ -519,7 +542,6 @@ DRIVER_ORDER: list[str] = [
     "cross_partition_duplicate_audit",
     "sort_within_partitions_check",
     "bpe_merge_candidates",
-    "kmeans_lloyd_embeddings",
     "events_resample_gapfill",
     "schema_evolution_roundtrip",
     "signs_datasource_writer_sink",
@@ -528,14 +550,11 @@ DRIVER_ORDER: list[str] = [
     # -- round-4 additions --
     "sample_weighted_reservoir",     # r4: exponential-keys weighted sample (oracle)
     "knn_pq_adc",                    # r4: product-quantization ANN (rows)
-    "knn_pq_recall",                 # r4: PQ recall instrumentation (rows)
     "embedding_pca_top_components",  # r4: Gram-partial PCA (rows, numpy-pinned)
     "layout_zorder_locality",        # r4: z-curve layout, files-touched demo (rows)
     "knn_ivfpq_ann",                 # r4: composed IVF + residual-PQ index (rows)
-    "knn_ivfpq_recall",              # r4: IVF-PQ recall instrumentation (rows)
     "pipeline_training_corpus_v2",   # r4: substring-gate + weighted-sample pipeline (oracle)
     "knn_opq_adc",                   # r4: eigenvalue-allocated rotated PQ (rows)
-    "knn_opq_recall",                # r4: OPQ recall instrumentation (rows)
     "text_rare_bigram_score",
     "text_vocab_stats",
     "knn_ivf_recall_curve",
@@ -599,7 +618,6 @@ DRIVER_ORDER: list[str] = [
     "cdc_scd2_history",              # r5c2 rotation out of the first 50 (green r4)
     # -- round-5 continuation-3 additions --
     "schema_evolution_merge",        # r5c3: mergeSchema evolution twin
-    "kmeans_maximin_init",           # r5c3: deterministic maximin seeding
     "events_retention_matrix",       # r5c3: cohort-week retention triangle
     "trend_ols_two_features",        # r5c3: 2-feature OLS, Cramer exact
     "stat_signflip_permutation",     # r5c3: xxh64-replayed permutation test
@@ -625,32 +643,22 @@ DRIVER_ORDER: list[str] = [
     # -- round-9 additions (wave 50) --
     # -- round-9 additions (wave 51) --
     # -- round-10 additions (wave 52: inference stats) --
-    "stat_cramers_v",        # scaled-integer chi2 + effect size
     "stat_jarque_bera",      # moment normality screen, exact power sums
     "stat_durbin_watson",    # residual autocorrelation of the OLS trend
     "stat_cox_stuart",       # O(n) sign trend test
     "stat_cliffs_delta",     # ordinal effect size via midrank identity
     # -- round-10 additions (wave 53: inference stats II) --
-    "stat_mutual_information",   # MI nats + G-test, quantized pointwise logs
     "stat_jonckheere_terpstra",  # ordered k-sample trend, no pair join
     "stat_bartlett",             # variance homogeneity, quantized lns
     # -- round-10 additions (wave 54: Box-Jenkins identification) --
-    "trend_pacf_daily",          # Durbin-Levinson PACF, exact acov ratios
     "events_granger_lag1",       # lag-1 Granger F from exact moments
     # -- round-10 additions (wave 55: planner + exact inference) --
-    "layout_zonemap_pruning",    # per-file min/max skip arithmetic, 2 layouts
-    "stat_fisher_exact",         # hypergeometric recurrence, integer log-profile
     # -- round-10 additions (wave 56: corpus coverage + streaming ops) --
     "text_good_turing",          # count-of-counts, Turing discounts, P0
     "text_kl_source_divergence", # per-source KL vs corpus, quantized logs
     "events_watermark_lateness", # two-pass prefix max, drop counts per delay
     # -- round-10 additions (wave 57: file skipping + motifs + Page) --
-    "layout_bloomfilter_pruning",  # per-file bloom equality skipping
-    "trend_motif_daily",           # exact 7-day motif pairs, calendar-bounded
-    "stat_page_trend",             # Page's L, ordered weekday alternative
     # -- round-10 additions (wave 58: burstiness) --
-    "events_fano_factor",          # dispersion index, empty windows counted
-    "text_term_burstiness",        # Goh-Barabasi gap burstiness per term
 ]
 
 
